@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() action (no driver-side collect of
+payload rows). A warmup pass on the smallest SF JIT-compiles codegen paths
+so the measured pass reflects steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from etl_tj_project_spark import harness
+from etl_tj_project_spark.session import get_spark
+
+HEADLINE = [
+    "p1_typed_projection",
+    "p5_conjunctive_predicate",
+    "j1_inner_join_fanout",
+    "j2_left_join_code_to_name",
+    "u1_union_all",
+    "a1_agg_by_card",
+    "a2_agg_nullable_group_keys",
+    "a3_agg_by_tariff",
+    "u2_two_branch_union_agg",
+    "w1_topk_per_group",
+    "w2_running_sum",
+    "sort_limit_topk",
+    "rollup_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("etl_tj_bench")
+
+    names = [n for n in HEADLINE if n in harness.REGISTRY]
+    # Warmup: run the set once at the smoke SF to JIT/codegen-compile.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for n in names:
+            try:
+                harness.REGISTRY[n].spark(spark, warm_dir).count()
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        harness.REGISTRY[n].spark(spark, sf_dir).count()
+        timings[n] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,575 @@
+"""Driver-contract query inventory: SURVEY §2 operators phrased over the
+TPC-H-ish testdata, each as a (PySpark builder, DuckDB oracle SQL) pair.
+
+Conventions that make the driver's order-insensitive value-hash compare
+succeed (see __spark_entry__.py docstring):
+* every computed column is aliased identically on both sides;
+* money sums go through DECIMAL(18,2) *before* aggregation (exact,
+  order-independent) and the result is re-cast to DECIMAL(18,2);
+* date grouping keys are explicit CAST(ts AS DATE) on both sides;
+* top-k orderings carry a unique tie-break key.
+
+Each builder takes ``(spark, sf_dir)`` and returns a DataFrame; oracle SQL
+runs on DuckDB views named after the tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.functions import cleaning
+from etl_tj_project_spark.schemas import AMOUNT
+from etl_tj_project_spark.sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Entry:
+    spark: QueryFn
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Entry] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Entry(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# §2.2 Projections / filters / predicates
+# =========================================================================
+
+@register(
+    "p1_typed_projection",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_shipdate AS DATE)            AS ship_date,
+           CAST(l_quantity AS DECIMAL(18,2))   AS qty,
+           upper(l_returnflag)                 AS rflag
+    FROM lineitem
+    """,
+    doc="P1/F13/F14/F1: typed projection with casts+rename "
+        "(ref dag_datapelangan.py:69-75)",
+)
+def p1_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_quantity").cast(AMOUNT).alias("qty"),
+        F.upper("l_returnflag").alias("rflag"),
+    )
+
+
+@register(
+    "p2_equality_filter",
+    "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+    "WHERE o_orderstatus = 'F'",
+    doc="P2: equality filter (ref dag_datapelangan.py:177)",
+)
+def p2_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@register(
+    "p3_date_partition_filter",
+    "SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date "
+    "FROM lineitem WHERE CAST(l_shipdate AS DATE) = DATE '1996-06-15'",
+    doc="P3: single-day filter → partition pruning on a date-partitioned "
+        "lake (ref dag_datapelangan.py:177,184)",
+)
+def p3_date_partition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").cast("date") == F.lit("1996-06-15").cast("date")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@register(
+    "p4_null_rejection",
+    "SELECT p_partkey, nullif(trim(p_type), '') AS p_type_clean FROM part "
+    "WHERE nullif(trim(p_type), '') IS NOT NULL",
+    doc="P4+F7+F8: trim / NULLIF('') / NULL-rejection before dim upsert "
+        "(ref stage_csv_dims_to_pg.py:128,134,137)",
+)
+def p4_null_rejection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    clean = cleaning.nullif_empty(F.trim(F.col("p_type")))
+    return part.select("p_partkey", clean.alias("p_type_clean")).filter(
+        F.col("p_type_clean").isNotNull()
+    )
+
+
+@register(
+    "p5_conjunctive_predicate",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE upper(l_returnflag) = 'R' "
+    "AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'",
+    doc="P5: UPPER(col)=lit AND date predicate (ref dag_datapelangan.py:94-96)",
+)
+def p5_conjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return li.filter(
+        (F.upper("l_returnflag") == "R")
+        & d.between(F.lit("1996-01-01").cast("date"), F.lit("1996-12-31").cast("date"))
+    ).select("l_orderkey", "l_linenumber")
+
+
+# =========================================================================
+# §2.8 UDF surface (as native expressions)
+# =========================================================================
+
+@register(
+    "ud1_norm_body",
+    f"SELECT p_partkey, {cleaning.norm_body_sql('p_brand')} AS body_norm FROM part",
+    doc="UD1 norm_body as a pure Column expression "
+        "(ref dag_datapelangan.py:46-56); 'Brand#13' → 'BRA-013'",
+)
+def ud1_norm_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey", cleaning.norm_body(F.col("p_brand")).alias("body_norm")
+    )
+
+
+_UD2_CASE = (
+    "CASE WHEN event_type = 'click' THEN 'Y' "
+    "WHEN event_type = 'view' THEN 'FALSE' "
+    "WHEN event_type = 'purchase' THEN '1' "
+    "WHEN event_type = 'signup' THEN '' "
+    "ELSE 'junk' END"
+)
+
+
+@register(
+    "ud2_to_bool_safe",
+    f"SELECT event_id, {cleaning.to_bool_safe_sql(_UD2_CASE)} AS gate_in_boo "
+    "FROM events",
+    doc="UD2 to_bool_safe: Y/FALSE/1/''/junk → true/false/NULL, never "
+        "raising (ref dag_datapelangan.py:58-66)",
+)
+def ud2_to_bool_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "click", "Y")
+        .when(F.col("event_type") == "view", "FALSE")
+        .when(F.col("event_type") == "purchase", "1")
+        .when(F.col("event_type") == "signup", "")
+        .otherwise("junk")
+    )
+    return ev.select(
+        "event_id", cleaning.to_bool_safe(flag).alias("gate_in_boo")
+    )
+
+
+@register(
+    "f_scalar_pack",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority)                                  AS pr_upper,
+           trim(o_orderpriority)                                   AS pr_trim,
+           lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0')        AS key_pad,
+           upper(substr(o_orderpriority, 3)) || '-' ||
+             lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0')      AS composed,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')            AS status_or_open,
+           CASE WHEN regexp_matches(o_orderpriority, '^[1-2]-')
+                THEN 'hot' ELSE 'cold' END                         AS heat,
+           strftime(o_orderdate, '%Y%m%d')                         AS day_key
+    FROM orders
+    """,
+    doc="F1-F10, F16 scalar pack: upper/trim/lpad/concat/coalesce/nullif/"
+        "CASE/regex-match/date_format (ref SURVEY §2.7)",
+)
+def f_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    key_pad = F.lpad((F.col("o_orderkey") % 1000).cast("string"), 3, "0")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pr_upper"),
+        F.trim(F.col("o_orderpriority")).alias("pr_trim"),
+        key_pad.alias("key_pad"),
+        F.concat(
+            F.upper(F.col("o_orderpriority").substr(F.lit(3), F.length("o_orderpriority"))),
+            F.lit("-"),
+            key_pad,
+        ).alias("composed"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.when(F.col("o_orderpriority").rlike(r"^[1-2]-"), "hot")
+        .otherwise("cold")
+        .alias("heat"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("day_key"),
+    )
+
+
+# =========================================================================
+# §2.3 Joins
+# =========================================================================
+
+@register(
+    "j1_inner_join_fanout",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) AS amount
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+    doc="J1: inner fact→dim join, fan-out semantics, broadcast dim "
+        "(ref dag_datapelangan.py:210)",
+)
+def j1_inner_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return li.join(
+        F.broadcast(part), part["p_partkey"] == li["l_partkey"], "inner"
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        F.col("l_extendedprice").cast(AMOUNT).alias("amount"),
+    )
+
+
+@register(
+    "j2_left_join_code_to_name",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="J2: left outer code→name join, unmatched keys keep NULL name "
+        "(ref dag_datapelangan.py:211)",
+)
+def j2_left_join_code_to_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), c["c_custkey"] == o["o_custkey"], "left").select(
+        "o_orderkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "j4_cast_key_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name
+    FROM lineitem l
+    LEFT JOIN supplier s ON CAST(s.s_suppkey AS VARCHAR) = CAST(l.l_suppkey AS VARCHAR)
+    """,
+    doc="J4: left join with int-cast-to-text key "
+        "(ref dag_datapelangan.py:221)",
+)
+def j4_cast_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return li.join(
+        F.broadcast(s),
+        s["s_suppkey"].cast("string") == li["l_suppkey"].cast("string"),
+        "left",
+    ).select("l_orderkey", "l_linenumber", "s_name")
+
+
+# =========================================================================
+# §2.4 Set operations
+# =========================================================================
+
+@register(
+    "u1_union_all",
+    """
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'view'
+    """,
+    doc="U1: schema-aligned bag union (ref dag_datapelangan.py:192-195)",
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    return clicks.unionByName(views)
+
+
+# =========================================================================
+# §2.5 Aggregations
+# =========================================================================
+
+@register(
+    "a1_agg_by_card",
+    """
+    SELECT CAST(ts AS DATE) AS tanggal, event_type,
+           COUNT(*) AS pelanggan_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS amount_sum
+    FROM (
+      SELECT ts, event_type, value FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT ts, event_type, value FROM events WHERE event_type = 'purchase'
+    ) x
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+    doc="A1 agg_by_card analog: filter → union → groupBy count+sum "
+        "(ref dag_datapelangan.py:188-198)",
+)
+def a1_agg_by_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    unioned = ev.filter(F.col("event_type") == "click").unionByName(
+        ev.filter(F.col("event_type") == "purchase")
+    )
+    return (
+        unioned.select(
+            F.col("ts").cast("date").alias("tanggal"),
+            "event_type",
+            F.col("value").cast(AMOUNT).alias("amount"),
+        )
+        .groupBy("tanggal", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pelanggan_count"),
+            F.sum("amount").cast(AMOUNT).alias("amount_sum"),
+        )
+    )
+
+
+@register(
+    "a2_agg_nullable_group_keys",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS pelanggan_count,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS amount_sum
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 1000) c
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="A2: group by nullable key from a left join — NULL group retained "
+        "(ref dag_datapelangan.py:200-225)",
+)
+def a2_agg_nullable_group_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000)
+    return (
+        o.join(F.broadcast(c), c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("pelanggan_count"),
+            F.sum(F.col("o_totalprice").cast(AMOUNT)).cast(AMOUNT).alias("amount_sum"),
+        )
+    )
+
+
+@register(
+    "a3_agg_by_tariff",
+    """
+    SELECT CAST(l_quantity AS DECIMAL(18,2)) AS tarif, l_linestatus,
+           COUNT(*) AS pelanggan_count
+    FROM lineitem
+    GROUP BY CAST(l_quantity AS DECIMAL(18,2)), l_linestatus
+    """,
+    doc="A3 agg_by_tariff analog: the measure itself as grouping key "
+        "(ref dag_datapelangan.py:227-234)",
+)
+def a3_agg_by_tariff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_quantity").cast(AMOUNT).alias("tarif"), "l_linestatus")
+        .groupBy("tarif", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("pelanggan_count"))
+    )
+
+
+@register(
+    "a4_count_probe",
+    "SELECT COUNT(*) AS cnt FROM lineitem WHERE upper(l_returnflag) = 'R' "
+    "AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'",
+    doc="A4: scalar count probe (ref dag_datapelangan.py:93-104,236-239)",
+)
+def a4_count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.upper("l_returnflag") == "R")
+            & (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "u2_two_branch_union_agg",
+    """
+    SELECT tanggal, route_code, gate, COUNT(*) AS pelanggan_count,
+           CAST(SUM(amount) AS DECIMAL(18,2)) AS amount_sum
+    FROM (
+      SELECT CAST(l.l_shipdate AS DATE) AS tanggal, p.p_brand AS route_code,
+             l.l_linestatus AS gate,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS amount
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      UNION ALL
+      SELECT CAST(l.l_shipdate AS DATE) AS tanggal, s.s_name AS route_code,
+             l.l_linestatus AS gate,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS amount
+      FROM lineitem l
+      LEFT JOIN supplier s ON CAST(s.s_suppkey AS VARCHAR) = CAST(l.l_suppkey AS VARCHAR)
+    ) y
+    GROUP BY tanggal, route_code, gate
+    """,
+    doc="U2+A2 flagship: two differently-joined branches unioned then "
+        "aggregated — the agg_by_route pipeline shape "
+        "(ref dag_datapelangan.py:200-225)",
+)
+def u2_two_branch_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    tanggal = F.col("l_shipdate").cast("date").alias("tanggal")
+    amount = F.col("l_extendedprice").cast(AMOUNT).alias("amount")
+    branch1 = li.join(
+        F.broadcast(part), part["p_partkey"] == li["l_partkey"], "inner"
+    ).select(
+        tanggal,
+        F.col("p_brand").alias("route_code"),
+        F.col("l_linestatus").alias("gate"),
+        amount,
+    )
+    branch2 = li.join(
+        F.broadcast(sup),
+        sup["s_suppkey"].cast("string") == li["l_suppkey"].cast("string"),
+        "left",
+    ).select(
+        tanggal,
+        F.col("s_name").alias("route_code"),
+        F.col("l_linestatus").alias("gate"),
+        amount,
+    )
+    return (
+        branch1.unionByName(branch2)
+        .groupBy("tanggal", "route_code", "gate")
+        .agg(
+            F.count(F.lit(1)).alias("pelanggan_count"),
+            F.sum("amount").cast(AMOUNT).alias("amount_sum"),
+        )
+    )
+
+
+# =========================================================================
+# §2.6 (north star) Windows / sort-limit / distinct / rollup
+# =========================================================================
+
+@register(
+    "w1_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+    doc="Window top-k per group with deterministic tie-break",
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "w2_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS running_spend
+    FROM orders
+    """,
+    doc="Running decimal sum per key (exact, order-pinned frame)",
+)
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(AMOUNT))
+        .over(w)
+        .cast(AMOUNT)
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "sort_limit_topk",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    doc="Global top-k (TakeOrderedAndProject — no full sort at scale)",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="DISTINCT (hash-aggregate dedup)",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty_sum
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP multi-level aggregate (north-star; grouping-set semantics)",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(AMOUNT)).cast(AMOUNT).alias("qty_sum"),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: e.spark for name, e in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}

@@ -1,0 +1,80 @@
+"""SparkSession construction and scale-oriented runtime configuration.
+
+Two layers:
+
+* :func:`get_spark` — builds a local session for tests/bench with the configs
+  we would also set cluster-side (AQE, dynamic partition overwrite, Arrow).
+* :func:`tune` — applies the *runtime-settable* subset to an externally
+  provided session (the driver harness hands us its own ``SparkSession``;
+  we must not assume builder-time control).
+
+Scale notes (100 TB target):
+* AQE owns runtime shuffle-partition coalescing and skew-join splitting, so
+  a static ``spark.sql.shuffle.partitions`` only needs to be a sane upper
+  bound (cluster-side you'd set it ~2-3x total cores).
+* ``partitionOverwriteMode=dynamic`` makes the daily re-run idempotent per
+  partition instead of truncating the whole table (SURVEY §2.10 notes the
+  reference duplicates rows on re-run; we deliberately improve on that).
+* ``parquet.nanosAsLong`` is required to scan nanosecond-timestamp parquet
+  (the ``events`` table) — Spark has no TIMESTAMP(NANOS) type.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe + desirable to set on an already-running session.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Cap in-flight bytes per task when Python (Pandas-UDF) stages run.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be static in some deployments; never fail the query
+            # path over tuning.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "etl_tj_project_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Local-mode session used by tests and bench.
+
+    ``SPARK_GRAFT_CPUS`` controls parallelism (defaults to all cores), which
+    is how the driver harness sizes the bench run.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

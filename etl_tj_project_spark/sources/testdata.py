@@ -1,0 +1,35 @@
+"""Loaders for the driver's Parquet test tables (/root/testdata/sf*).
+
+One quirk: ``events.ts`` is parquet ``TIMESTAMP(NANOS)``, which Spark has
+no native type for — we flip ``spark.sql.legacy.parquet.nanosAsLong`` (a
+runtime-settable conf) and convert the int64 nanoseconds to a microsecond
+timestamp column. Everything else is a plain schema-preserving scan, so
+Catalyst column pruning / filter pushdown reach the parquet reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.session import tune
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; normalizes ``events.ts`` to TimestampType."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        tune(spark)  # ensures nanosAsLong before schema resolution
+        df = spark.read.parquet(path)
+        # int64 nanoseconds since epoch → microsecond-precision timestamp.
+        # Integer `div` (not `/`) — float division of ~1e18 ns loses µs bits.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,76 @@
+"""Local re-implementation of the driver's DuckDB-oracle compare so every
+query in the inventory is gated in pytest before the driver ever sees it:
+row count, column names, and an order-insensitive value comparison.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+from etl_tj_project_spark.schemas import TESTDATA_TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        # repr round-trips doubles exactly; bit-identical floats match.
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v.normalize()) if v != 0 else "0"
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, normalize cells, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    """Assert Spark result == DuckDB oracle result (order-insensitive)."""
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(sql)
+    d_cols = [c for c in rel.columns]
+    d_rows = rel.fetchall()
+
+    assert sorted(c.lower() for c in s_cols) == sorted(
+        c.lower() for c in d_cols
+    ), f"column mismatch: spark={s_cols} duckdb={d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    sn = normalize_rows([c.lower() for c in s_cols], s_rows)
+    dn = normalize_rows([c.lower() for c in d_cols], d_rows)
+    if sn != dn:
+        diff_s = [r for r in sn if r not in set(dn)][:5]
+        diff_d = [r for r in dn if r not in set(sn)][:5]
+        raise AssertionError(
+            f"value mismatch; spark-only sample={diff_s}; duckdb-only sample={diff_d}"
+        )
