@@ -1,0 +1,229 @@
+"""End-to-end tests of the TJ daily pipeline (DAG 1 + DAG 2 semantics)
+on generated reference-domain fixtures, gated by a DuckDB oracle that
+re-states the reference's documented semantics (SURVEY §2/§3) in SQL.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_tj_project_spark.functions.cleaning import norm_body_sql, to_bool_safe_sql
+from etl_tj_project_spark.plans.daily import (
+    Warehouse,
+    load_dims,
+    raw_trx_from_csv,
+    run_daily,
+)
+from tests.gen_fixtures import generate
+from tests.oracle_compare import compare
+
+import duckdb
+
+DS_LIST = ["2025-07-05", "2025-07-15"]
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tj_fixtures")
+    generate(str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def wh_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("tj_warehouse"))
+
+
+@pytest.fixture(scope="module")
+def duck(data_dir):
+    con = duckdb.connect()
+    for name in (
+        "dummy_routes",
+        "dummy_shelter_corridor",
+        "dummy_realisasi_bus",
+        "dummy_transaksi_bus",
+        "dummy_transaksi_halte",
+    ):
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_csv('{data_dir}/{name}.csv', all_varchar=true, header=true)"
+        )
+    # Typed dims (DAG 1 semantics)
+    con.sql(
+        "CREATE VIEW routes_d AS SELECT trim(route_code) AS route_code, "
+        "route_name FROM dummy_routes WHERE route_code IS NOT NULL"
+    )
+    con.sql(
+        "CREATE VIEW shelter_d AS SELECT trim(shelter_name_var) AS shelter_name_var, "
+        "TRY_CAST(nullif(trim(corridor_code), '') AS INTEGER) AS corridor_code, "
+        "corridor_name FROM dummy_shelter_corridor WHERE shelter_name_var IS NOT NULL"
+    )
+    con.sql(
+        "CREATE VIEW realisasi_d AS SELECT "
+        "CASE WHEN regexp_matches(tanggal_realisasi, '^\\d{4}-\\d{2}-\\d{2}$') "
+        "  THEN CAST(strptime(tanggal_realisasi, '%Y-%m-%d') AS DATE) "
+        "WHEN regexp_matches(tanggal_realisasi, '^\\d{2}/\\d{2}/\\d{4}$') "
+        "  THEN CAST(strptime(tanggal_realisasi, '%d/%m/%Y') AS DATE) "
+        "ELSE NULL END AS tanggal_realisasi, "
+        f"{norm_body_sql('bus_body_no')} AS bus_body_no_norm, "
+        "rute_realisasi FROM dummy_realisasi_bus"
+    )
+    # Typed transaction views (DAG 2 task 1 semantics)
+    con.sql(
+        "CREATE VIEW vw_bus AS SELECT "
+        "CAST(TRY_CAST(waktu_transaksi AS TIMESTAMP) AS DATE) AS tanggal, "
+        "upper(card_type_var) AS card_type, "
+        "TRY_CAST(fare_int AS DECIMAL(18,2)) AS amount, "
+        "upper(status_var) AS status_var, "
+        f"{norm_body_sql('no_body_var')} AS no_body_norm, "
+        f"{to_bool_safe_sql('gate_in_boo')} AS gate_in_boo "
+        "FROM dummy_transaksi_bus"
+    )
+    con.sql(
+        "CREATE VIEW vw_halte AS SELECT "
+        "CAST(TRY_CAST(waktu_transaksi AS TIMESTAMP) AS DATE) AS tanggal, "
+        "upper(card_type_var) AS card_type, "
+        "TRY_CAST(fare_int AS DECIMAL(18,2)) AS amount, "
+        "upper(status_var) AS status_var, "
+        "shelter_name_var, "
+        f"{to_bool_safe_sql('gate_in_boo')} AS gate_in_boo "
+        "FROM dummy_transaksi_halte"
+    )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def pipeline_outputs(spark, data_dir, wh_dir):
+    wh = Warehouse(wh_dir)
+    dims = load_dims(spark, data_dir, wh)
+    bus_raw, halte_raw = raw_trx_from_csv(spark, data_dir)
+    out = {}
+    for ds in DS_LIST:
+        out[ds] = run_daily(
+            spark,
+            ds,
+            bus_raw=bus_raw,
+            halte_raw=halte_raw,
+            routes=dims["routes"],
+            realisasi_bus=dims["realisasi_bus"],
+            shelter_corridor=dims["shelter_corridor"],
+            wh=wh,
+        )
+    return out
+
+
+def _day_filter(view: str, ds: str) -> str:
+    return f"SELECT * FROM {view} WHERE status_var = 'S' AND tanggal = DATE '{ds}'"
+
+
+@pytest.mark.parametrize("ds", DS_LIST)
+def test_agg_by_card_matches_reference_semantics(duck, pipeline_outputs, ds):
+    oracle = f"""
+    SELECT tanggal, card_type, gate_in_boo, COUNT(*) AS pelanggan_count,
+           CAST(SUM(amount) AS DECIMAL(18,2)) AS amount_sum
+    FROM (
+      SELECT tanggal, card_type, amount, gate_in_boo FROM ({_day_filter('vw_bus', ds)})
+      UNION ALL
+      SELECT tanggal, card_type, amount, gate_in_boo FROM ({_day_filter('vw_halte', ds)})
+    ) x GROUP BY tanggal, card_type, gate_in_boo
+    """
+    compare(pipeline_outputs[ds]["agg_by_card"], duck, oracle)
+
+
+@pytest.mark.parametrize("ds", DS_LIST)
+def test_agg_by_route_matches_reference_semantics(duck, pipeline_outputs, ds):
+    oracle = f"""
+    SELECT tanggal, route_code, route_name, gate_in_boo,
+           COUNT(*) AS pelanggan_count,
+           CAST(SUM(amount) AS DECIMAL(18,2)) AS amount_sum
+    FROM (
+      SELECT b.tanggal, CAST(rb.rute_realisasi AS VARCHAR) AS route_code,
+             r.route_name, b.gate_in_boo, b.amount
+      FROM ({_day_filter('vw_bus', ds)}) b
+      JOIN realisasi_d rb ON rb.bus_body_no_norm = b.no_body_norm
+      LEFT JOIN routes_d r ON r.route_code = CAST(rb.rute_realisasi AS VARCHAR)
+      UNION ALL
+      SELECT h.tanggal, CAST(sc.corridor_code AS VARCHAR) AS route_code,
+             r.route_name, h.gate_in_boo, h.amount
+      FROM ({_day_filter('vw_halte', ds)}) h
+      LEFT JOIN shelter_d sc ON sc.shelter_name_var = h.shelter_name_var
+      LEFT JOIN routes_d r ON r.route_code = CAST(sc.corridor_code AS VARCHAR)
+    ) y GROUP BY tanggal, route_code, route_name, gate_in_boo
+    """
+    compare(pipeline_outputs[ds]["agg_by_route"], duck, oracle)
+
+
+@pytest.mark.parametrize("ds", DS_LIST)
+def test_agg_by_tariff_matches_reference_semantics(duck, pipeline_outputs, ds):
+    oracle = f"""
+    SELECT tanggal, amount AS tarif, gate_in_boo, COUNT(*) AS pelanggan_count
+    FROM (
+      SELECT tanggal, amount, gate_in_boo FROM ({_day_filter('vw_bus', ds)})
+      UNION ALL
+      SELECT tanggal, amount, gate_in_boo FROM ({_day_filter('vw_halte', ds)})
+    ) z GROUP BY tanggal, amount, gate_in_boo
+    """
+    compare(pipeline_outputs[ds]["agg_by_tariff"], duck, oracle)
+
+
+def test_realisasi_date_parse_preserves_reference_nulls(spark, data_dir, wh_dir, pipeline_outputs):
+    """~90% of generated dates are M/D/YYYY (single-digit month) — they
+    match neither regex and must load NULL, like the reference does."""
+    real = spark.read.parquet(f"{wh_dir}/dw/realisasi_bus")
+    total = real.count()
+    nulls = real.filter(real["tanggal_realisasi"].isNull()).count()
+    assert total == 515
+    assert 0.80 * total < nulls < 0.97 * total
+
+
+def test_join_fanout_occurs(spark, duck, pipeline_outputs, wh_dir):
+    """Normalized-key collisions must fan out the J1 inner join (ref: 515
+    bus rows → 571 join rows)."""
+    n_raw = duck.sql(
+        "SELECT COUNT(*) FROM vw_bus WHERE status_var='S'"
+    ).fetchone()[0]
+    n_joined = duck.sql(
+        "SELECT COUNT(*) FROM (SELECT * FROM vw_bus WHERE status_var='S') b "
+        "JOIN realisasi_d rb ON rb.bus_body_no_norm = b.no_body_norm"
+    ).fetchone()[0]
+    assert n_joined > n_raw  # fan-out
+    # and every bus body matched (FIXTURES.md: 100% match rate)
+    n_unmatched = duck.sql(
+        "SELECT COUNT(*) FROM (SELECT * FROM vw_bus WHERE status_var='S') b "
+        "LEFT JOIN (SELECT DISTINCT bus_body_no_norm FROM realisasi_d) rb "
+        "ON rb.bus_body_no_norm = b.no_body_norm WHERE rb.bus_body_no_norm IS NULL"
+    ).fetchone()[0]
+    assert n_unmatched == 0
+
+
+def test_rerun_is_idempotent(spark, data_dir, wh_dir, pipeline_outputs):
+    """Dynamic partition overwrite: re-running a ds must not duplicate
+    rows (deliberate improvement over the reference, SURVEY §2.10)."""
+    before = spark.read.parquet(f"{wh_dir}/dw/agg_by_card").count()
+    wh = Warehouse(wh_dir)
+    dims = load_dims(spark, data_dir, wh)
+    bus_raw, halte_raw = raw_trx_from_csv(spark, data_dir)
+    run_daily(
+        spark,
+        DS_LIST[0],
+        bus_raw=bus_raw,
+        halte_raw=halte_raw,
+        routes=dims["routes"],
+        realisasi_bus=dims["realisasi_bus"],
+        shelter_corridor=dims["shelter_corridor"],
+        wh=wh,
+    )
+    after = spark.read.parquet(f"{wh_dir}/dw/agg_by_card").count()
+    assert after == before
+
+
+def test_partitioned_layout(spark, wh_dir, pipeline_outputs):
+    """Aggregates land as tanggal=YYYY-MM-DD partitions; a day-filtered
+    read prunes to one partition."""
+    import os
+
+    parts = [
+        p for p in os.listdir(f"{wh_dir}/dw/agg_by_card") if p.startswith("tanggal=")
+    ]
+    assert sorted(parts) == [f"tanggal={ds}" for ds in DS_LIST]
