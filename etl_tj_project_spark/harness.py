@@ -567,6 +567,325 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Training-data-pipeline extensions: text analysis over `documents`
+# =========================================================================
+
+from etl_tj_project_spark.functions import text as tx  # noqa: E402
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id, {tx.token_count_sql('text')} AS n_ws_tokens,
+           {tx.bpe_ish_token_count_sql('text')} AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish regex fragmenter",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_ws_tokens"),
+        tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+_QM_SQL = tx.quality_metrics_sql("text")
+
+
+@register(
+    "text_quality",
+    "SELECT doc_id, "
+    + ", ".join(f"{sql} AS {name}" for name, sql in _QM_SQL.items())
+    + " FROM documents",
+    doc="Per-document quality signals (lengths, punct/alpha/stopword "
+        "ratios) as exact-arithmetic expressions",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    metrics = tx.quality_metrics("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in metrics.items()])
+
+
+@register(
+    "text_lang_id",
+    f"SELECT doc_id, lang, {tx.lang_id_sql('text')} AS lang_pred FROM documents",
+    doc="Marker-token language-ID heuristic with deterministic tie-break",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, {tx.doc_fingerprint_sql('text')} AS fp FROM documents",
+    doc="Canonical-form md5 document fingerprint",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.doc_fingerprint("text").alias("fp"))
+
+
+# =========================================================================
+# Deduplication family
+# =========================================================================
+
+from etl_tj_project_spark.operators import dedup as dd  # noqa: E402
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT {tx.doc_fingerprint_sql('text')} AS fp, min(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: normalized-text fingerprint groupBy, min-id winner",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_duplicate_groups(d, "text", "doc_id")
+
+
+_LSH_BANDS_SQL = dd.minhash_bands_sql(
+    "documents", "doc_id", "text", num_hashes=8, bands=4
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH b AS ({_LSH_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM b a JOIN b c ON a.band = c.band AND a.h = c.h AND a.doc_id < c.doc_id
+    """,
+    doc="MinHash(8 md5 hashes) + LSH(4 bands): candidate near-dup pairs "
+        "via band-bucket self-join",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+
+
+@register(
+    "dedup_simhash",
+    f"SELECT doc_id, {dd.simhash_sql('text', bits=16)} AS simhash16 FROM documents",
+    doc="16-bit SimHash fingerprint from per-token md5 bit votes",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", dd.simhash("text", bits=16).alias("simhash16"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                   i -> array_to_string(toks[i:i+2], ' ')) END)
+               AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CASE WHEN CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) > 0
+                THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+           END AS jaccard
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="Word-3-gram Jaccard similarity over consecutive-id pairs "
+        "(the LSH candidates feed this in a real dedup run)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(d, "doc_id", "text", ngram=3)
+
+
+# =========================================================================
+# Similarity search over embeddings
+# =========================================================================
+
+from etl_tj_project_spark.operators import similarity as sim  # noqa: E402
+
+
+@register(
+    "ann_brute_force_topk",
+    "SELECT vec_id, round(cosine, 9) AS cosine FROM ("
+    + sim.brute_force_topk_sql("embeddings", query_id=0, k=10)
+    + ") t",
+    doc="Exact cosine top-10 vs a query vector: broadcast + "
+        "TakeOrderedAndProject (no global sort)",
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    top = sim.brute_force_topk(e, q, k=10)
+    return top.select("vec_id", F.round("cosine", 9).alias("cosine"))
+
+
+@register(
+    "ann_lsh_bucketed_topk",
+    "SELECT vec_id, round(cosine, 9) AS cosine FROM ("
+    + sim.lsh_topk_sql("embeddings", query_id=0, k=10)
+    + ") t",
+    doc="Approximate top-10: random-hyperplane LSH bucket probe, exact "
+        "ranking inside the bucket",
+)
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    top = sim.lsh_topk(e, q, k=10)
+    return top.select("vec_id", F.round("cosine", 9).alias("cosine"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({sim._dot_sql('a.embedding', 'b.embedding')}
+             / (sqrt({sim._dot_sql('a.embedding', 'a.embedding')})
+                * sqrt({sim._dot_sql('b.embedding', 'b.embedding')})), 9)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+    doc="Embedding-cosine near-dup scoring over candidate pairs",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_near_dup_pairs(e, "vec_id", "embedding")
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 9).alias("cosine")
+    )
+
+
+# =========================================================================
+# Multimodal plumbing + streaming-shaped aggregates
+# =========================================================================
+
+from etl_tj_project_spark.operators import multimodal as mm  # noqa: E402
+from etl_tj_project_spark.streaming.daily_stream import windowed_event_agg  # noqa: E402
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           upper(hex(encode(substr(text, 1, 4)))) AS header_hex,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                i -> unicode(substr(text, i, 1)))) AS DOUBLE)
+             / length(text) AS brightness
+    FROM documents
+    """,
+    doc="Opaque-binary media column + Arrow-batched mapInPandas decode "
+        "stage (deterministic stub decode; real codec gated on PIL)",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return mm.decode_features(mm.attach_fake_media(d))
+
+
+@register(
+    "stream_window_agg",
+    """
+    SELECT CAST(ts AS DATE) AS window_start, event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
+    FROM events GROUP BY CAST(ts AS DATE), event_type
+    """,
+    doc="Tumbling-window aggregate — batch twin of the Structured "
+        "Streaming pipeline (streaming/daily_stream.py)",
+)
+def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_agg(ev, "1 day")
+    return out.withColumn("window_start", F.col("window_start").cast("date"))
+
+
+@register(
+    "sessionize",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ) t
+    """,
+    doc="Gap-based sessionization (30-min inactivity) via lag + running "
+        "sum — the batch twin of stateful streaming sessionization",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    with_gap = base.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w_order) > 30 * 60 * 1_000_000,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return with_gap.select(
+        "user_id",
+        "event_id",
+        F.sum("is_new").over(w_run).cast("long").alias("session_id"),
+    )
+
+
+@register(
+    "asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           (SELECT max(make_timestamp(epoch_us(c.ts)))
+            FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND (epoch_us(c.ts) < epoch_us(p.ts)
+                   OR (epoch_us(c.ts) = epoch_us(p.ts)
+                       AND c.event_id <= p.event_id))) AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    doc="As-of join: each purchase matched to the user's most recent "
+        "click at-or-before it — composed from a tagged union + "
+        "last_value window (no Spark-native as-of join needed)",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = both.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    ).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "last_click_ts"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: e.spark for name, e in REGISTRY.items()}
 

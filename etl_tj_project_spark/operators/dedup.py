@@ -1,0 +1,281 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Five families, all designed so the heavy lifting is per-row expression
+work (embarrassingly parallel, whole-stage-codegen'd) followed by at most
+one keyed shuffle:
+
+* exact        — fingerprint (md5 of normalized text) + hash groupBy
+* MinHash+LSH  — char-shingles → k minhashes → banded bucket join
+* SimHash      — per-token md5 bit votes → compact bit fingerprint
+* n-gram Jaccard — distinct word-shingle overlap between candidate pairs
+* embedding cosine — near-dup by vector similarity
+
+Scale notes (100 TB): signatures/fingerprints are computed in a single
+projection over the scan (no explode — higher-order functions keep the
+shingle arrays inside one row). The only shuffles are the groupBy on the
+fingerprint / band-hash, whose cardinality is ~#docs, not #shingles. The
+band join is self-equi-join on (band, hash) — AQE handles skewed buckets
+(e.g. boilerplate-heavy corpora) by splitting them.
+
+MinHash here is the md5-string variant: minhash_i(doc) = lexicographic
+min over shingles of md5(shingle || ':' || i). Using md5 keeps the
+signature engine-portable (the DuckDB oracle reproduces it exactly),
+deterministic across runs/partitions, and seed-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.functions.text import (
+    char_shingles,
+    doc_fingerprint,
+    tokens,
+    word_shingles,
+)
+from etl_tj_project_spark.functions.vectors import cosine_similarity
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group rows by normalized-text fingerprint; keep the min id as the
+    canonical representative. One hash-aggregate shuffle on the 32-char
+    fingerprint."""
+    return (
+        df.select(doc_fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per fingerprint."""
+    w = df.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+    keep = w.groupBy("fp").agg(F.min(id_col).alias(id_col)).drop("fp")
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _salted_md5(salt: str):
+    # Single-parameter lambda: F.transform passes (element, index) to
+    # two-parameter lambdas, which would shadow a default-arg salt.
+    return lambda s: F.md5(F.concat(s, F.lit(salt)))
+
+
+def minhash_signature(
+    text_col: Column | str, num_hashes: int = 8, shingle_k: int = 8
+) -> list[Column]:
+    """k md5-minhash columns over character shingles (one projection,
+    no explode)."""
+    sh = char_shingles(text_col, k=shingle_k)
+    return [
+        F.array_min(F.transform(sh, _salted_md5(f":{i}"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """(id, band, band_hash) — one row per doc per band. Band hash is the
+    md5 of the '|'-joined signature rows in the band (NULL-propagating
+    concat: empty docs produce NULL hashes, which never bucket-join)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = df.select(F.col(id_col), *minhash_signature(text_col, num_hashes, shingle_k))
+    band_cols = []
+    for b in range(bands):
+        parts: list[Column] = []
+        for r in range(rows):
+            if parts:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"mh{b * rows + r}"))
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("h"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 band
+    bucket. Self-equi-join on (band, h): the shuffle key cardinality is
+    #docs × bands; AQE splits skewed buckets."""
+    b = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_k)
+    left = b.select(
+        F.col(id_col).alias("doc_a"), F.col("band"), F.col("h")
+    )
+    right = b.select(
+        F.col(id_col).alias("doc_b"), F.col("band"), F.col("h")
+    )
+    return (
+        left.join(right, on=["band", "h"], how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_bands_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+) -> str:
+    """DuckDB twin of :func:`minhash_bands` (same md5 signatures)."""
+    rows = num_hashes // bands
+    k = shingle_k
+    norm = f"regexp_replace(lower({text_col}), '[^a-z0-9]', '', 'g')"
+    sh = (
+        f"list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1), "
+        f"i -> substr(t, i, {k}))"
+    )
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, x -> md5(x || ':{i}'))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        joined = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT {id_col}, {b} AS band, md5({joined}) AS h FROM sig"
+        )
+    return (
+        f"WITH s AS (SELECT {id_col}, {sh} AS sh FROM "
+        f"(SELECT {id_col}, {norm} AS t FROM {table})), "
+        f"sig AS (SELECT {id_col}, {mh_cols} FROM s) "
+        + " UNION ALL ".join(band_selects)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text_col: Column | str, bits: int = 16) -> Column:
+    """Bit-vote SimHash over whitespace tokens.
+
+    Bit j of the fingerprint is the sign of sum over tokens of ±1, where
+    the vote is the high bit of hex digit j of md5(token) — i.e. hex char
+    in [8-9a-f]. Engine-portable (md5 hex is identical everywhere) and a
+    single projection per row. bits ≤ 32 (md5 yields 32 hex digits).
+    """
+    assert 1 <= bits <= 32
+    toks = tokens(text_col)
+
+    def _bit_vote(hexpos: int):
+        # Two-parameter merge lambda only — a third default arg would
+        # change the arity F.aggregate infers.
+        def merge(acc: Column, t: Column) -> Column:
+            return acc + F.when(
+                F.substring(F.md5(t), hexpos, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+
+        return merge
+
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(toks, F.lit(0), _bit_vote(j + 1))
+        fp = fp + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return fp
+
+
+def simhash_sql(text_col: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`simhash`."""
+    t = f"trim({text_col})"
+    toks = (
+        f"CASE WHEN {t} = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array({t}, '\\s+') END"
+    )
+    parts = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform({toks}, tok -> CASE WHEN "
+            f"substr(md5(tok), {j + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
+        )
+        parts.append(
+            f"CASE WHEN coalesce({vote}, 0) > 0 THEN CAST({1 << j} AS BIGINT) "
+            f"ELSE 0 END"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3
+) -> DataFrame:
+    """Word-n-gram Jaccard similarity between candidate pairs.
+
+    Candidate pairing here is consecutive ids (a deterministic linear
+    pair set — callers doing real dedup feed LSH candidates instead via
+    :func:`jaccard_for_pairs`). Similarity uses distinct shingle sets:
+    |A∩B| / |A∪B|, NULL when both empty.
+    """
+    sh = F.array_distinct(word_shingles(text_col, k=ngram))
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    a = base.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select((F.col("id") - 1).alias("doc_a"), F.col("id").alias("doc_b"),
+                    F.col("sh").alias("sh_b"))
+    joined = a.join(b, on="doc_a", how="inner")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.when(union > 0, inter / union).alias("jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Cosine similarity between consecutive-id embedding pairs, flagged
+    at ``threshold``. (The all-pairs variant at scale goes through
+    similarity.lsh_buckets to bound the candidate set.)"""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select((F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b"),
+                    F.col("v").alias("vb"))
+    joined = a.join(b, on="id_a", how="inner")
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        cos.alias("cosine"),
+        (cos >= threshold).alias("is_near_dup"),
+    )

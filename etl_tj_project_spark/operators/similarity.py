@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+* brute_force_topk — exact cosine top-k against a broadcast query vector.
+  At 100 TB this is one fully-parallel scan + TakeOrderedAndProject (a
+  per-partition heap of k, then a k-sized merge on the driver) — no
+  global sort, no shuffle of the payload.
+* lsh_topk — random-hyperplane LSH: docs and query hash to sign-bit
+  buckets; only the query's bucket (or its Hamming-1 neighborhood) is
+  scored. The bucket id is a per-row expression, so building the index
+  is one projection; a production pipeline would write it out
+  partitioned by bucket for partition-pruned probes.
+
+Hyperplanes are derived from a fixed seed so results are deterministic
+and reproducible across engines/runs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``df`` against a single-row ``query_vec``.
+
+    The query side is crossJoin(broadcast(...)) — one row, so the "join"
+    is a free per-partition constant. Ties broken by id for determinism.
+    """
+    q = F.broadcast(query_vec.select(F.col(qvec_col).alias("__qv")))
+    scored = df.crossJoin(q).select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _plane_col(plane: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in plane])
+
+
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec, _plane_col(plane), lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's LSH bucket.
+
+    Recall improves with fewer planes / multiple probe buckets; this
+    single-probe variant is the scale skeleton (bucket column →
+    partition pruning), with exact cosine ranking inside the bucket.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = F.broadcast(
+        query_vec.select(
+            F.col(qvec_col).alias("__qv"),
+            lsh_bucket(F.col(qvec_col), planes).alias("__qbucket"),
+        )
+    )
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    return (
+        bucketed.crossJoin(q)
+        .filter(F.col("__bucket") == F.col("__qbucket"))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --- DuckDB oracle twins ---------------------------------------------------
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def brute_force_topk_sql(
+    table: str, query_id: int, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    dot = _dot_sql(vec_col, "q.__qv")
+    na = f"sqrt({_dot_sql(vec_col, vec_col)})"
+    nb = "sqrt(" + _dot_sql("q.__qv", "q.__qv") + ")"
+    return f"""
+    WITH q AS (SELECT {vec_col} AS __qv FROM {table} WHERE {id_col} = {query_id})
+    SELECT {id_col},
+           CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) END AS cosine
+    FROM {table}, q
+    ORDER BY cosine DESC, {id_col} LIMIT {k}
+    """
+
+
+def lsh_bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
+    parts = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        dot = _dot_sql(vec_col, f"[{lits}]")
+        parts.append(
+            f"CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def lsh_topk_sql(
+    table: str, query_id: int, k: int = 10, n_planes: int = 8,
+    dim: int = 64, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    planes = _hyperplanes(dim, n_planes, seed)
+    dot = _dot_sql(vec_col, "q.__qv")
+    na = f"sqrt({_dot_sql(vec_col, vec_col)})"
+    nb = "sqrt(" + _dot_sql("q.__qv", "q.__qv") + ")"
+    bcol = lsh_bucket_sql(vec_col, planes)
+    qb = lsh_bucket_sql("q.__qv", planes)
+    return f"""
+    WITH q AS (SELECT {vec_col} AS __qv FROM {table} WHERE {id_col} = {query_id})
+    SELECT {id_col},
+           CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) END AS cosine
+    FROM {table}, q
+    WHERE {bcol} = {qb}
+    ORDER BY cosine DESC, {id_col} LIMIT {k}
+    """
