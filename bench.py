@@ -27,6 +27,10 @@ HEADLINE = [
     "a2_agg_nullable_group_keys",
     "a3_agg_by_tariff",
     "u2_two_branch_union_agg",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5ish_regional_revenue",
+    "tpch_q6_forecast_revenue",
     "w1_topk_per_group",
     "w2_running_sum",
     "sort_limit_topk",

@@ -886,6 +886,11 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Analytical query pack (TPC-H-style, semi/anti, cube/pivot, percentiles,
+# SQL-view surface, upsert-as-query) registers itself into REGISTRY.
+from etl_tj_project_spark import harness_analytics  # noqa: E402,F401
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: e.spark for name, e in REGISTRY.items()}
 

@@ -1,0 +1,529 @@
+"""Analytical query pack: classic warehouse shapes (TPC-H-style) plus the
+relational operators the reference's SQL dialect implies but never
+exercises (semi/anti joins, CUBE, PIVOT, percentiles, SQL-view surface,
+upsert-as-a-query).
+
+These widen the §2 inventory beyond the reference's literal operator set:
+the reference is "SQL strings over Postgres" (SURVEY §0), so its *implied*
+surface is ANSI SQL; this module demonstrates that surface Spark-side with
+DuckDB-oracle twins.
+
+Exactness conventions (same as harness.py): money math is decimal end-to-
+end — DOUBLE inputs are cast to bounded decimals *before* arithmetic so
+sums are exact and order-insensitive; averages divide an exact decimal sum
+by a bigint count in double (deterministic); percentiles use linear
+interpolation on both engines and round to 6 places.
+
+Scale notes per query are in each doc string; the shared rules:
+* dim joins (nation/region/supplier/customer at dim scale) broadcast;
+* top-k goes through TakeOrderedAndProject, never a global sort;
+* semi/anti joins stay hash joins on the key, no fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from etl_tj_project_spark.harness import register
+from etl_tj_project_spark.schemas import AMOUNT
+from etl_tj_project_spark.sources.testdata import load_table
+
+# Bounded decimals sized so products stay inside Spark's 38-digit cap with
+# zero precision loss: (12,2) * (4,2)-derived factors → scale 4/6 exact.
+PRICE = DecimalType(12, 2)
+RATE = DecimalType(4, 2)
+# Post-multiplication money keeps its full scale (4 or 6) so the final
+# cast is exact — a cast down to scale 2 would hit .xx5 ties where Spark
+# (HALF_UP) and DuckDB (half-to-even) disagree by one cent.
+AMOUNT4 = DecimalType(18, 4)
+AMOUNT6 = DecimalType(18, 6)
+
+def _one() -> "F.Column":
+    # Built lazily: Column construction needs an active SparkContext, and
+    # this module imports before any session exists.
+    return F.lit(1).cast(RATE)
+
+
+def _li_money(li: DataFrame) -> DataFrame:
+    """lineitem with exact-decimal money columns (shared projection)."""
+    return li.withColumns(
+        {
+            "qty": F.col("l_quantity").cast(AMOUNT),
+            "price": F.col("l_extendedprice").cast(PRICE),
+            "disc": F.col("l_discount").cast(RATE),
+            "tax": F.col("l_tax").cast(RATE),
+        }
+    )
+
+
+# SQL fragment twins of the above (DuckDB dialect = shared ANSI).
+_SQL_QTY = "CAST(l_quantity AS DECIMAL(18,2))"
+_SQL_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_SQL_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_SQL_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+_SQL_ONE = "CAST(1 AS DECIMAL(4,2))"
+
+
+# =========================================================================
+# TPC-H-style headline queries
+# =========================================================================
+
+@register(
+    "tpch_q1_pricing_summary",
+    f"""
+    WITH t AS (
+      SELECT l_returnflag, l_linestatus,
+             {_SQL_QTY} AS qty, {_SQL_PRICE} AS price,
+             {_SQL_DISC} AS disc, {_SQL_TAX} AS tax
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(qty) AS DECIMAL(18,2))   AS sum_qty,
+           CAST(SUM(price) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(price * ({_SQL_ONE} - disc)) AS DECIMAL(18,4))
+             AS sum_disc_price,
+           CAST(SUM(price * ({_SQL_ONE} - disc) * ({_SQL_ONE} + tax))
+                AS DECIMAL(18,6)) AS sum_charge,
+           round(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6)   AS avg_qty,
+           round(CAST(SUM(price) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           round(CAST(SUM(disc) AS DOUBLE) / COUNT(*), 6)  AS avg_disc,
+           COUNT(*) AS count_order
+    FROM t GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: wide multi-aggregate scan with exact "
+        "decimal money math; single shuffle on a 6-value group key, "
+        "map-side partial agg does nearly all the work at 100 TB",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    disc_price = F.col("price") * (_one() - F.col("disc"))
+    charge = disc_price * (_one() + F.col("tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").cast(AMOUNT).alias("sum_qty"),
+            F.sum("price").cast(AMOUNT).alias("sum_base_price"),
+            F.sum(disc_price).cast(AMOUNT4).alias("sum_disc_price"),
+            F.sum(charge).cast(AMOUNT6).alias("sum_charge"),
+            F.round(F.sum("qty").cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum("price").cast("double") / n, 6).alias("avg_price"),
+            F.round(F.sum("disc").cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_SQL_PRICE} * ({_SQL_ONE} - {_SQL_DISC}))
+                AS DECIMAL(18,4)) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shipping priority: selective 3-way join + agg + "
+        "deterministic top-10 (exact-decimal revenue breaks ties stably); "
+        "customer filter broadcast, lineitem⋈orders shuffle on orderkey",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")
+    )
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date")
+    )
+    revenue = F.col("price") * (_one() - F.col("disc"))
+    return (
+        li.join(
+            o.join(F.broadcast(c), c["c_custkey"] == o["o_custkey"], "inner"),
+            li["l_orderkey"] == o["o_orderkey"],
+            "inner",
+        )
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast(AMOUNT4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT CAST(SUM({_SQL_PRICE} * {_SQL_DISC}) AS DECIMAL(18,4)) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND {_SQL_DISC} BETWEEN CAST(0.05 AS DECIMAL(4,2))
+                          AND CAST(0.07 AS DECIMAL(4,2))
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 forecast revenue: highly selective predicate stack fully "
+        "pushed to the parquet scan, then a single global sum — the "
+        "pushdown-and-prune stress test",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (d >= F.lit("1996-01-01").cast("date"))
+            & (d < F.lit("1997-01-01").cast("date"))
+            & F.col("disc").between(
+                F.lit(0.05).cast(RATE), F.lit(0.07).cast(RATE)
+            )
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(F.col("price") * F.col("disc"))).cast(AMOUNT4).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q5ish_regional_revenue",
+    f"""
+    SELECT n.n_name,
+           CAST(SUM({_SQL_PRICE} * ({_SQL_ONE} - {_SQL_DISC}))
+                AS DECIMAL(18,4)) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-style star join: fact ⋈ filtered date dim ⋈ three "
+        "broadcast dims (supplier→nation→region chain collapses to one "
+        "broadcast stage); one shuffle for lineitem⋈orders, one for the agg",
+)
+def tpch_q5ish_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Collapse the dim chain driver-side of the fact join: supplier⋈nation⋈
+    # region is dim-sized, broadcast the result once.
+    s_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "n_name")
+    )
+    revenue = F.col("price") * (_one() - F.col("disc"))
+    return (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"], "inner")
+        .join(F.broadcast(s_dim), F.col("s_suppkey") == li["l_suppkey"], "inner")
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast(AMOUNT4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# =========================================================================
+# Join variants beyond the reference's inner/left: semi / anti
+# =========================================================================
+
+@register(
+    "semi_join_exists",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+    doc="Left-semi join (EXISTS): emits each qualifying order once "
+        "regardless of match multiplicity — no fan-out, build side is the "
+        "filtered probe keys only",
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(
+        li, li["l_orderkey"] == o["o_orderkey"], "left_semi"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "anti_join_not_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders; "
+        "hash-anti on the key, NULL-safe by construction",
+)
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o["o_custkey"] == c["c_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# =========================================================================
+# Grouping-set family (rollup already registered in harness.py)
+# =========================================================================
+
+@register(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS qty_sum
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all 2^k grouping sets in one pass (Expand + single "
+        "shuffle, not k separate jobs)",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(AMOUNT)).cast(AMOUNT).alias("qty_sum"),
+    )
+
+
+@register(
+    "pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="PIVOT with a pinned value list: one-pass conditional aggregation, "
+        "no per-value jobs; empty cells are 0 not NULL",
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(v), F.lit(0)).cast("long").alias(f"cnt_{v.lower()}")
+            for v in ("F", "O", "P")
+        ],
+    )
+
+
+# =========================================================================
+# Statistical aggregates
+# =========================================================================
+
+@register(
+    "percentile_by_group",
+    """
+    SELECT l_linestatus,
+           round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+           round(min(l_quantity), 6) AS qty_min,
+           round(max(l_quantity), 6) AS qty_max
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Exact percentiles (linear interpolation) per group — Spark "
+        "`percentile` == DuckDB `quantile_cont`; min/max ride along",
+)
+def percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("qty_p90"),
+        F.round(F.min("l_quantity"), 6).alias("qty_min"),
+        F.round(F.max("l_quantity"), 6).alias("qty_max"),
+    )
+
+
+@register(
+    "count_distinct_by_group",
+    """
+    SELECT l_linestatus,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Multi-column exact COUNT(DISTINCT): Catalyst expands to "
+        "partial-distinct aggregates (Expand) in a single job; the "
+        "approx_count_distinct variant is the scale path (rows-only twin)",
+)
+def count_distinct_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "approx_count_distinct",
+    None,  # estimator internals differ across engines — rows-only check
+    doc="HyperLogLog++ approx distinct at 2% rsd: the 100 TB-scale "
+        "replacement for exact COUNT(DISTINCT) (no Expand blow-up, "
+        "mergeable sketches); rows-only because HLL estimates are "
+        "engine-specific",
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# =========================================================================
+# Window extensions: lag-delta, ntile
+# =========================================================================
+
+@register(
+    "window_lag_delta",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS day_total
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT d, day_total,
+           CAST(day_total - lag(day_total) OVER (ORDER BY d)
+                AS DECIMAL(18,2)) AS delta_vs_prev
+    FROM daily
+    """,
+    doc="Day-over-day delta: agg then lag over the date axis; the "
+        "unpartitioned window runs over the already-reduced daily series "
+        "(tiny), never over raw facts",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast(AMOUNT)).cast(AMOUNT).alias("day_total"))
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        "d",
+        "day_total",
+        (F.col("day_total") - F.lag("day_total").over(w))
+        .cast(AMOUNT)
+        .alias("delta_vs_prev"),
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+    doc="NTILE(4) bucketing per group with a unique tie-break key "
+        "(deterministic bucket assignment)",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority", "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+# =========================================================================
+# S3 (SQL/view surface) and S5 (upsert) as pure queries
+# =========================================================================
+
+_VIEW_LAYER_SQL = """
+    SELECT rflag, ship_date, COUNT(*) AS n,
+           CAST(SUM(qty) AS DECIMAL(18,2)) AS qty_sum
+    FROM vw_lineitem_typed
+    WHERE ship_date >= DATE '1999-01-01'
+    GROUP BY rflag, ship_date
+"""
+
+
+@register(
+    "sql_view_layer",
+    f"""
+    WITH vw_lineitem_typed AS (
+      SELECT upper(l_returnflag) AS rflag,
+             CAST(l_shipdate AS DATE) AS ship_date,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      FROM lineitem
+    )
+    {_VIEW_LAYER_SQL}
+    """,
+    doc="S3: typed-view layer + downstream SQL — the reference's "
+        "CREATE VIEW src.vw_trx_* surface (dag_datapelangan.py:68-86) as "
+        "session-catalog temp views consumed by spark.sql; Catalyst "
+        "inlines the view so pushdown crosses the view boundary",
+)
+def sql_view_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select(
+        F.upper("l_returnflag").alias("rflag"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_quantity").cast(AMOUNT).alias("qty"),
+    ).createOrReplaceTempView("vw_lineitem_typed")
+    return spark.sql(_VIEW_LAYER_SQL)
+
+
+@register(
+    "upsert_dim_delta",
+    """
+    WITH delta AS (
+      SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey % 5 = 0
+    )
+    SELECT n_nationkey, n_name, n_regionkey FROM delta
+    UNION ALL
+    SELECT n.n_nationkey, n.n_name, n.n_regionkey FROM nation n
+    WHERE NOT EXISTS (SELECT 1 FROM delta d
+                      WHERE d.n_nationkey = n.n_nationkey)
+    """,
+    doc="S5 upsert on a MERGE-less lake: delta ∪ (base left-anti delta) — "
+        "the incremental path of operators/dims.upsert_dim "
+        "(ref ON CONFLICT DO UPDATE, stage_csv_dims_to_pg.py:125-140)",
+)
+def upsert_dim_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "nation")
+    delta = base.filter(F.col("n_nationkey") % 5 == 0).select(
+        "n_nationkey",
+        F.concat(F.col("n_name"), F.lit("_v2")).alias("n_name"),
+        "n_regionkey",
+    )
+    kept = base.join(delta, "n_nationkey", "left_anti").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return delta.unionByName(kept)
