@@ -500,6 +500,35 @@ def sql_view_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id % 100
+    """,
+    doc="Skew-resistant salted equi-join (operators/joins.salted_join): "
+        "hot keys of the big side spread across 8 salt buckets, small "
+        "side replicated per salt — result identical to the plain join "
+        "(this oracle proves it); covers the case AQE skew-split can't: "
+        "a single key larger than one executor",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators.joins import salted_join
+
+    # user_id % 100 manufactures heavy key collisions (every user maps
+    # into 100 buckets) — the skew shape the salt is for.
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.col("user_id") % 100).alias("join_key")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("join_key"), "c_mktsegment"
+    )
+    return salted_join(e, c, "join_key", num_salts=8, how="inner").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+
+
+@register(
     "upsert_dim_delta",
     """
     WITH delta AS (

@@ -36,3 +36,30 @@ def overwrite_table(df: DataFrame, path: str) -> None:
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str | None = None,
+    sorted_by_key: bool = True,
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its join
+    key. Two tables bucketed on the same key with the same bucket count
+    join with ZERO exchange — at 100 TB that removes the dominant shuffle
+    of every fact⋈fact join on the bucket key (the bucketing replaces the
+    btree join indexes of SURVEY §2.1 S8).
+
+    Bucket count guidance: total_size / buckets ≈ 128-512 MB per bucket
+    file per partition; too few buckets re-creates skew, too many makes
+    small files. Bucketed layout only pays off when ≥2 queries reuse it —
+    one-shot joins should rely on AQE instead.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sorted_by_key:
+        writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -1,0 +1,64 @@
+"""Join strategies for scale: skew salting and co-located (bucketed) joins.
+
+The reference's joins are all dim-sized (SURVEY §2.3) so Postgres never
+faces skew; at 100 TB a handful of hot keys (one viral user_id, one
+default route) can pin a whole stage on one task. Two mitigations, both
+result-identical to a plain join:
+
+* AQE skew-join splitting (``spark.sql.adaptive.skewJoin.enabled``, on by
+  default in session.py) — runtime splitting of oversized partitions;
+  works only for sort-merge joins.
+* Explicit salting (this module) — deterministic n-way replication that
+  also covers aggregations and older planners, and keeps working when one
+  key alone exceeds a single executor's memory.
+
+Bucketed co-located joins live in io.py (write side) and are verified
+shuffle-free in tests/test_scale_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: split each hot key of ``big`` across
+    ``num_salts`` sub-partitions and replicate ``small`` once per salt.
+
+    The salt on the big side is derived deterministically from the whole
+    row's shuffle hash (monotonically_increasing_id would break retries),
+    so the result is reproducible and exactly equals ``big.join(small,
+    key, how)`` — verified by the ``skew_salted_join`` oracle query.
+
+    Cost model: the small side is materialized ``num_salts`` times
+    (explode before shuffle), so keep ``num_salts`` modest (8–32) and the
+    small side genuinely small; for dim-sized smalls prefer broadcast,
+    for balanced keys prefer a plain shuffle join. This is the middle
+    path: a medium-sized build side plus a few pathological keys.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (small side is replicated)")
+    # Salting by hash(key) alone would put every copy of a hot key in the
+    # same bucket — the salt must vary *within* a key. spark_partition_id
+    # varies by input split, which is what actually spreads a hot key that
+    # spans many input partitions.
+    salt: Column = (F.spark_partition_id() % num_salts).cast("int")
+    big_salted = big.withColumn("_salt", salt)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("_salt")
+    small_salted = small.select("*", salts)
+    out = big_salted.join(small_salted, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def colocated_join_keys(df: DataFrame, key: str, partitions: int) -> DataFrame:
+    """Pre-shuffle a fact onto its join key so several downstream joins /
+    aggs on the same key reuse one exchange (the reference's CTE-chain
+    pattern, SURVEY §2.10, re-expressed as an explicit co-partitioning)."""
+    return df.repartition(partitions, F.col(key))

@@ -1,0 +1,105 @@
+"""Physical-plan assertions: the properties that make the engine hold up
+at 100 TB are checked here as plan invariants, not vibes.
+
+* filter/projection pushdown reaches the parquet scan;
+* dim joins broadcast (no shuffle of the fact for dim lookups);
+* bucketed tables join with zero Exchange;
+* salted join is result-identical to the plain join;
+* global top-k plans as TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark import harness
+from etl_tj_project_spark import io as tj_io
+from etl_tj_project_spark.operators.joins import salted_join
+from etl_tj_project_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = harness.REGISTRY["tpch_q6_forecast_revenue"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    # Catalyst must unwrap CAST(l_shipdate AS DATE) >= d into a pushable
+    # timestamp range predicate on the raw column.
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = harness.REGISTRY["p1_typed_projection"].spark(spark, SF_SMOKE)
+    read_schema = _plan(df).split("ReadSchema:")[1].splitlines()[0]
+    # 5 projected source columns of lineitem's 11 — pruned scan.
+    assert "l_extendedprice" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("j1_inner_join_fanout", "tpch_q5ish_regional_revenue"):
+        plan = _plan(harness.REGISTRY[name].spark(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = _plan(harness.REGISTRY["sort_limit_topk"].spark(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", (F.col("user_id") % 50).alias("k")
+    )
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    salted = salted_join(e, c, "k", num_salts=4, how="inner")
+    plain = e.join(c, "k", "inner")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", (F.col("user_id") % 50 + 100000).alias("k")
+    )
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    salted = salted_join(e, c, "k", num_salts=4, how="left")
+    plain = e.join(c, "k", "left")
+    assert salted.count() == plain.count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    tj_io.write_bucketed(
+        orders, "b_orders", "o_custkey", 4, path=str(tmp_path / "b_orders")
+    )
+    tj_io.write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        "o_custkey",
+        4,
+        path=str(tmp_path / "b_customer"),
+    )
+    try:
+        bo = spark.table("b_orders")
+        bc = spark.table("b_customer")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bo.join(bc, "o_custkey", "inner")
+            plan = _plan(joined)
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

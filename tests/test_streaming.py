@@ -1,0 +1,80 @@
+"""Real Structured Streaming executions (not just batch twins): file
+source → availableNow trigger → memory sink, compared row-for-row against
+the equivalent batch aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.sources.testdata import load_table
+from etl_tj_project_spark.streaming.daily_stream import (
+    windowed_event_agg,
+    windowed_event_agg_stream,
+)
+from etl_tj_project_spark.streaming.stateful import user_running_totals
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events subset re-written with micro-precision timestamps (the raw
+    testdata is TIMESTAMP(NANOS), which a streaming schema can't declare)."""
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, SF_SMOKE, "events").coalesce(1).write.parquet(out)
+    return out
+
+
+def _run_to_memory(stream_df, name: str, mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    return q
+
+
+def test_windowed_stream_matches_batch(spark, events_dir):
+    stream = windowed_event_agg_stream(spark, events_dir, window="1 day")
+    _run_to_memory(stream, "win_agg", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.event_count, r.value_sum)
+        for r in spark.table("win_agg").collect()
+    }
+    batch = windowed_event_agg(spark.read.parquet(events_dir), "1 day")
+    want = {
+        (r.window_start, r.event_type): (r.event_count, r.value_sum)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stateful_totals_match_batch_groupby(spark, events_dir):
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(events_dir).schema)
+        .load(events_dir)
+    )
+    _run_to_memory(user_running_totals(stream), "user_totals", "update")
+    # availableNow over a static source may split the input into several
+    # micro-batches; in update mode the LAST row per user is the final
+    # running total.
+    got_df = spark.table("user_totals")
+    got = {r.user_id: (r.n_events, round(r.value_total, 6)) for r in got_df.collect()}
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
