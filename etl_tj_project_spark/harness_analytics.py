@@ -556,3 +556,128 @@ def upsert_dim_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     return delta.unionByName(kept)
+
+
+# =========================================================================
+# Reshaping / temporal patterns: unpivot, SCD2, range join, session window
+# =========================================================================
+
+@register(
+    "unpivot_melt",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS val
+    FROM part
+    """,
+    doc="UNPIVOT/melt: wide metrics → long (metric, value) rows; Spark "
+        "plans it as Expand (one pass, no join), not k self-unions",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "scd2_validity_ranges",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+             AS valid_to_us
+    FROM events WHERE event_type = 'signup'
+    """,
+    doc="SCD2 emulation on a MERGE-less lake: each change event gets a "
+        "[valid_from, valid_to) range via lead() — the guide's "
+        "anti-join+window CDC pattern, expressed as one window pass",
+)
+def scd2_validity_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("us").alias("valid_from_us"),
+            F.lead("us").over(w).alias("valid_to_us"),
+        )
+    )
+
+
+@register(
+    "range_band_join",
+    """
+    SELECT o.o_orderkey, b.band
+    FROM orders o
+    JOIN (VALUES ('b0', 0, 100000), ('b1', 100000, 200000),
+                 ('b2', 200000, 300000), ('b3', 300000, 1000000))
+         AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    """,
+    doc="Range (theta) join against a band table: broadcast-nested-loop "
+        "on a 4-row build side — the right plan when the non-equi side is "
+        "tiny; for big-big range joins, bucketize the range key to an "
+        "equi-join first (guide §OLAP patterns)",
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("b0", 0, 100000), ("b1", 100000, 200000),
+         ("b2", 200000, 300000), ("b3", 300000, 1000000)],
+        "band string, lo long, hi long",
+    )
+    return o.join(
+        F.broadcast(bands),
+        (o["o_totalprice"] >= bands["lo"]) & (o["o_totalprice"] < bands["hi"]),
+        "inner",
+    ).select("o_orderkey", "band")
+
+
+@register(
+    "session_window_agg",
+    """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts))
+                  >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t
+    )
+    SELECT user_id, min(us) AS sess_start_us, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Native session_window (30-min gap) aggregation — Spark's "
+        "built-in merging session windows; the oracle twin is the "
+        "lag+cumsum formulation, proving both sessionizations agree "
+        "(new session iff gap >= 30 min, matching [start, last+gap))",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("sess_start_us"),
+            "n_events",
+        )
+    )
