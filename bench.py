@@ -3,9 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a count() action (no driver-side collect of
-payload rows). A warmup pass on the smallest SF JIT-compiles codegen paths
-so the measured pass reflects steady-state execution.
+Each query is forced with a noop-sink write: unlike count(), which lets
+Catalyst prune every non-key column and skip the projection work, the noop
+sink executes the COMPLETE physical plan and discards rows executor-side
+(no driver collect). A warmup pass on the smallest SF JIT-compiles codegen
+paths so the measured pass reflects steady-state execution.
 """
 
 from __future__ import annotations
@@ -43,20 +45,23 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("etl_tj_bench")
 
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     names = [n for n in HEADLINE if n in harness.REGISTRY]
     # Warmup: run the set once at the smoke SF to JIT/codegen-compile.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for n in names:
             try:
-                harness.REGISTRY[n].spark(spark, warm_dir).count()
+                force(harness.REGISTRY[n].spark(spark, warm_dir))
             except Exception:
                 pass
 
     timings: dict[str, float] = {}
     for n in names:
         t0 = time.perf_counter()
-        harness.REGISTRY[n].spark(spark, sf_dir).count()
+        force(harness.REGISTRY[n].spark(spark, sf_dir))
         timings[n] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
