@@ -681,3 +681,64 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# =========================================================================
+# Similarity search: IVF variant (completes brute-force / LSH / IVF trio)
+# =========================================================================
+
+_IVF_COS = (
+    "CASE WHEN sqrt({na}) * sqrt({nb}) > 0 "
+    "THEN {dot} / (sqrt({na}) * sqrt({nb})) END"
+)
+
+
+def _ivf_cos_sql(a: str, b: str) -> str:
+    from etl_tj_project_spark.operators.similarity import _dot_sql
+
+    return _IVF_COS.format(
+        na=_dot_sql(a, a), nb=_dot_sql(b, b), dot=_dot_sql(a, b)
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS cell, embedding AS cvec
+               FROM embeddings WHERE vec_id < 8),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qprobe AS (
+      SELECT c.cell FROM c, q
+      ORDER BY {_ivf_cos_sql('q.qv', 'c.cvec')} DESC, c.cell DESC
+      LIMIT 2
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cell FROM c
+              ORDER BY {_ivf_cos_sql('e.embedding', 'c.cvec')} DESC,
+                       c.cell DESC
+              LIMIT 1) AS cell
+      FROM embeddings e
+    )
+    SELECT vec_id, round(cosine, 9) AS cosine FROM (
+      SELECT a.vec_id,
+             {_ivf_cos_sql('a.embedding', 'q.qv')} AS cosine
+      FROM assigned a, q
+      WHERE a.cell IN (SELECT cell FROM qprobe)
+      ORDER BY cosine DESC, a.vec_id
+      LIMIT 10
+    ) t
+    """,
+    doc="IVF-Flat ANN: vectors assigned to nearest-of-8 centroid cells "
+        "(deterministic centroids = first 8 vectors; trained k-means "
+        "would swap in without changing the plan), query probes its 2 "
+        "nearest cells, exact cosine ranking inside — at scale the cell "
+        "is a partition column so a probe reads 2/8 of the data",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    top = sim.ivf_topk(e, q, k=10, n_cells=8, n_probe=2)
+    return top.select("vec_id", F.round("cosine", 9).alias("cosine"))

@@ -170,3 +170,85 @@ def lsh_topk_sql(
     WHERE {bcol} = {qb}
     ORDER BY cosine DESC, {id_col} LIMIT {k}
     """
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------------
+
+def _cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax_i cosine(vec, centroid_i) as a pure column expression.
+
+    Built as array< struct(cosine, cell) > → array_max: struct ordering
+    compares cosine first, then cell id — deterministic tie-break, no
+    join, no shuffle.
+    """
+    scored = [
+        F.struct(
+            cosine_similarity(vec, _plane_col(c)).alias("c"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_max(F.array(*scored)).getField("cell")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: every vector is assigned to its
+    nearest of ``n_cells`` centroid cells; the query probes its
+    ``n_probe`` nearest cells and ranks exactly (cosine) inside them.
+
+    Centroids are the first ``n_cells`` vectors by id — a deterministic
+    stand-in for trained k-means centroids that keeps the operator a pure
+    column expression (oracle-checkable); swapping in trained centroids
+    changes recall, not the plan. The centroid collect is ``n_cells``
+    rows — constant-size driver traffic at any data scale. At 100 TB the
+    cell id becomes a partition column: probing ``n_probe`` cells reads
+    ``n_probe/n_cells`` of the data, and inside a cell the scan is the
+    brute-force path (no shuffle, TakeOrderedAndProject).
+    """
+    cents = [
+        [float(x) for x in r[1]]
+        for r in sorted(
+            df.filter(F.col(id_col) < n_cells)
+            .select(id_col, vec_col)
+            .collect(),
+            key=lambda r: r[0],
+        )
+    ]
+    cell = _cell_expr(F.col(vec_col), cents)
+    bucketed = df.select(F.col(id_col), F.col(vec_col), cell.alias("__cell"))
+    # Query side: rank ALL cells by cosine, keep the top n_probe.
+    probe_scores = [
+        F.struct(
+            cosine_similarity(F.col(qvec_col), _plane_col(c)).alias("c"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    probes = F.slice(
+        F.reverse(F.array_sort(F.array(*probe_scores))), 1, n_probe
+    )
+    q = F.broadcast(
+        query_vec.select(
+            F.col(qvec_col).alias("__qv"),
+            F.transform(probes, lambda s: s.getField("cell")).alias("__probe"),
+        )
+    )
+    return (
+        bucketed.crossJoin(q)
+        .filter(F.array_contains(F.col("__probe"), F.col("__cell")))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
