@@ -742,3 +742,101 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0)
     top = sim.ivf_topk(e, q, k=10, n_cells=8, n_probe=2)
     return top.select("vec_id", F.round("cosine", 9).alias("cosine"))
+
+
+# =========================================================================
+# JSON columns, grouping sets, statistical aggregates
+# =========================================================================
+
+@register(
+    "json_extract_typed",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+    doc="Typed JSON field extraction: from_json with an explicit schema "
+        "(not schema inference) so the parse is a single vectorized "
+        "expression and the struct field prunes like a column",
+)
+def json_extract_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select("event_id", parsed.getField("k").alias("k_val"))
+
+
+@register(
+    "json_agg_by_field",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Aggregate over a JSON-extracted field — parse happens map-side "
+        "inside codegen, only (event_type, k) reach the shuffle",
+)
+def json_agg_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("k_sum"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_rflag,
+           grouping(l_linestatus) AS g_lstatus,
+           COUNT(*) AS n
+    FROM {table}
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register(
+    "grouping_sets_agg",
+    _GROUPING_SETS_SQL.format(table="lineitem"),
+    doc="Explicit GROUPING SETS with grouping() markers — same shared SQL "
+        "text runs on Spark SQL and DuckDB; planned as one Expand + one "
+        "shuffle like rollup/cube",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    df = spark.sql(_GROUPING_SETS_SQL.format(table="li_gs"))
+    # Spark's grouping() returns tinyint; align to DuckDB's BIGINT.
+    return df.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("g_rflag").cast("long").alias("g_rflag"),
+        F.col("g_lstatus").cast("long").alias("g_lstatus"),
+        "n",
+    )
+
+
+@register(
+    "stats_agg_by_group",
+    """
+    SELECT l_linestatus,
+           round(stddev_samp(l_quantity), 4)                   AS qty_sd,
+           round(var_samp(l_quantity), 4)                      AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 6)         AS qty_price_corr,
+           round(regr_slope(l_extendedprice, l_quantity), 4)   AS price_per_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Statistical aggregates (stddev/variance/corr/regression slope): "
+        "single-pass mergeable moment sketches — constant memory per "
+        "group at any scale",
+)
+def stats_agg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_sd"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "price_per_qty"
+        ),
+    )
