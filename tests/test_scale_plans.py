@@ -103,3 +103,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partition_pruning_on_partitioned_lake(spark, tmp_path):
+    """Day-partitioned warehouse + single-day filter → the scan lists only
+    the matching partition directory (the physical layer of P3)."""
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+
+    some_day = ev.select(F.min("event_date")).first()[0]
+    one_day = spark.read.parquet(out).filter(
+        F.col("event_date") == F.lit(str(some_day)).cast("date")
+    )
+    plan = _plan(one_day)
+    # The date predicate must be a partition-level filter (directory
+    # listing), not a data filter evaluated per row group.
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_date" in pf
+    # And the pruned scan returns exactly that day's rows.
+    n_day = ev.filter(F.col("event_date") == F.lit(str(some_day)).cast("date")).count()
+    assert one_day.count() == n_day > 0

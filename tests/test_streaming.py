@@ -78,3 +78,34 @@ def test_stateful_totals_match_batch_groupby(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_foreachbatch_sink_is_idempotent_partitioned(spark, events_dir, tmp_path):
+    from etl_tj_project_spark.streaming.daily_stream import write_daily_stream
+
+    out = str(tmp_path / "agg")
+
+    def run_once(cp: str):
+        q = write_daily_stream(
+            windowed_event_agg_stream(spark, events_dir, window="1 day"),
+            out,
+            checkpoint=str(tmp_path / cp),
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once("cp1")
+    # Fresh checkpoint = full replay; dynamic partition overwrite must
+    # leave the same final state, not duplicates.
+    run_once("cp2")
+
+    got = spark.read.parquet(out).select(
+        "tanggal", "event_type", "event_count", "value_sum"
+    )
+    want = windowed_event_agg(spark.read.parquet(events_dir), "1 day").select(
+        F.col("window_start").cast("date").alias("tanggal"),
+        "event_type",
+        "event_count",
+        "value_sum",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
