@@ -32,6 +32,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # spark.sql.files.maxPartitionBytes stays at the 128 MB default: an
+    # interleaved A/B at sf0.1 showed no wall-clock difference vs 4 MB
+    # splits (the 11 MB fact files are page-cached and AQE coalesces),
+    # and 128-256 MB is the right value on a real cluster — one split
+    # per parquet row group.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Cap in-flight bytes per task when Python (Pandas-UDF) stages run.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
