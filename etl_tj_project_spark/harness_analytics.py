@@ -840,3 +840,85 @@ def stats_agg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_per_qty"
         ),
     )
+
+
+# =========================================================================
+# Array aggregation and dataset profiling
+# =========================================================================
+
+@register(
+    "array_agg_sorted",
+    """
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+             AS statuses_csv
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="collect_set/array_agg made deterministic: collection order is "
+        "partition-dependent, so any collected array MUST be array_sort'd "
+        "before it is comparable or joinable; listagg = sorted concat_ws",
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    arr = F.array_sort(F.collect_set("o_orderstatus"))
+    return o.groupBy("o_orderpriority").agg(
+        arr.alias("statuses"),
+        F.array_join(arr, ",").alias("statuses_csv"),
+    )
+
+
+@register(
+    "profile_columns",
+    """
+    SELECT 'l_quantity' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           round(min(l_quantity), 6) AS min_val,
+           round(max(l_quantity), 6) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           round(min(l_discount), 6), round(max(l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+           COUNT(DISTINCT l_tax),
+           round(min(l_tax), 6), round(max(l_tax), 6)
+    FROM lineitem
+    """,
+    doc="Column profiler (null count, distinct, min/max per column) — the "
+        "dataset-stats pass a training pipeline runs before ingestion; "
+        "one scan computes all columns' stats (Spark aggregates them "
+        "side by side; the UNION ALL in the oracle is only the output "
+        "shape), exact distincts here, HLL at 100 TB",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    # One aggregation computes every column's stats, then unpivot to the
+    # (col, stats...) shape — a single scan regardless of column count.
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(c).alias(f"{c}__n_distinct"),
+            F.round(F.min(c), 6).alias(f"{c}__min_val"),
+            F.round(F.max(c), 6).alias(f"{c}__max_val"),
+        ]
+    wide = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_val").alias("min_val"),
+            F.col(f"{c}__max_val").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
