@@ -922,3 +922,34 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@register(
+    "argmin_join_back",
+    """
+    WITH m AS (
+      SELECT o_orderpriority, min(o_totalprice) AS min_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice
+    FROM orders o
+    JOIN m ON m.o_orderpriority = o.o_orderpriority
+          AND o.o_totalprice = m.min_price
+    """,
+    doc="Argmin via aggregate + join-back: the cheapest-row-per-group "
+        "pattern without a window sort — the agg result is group-count "
+        "sized, so the join-back side broadcasts; ties all kept "
+        "(deterministic set, unlike row_number which picks one)",
+)
+def argmin_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # The aggregate derives from the same plan as the probe side — alias
+    # its columns so the self-join keys are unambiguous.
+    m = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.min("o_totalprice").alias("min_price")
+    )
+    return o.join(
+        F.broadcast(m),
+        (o["o_orderpriority"] == m["prio"]) & (o["o_totalprice"] == m["min_price"]),
+        "inner",
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice")

@@ -63,3 +63,27 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "tanggal",
+) -> None:
+    """Small-files compaction for a partitioned table: rewrite every
+    day-partition as one file (streaming micro-batches and repeated
+    backfills accrete small files; at 100 TB the resulting driver-side
+    file listing and per-file open cost dominate scan time long before
+    data volume does).
+
+    `repartition(partition_col)` hash-clusters each partition's rows into
+    a single task → one output file per partition dir; dynamic partition
+    overwrite swaps partitions in place. Run as periodic maintenance, not
+    per-write. For multi-GB partitions switch to
+    ``repartition(n, partition_col, F.spark_partition_id())``-style
+    salting to target ~256 MB files instead of exactly one.
+    """
+    df = spark.read.parquet(path)
+    df.repartition(partition_col).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(path)

@@ -126,3 +126,22 @@ def test_partition_pruning_on_partitioned_lake(spark, tmp_path):
     # And the pruned scan returns exactly that day's rows.
     n_day = ev.filter(F.col("event_date") == F.lit(str(some_day)).cast("date")).count()
     assert one_day.count() == n_day > 0
+
+
+def test_compact_partitions_one_file_per_day(spark, tmp_path):
+    out = str(tmp_path / "frag")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    # Fragment: many small files per partition (a streaming sink's wake).
+    ev.repartition(8).write.partitionBy("event_date").parquet(out)
+    before = spark.read.parquet(out)
+    n_before = before.count()
+    frag_files = len(before.inputFiles())
+
+    tj_io.compact_partitions(spark, out, partition_col="event_date")
+
+    after = spark.read.parquet(out)
+    n_days = after.select("event_date").distinct().count()
+    assert after.count() == n_before
+    assert len(after.inputFiles()) == n_days < frag_files
