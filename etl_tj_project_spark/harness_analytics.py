@@ -953,3 +953,42 @@ def argmin_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
         (o["o_orderpriority"] == m["prio"]) & (o["o_totalprice"] == m["min_price"]),
         "inner",
     ).select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+# =========================================================================
+# Set operations beyond the reference's UNION ALL: INTERSECT / EXCEPT
+# =========================================================================
+
+@register(
+    "intersect_distinct",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="INTERSECT (distinct): customers with both a finished and an open "
+        "order — planned as a left-semi join over pre-distinct inputs, "
+        "one shuffle per side on the compared columns",
+)
+def intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@register(
+    "except_distinct",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="EXCEPT (distinct): left-anti join over pre-distinct inputs — "
+        "same shuffle shape as INTERSECT",
+)
+def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(op)
