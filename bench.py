@@ -37,6 +37,15 @@ HEADLINE = [
     "w2_running_sum",
     "sort_limit_topk",
     "rollup_agg",
+    # Training-data-pipeline ops — the engine's extension surface belongs
+    # in the headline number, not just correctness checks.
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_brute_force_topk",
+    "sessionize",
+    "json_agg_by_field",
+    "stream_window_agg",
 ]
 
 

@@ -17,8 +17,11 @@ fingerprint / band-hash, whose cardinality is ~#docs, not #shingles. The
 band join is self-equi-join on (band, hash) — AQE handles skewed buckets
 (e.g. boilerplate-heavy corpora) by splitting them.
 
-MinHash here is the md5-string variant: minhash_i(doc) = lexicographic
-min over shingles of md5(shingle || ':' || i). Using md5 keeps the
+MinHash here is the md5-slice variant: one md5 per (shingle, salt
+group) yields FOUR independent 32-bit hash values (the 128-bit digest
+sliced into 8-hex-char chunks), so 8 minhashes cost 2 md5s per shingle,
+not 8. minhash_i(doc) = lexicographic min over shingles of
+substr(md5(shingle || ':' || i//4), 8*(i%4)+1, 8). md5 keeps the
 signature engine-portable (the DuckDB oracle reproduces it exactly),
 deterministic across runs/partitions, and seed-free.
 """
@@ -71,16 +74,69 @@ def _salted_md5(salt: str):
     return lambda s: F.md5(F.concat(s, F.lit(salt)))
 
 
-def minhash_signature(
-    text_col: Column | str, num_hashes: int = 8, shingle_k: int = 8
-) -> list[Column]:
-    """k md5-minhash columns over character shingles (one projection,
-    no explode)."""
-    sh = char_shingles(text_col, k=shingle_k)
-    return [
-        F.array_min(F.transform(sh, _salted_md5(f":{i}"))).alias(f"mh{i}")
-        for i in range(num_hashes)
+SLICES_PER_MD5 = 4  # 128-bit digest → four 32-bit (8-hex-char) hashes
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread expression-heavy per-row work across all cores.
+
+    A small parquet file scans as ONE input split, which would run the
+    whole signature stage on one task (measured: 32× slower at sf0.1).
+    At lake scale inputs already have thousands of splits and this is a
+    no-op — the repartition only fires when the input is under-split.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _md5_slice_mins(
+    sh: Column, num_hashes: int, prefix: str = "mh"
+) -> tuple[list[Column], list[list[Column]]]:
+    """(md5-array columns, per-hash min columns) for the slice scheme.
+
+    Returned as two projection layers: the md5 arrays MUST be separate
+    named columns so each digest is computed once and sliced four ways
+    (CollapseProject keeps non-cheap expressions un-inlined).
+    """
+    groups = (num_hashes + SLICES_PER_MD5 - 1) // SLICES_PER_MD5
+    md5_cols = [
+        F.transform(sh, _salted_md5(f":{g}")).alias(f"__md5_{g}")
+        for g in range(groups)
     ]
+    def _slicer(offset: int):
+        # Single-parameter lambda via factory: a second default arg would
+        # flip F.transform into (element, index) arity (see _salted_md5).
+        return lambda h: F.substring(h, offset, 8)
+
+    mins = []
+    for i in range(num_hashes):
+        g, sl = i // SLICES_PER_MD5, i % SLICES_PER_MD5
+        mins.append(
+            F.array_min(
+                F.transform(F.col(f"__md5_{g}"), _slicer(sl * 8 + 1))
+            ).alias(f"{prefix}{i}")
+        )
+    return md5_cols, mins
+
+
+def minhash_signature_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """(id, mh0..mhk-1) minhash signatures: 2 md5s per shingle for 8
+    hashes (slice scheme), fully parallel, no explode."""
+    sh = char_shingles(text_col, k=shingle_k)
+    md5_cols, mins = _md5_slice_mins(sh, num_hashes)
+    return (
+        _ensure_parallelism(df)
+        .select(F.col(id_col), *md5_cols)
+        .select(F.col(id_col), *mins)
+    )
 
 
 def minhash_bands(
@@ -96,7 +152,7 @@ def minhash_bands(
     concat: empty docs produce NULL hashes, which never bucket-join)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = df.select(F.col(id_col), *minhash_signature(text_col, num_hashes, shingle_k))
+    sig = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_k)
     band_cols = []
     for b in range(bands):
         parts: list[Column] = []
@@ -154,8 +210,14 @@ def minhash_bands_sql(
         f"list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1), "
         f"i -> substr(t, i, {k}))"
     )
+    groups = (num_hashes + 3) // 4
+    md5_cols = ", ".join(
+        f"list_transform(sh, x -> md5(x || ':{g}')) AS md5_{g}"
+        for g in range(groups)
+    )
     mh_cols = ", ".join(
-        f"list_min(list_transform(sh, x -> md5(x || ':{i}'))) AS mh{i}"
+        f"list_min(list_transform(md5_{i // 4}, h -> substr(h, {(i % 4) * 8 + 1}, 8)))"
+        f" AS mh{i}"
         for i in range(num_hashes)
     )
     band_selects = []
@@ -167,7 +229,8 @@ def minhash_bands_sql(
     return (
         f"WITH s AS (SELECT {id_col}, {sh} AS sh FROM "
         f"(SELECT {id_col}, {norm} AS t FROM {table})), "
-        f"sig AS (SELECT {id_col}, {mh_cols} FROM s) "
+        f"m AS (SELECT {id_col}, {md5_cols} FROM s), "
+        f"sig AS (SELECT {id_col}, {mh_cols} FROM m) "
         + " UNION ALL ".join(band_selects)
     )
 
@@ -185,14 +248,16 @@ def simhash(text_col: Column | str, bits: int = 16) -> Column:
     single projection per row. bits ≤ 32 (md5 yields 32 hex digits).
     """
     assert 1 <= bits <= 32
-    toks = tokens(text_col)
+    # One md5 per token, then every bit reads its own hex digit of the
+    # cached digest array — NOT one md5 per (token, bit).
+    digests = F.transform(tokens(text_col), lambda t: F.md5(t))
 
     def _bit_vote(hexpos: int):
         # Two-parameter merge lambda only — a third default arg would
         # change the arity F.aggregate infers.
-        def merge(acc: Column, t: Column) -> Column:
+        def merge(acc: Column, h: Column) -> Column:
             return acc + F.when(
-                F.substring(F.md5(t), hexpos, 1).isin(
+                F.substring(h, hexpos, 1).isin(
                     "8", "9", "a", "b", "c", "d", "e", "f"
                 ),
                 F.lit(1),
@@ -202,7 +267,7 @@ def simhash(text_col: Column | str, bits: int = 16) -> Column:
 
     fp = F.lit(0).cast("long")
     for j in range(bits):
-        vote = F.aggregate(toks, F.lit(0), _bit_vote(j + 1))
+        vote = F.aggregate(digests, F.lit(0), _bit_vote(j + 1))
         fp = fp + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
     return fp
 
