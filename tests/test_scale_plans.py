@@ -145,3 +145,34 @@ def test_compact_partitions_one_file_per_day(spark, tmp_path):
     n_days = after.select("event_date").distinct().count()
     assert after.count() == n_before
     assert len(after.inputFiles()) == n_days < frag_files
+
+
+def test_jdbc_reader_gated_without_driver(spark):
+    """S2 federation builder: constructing the lazy JDBC read must not
+    require a driver jar; resolving it without one fails with Spark's
+    clear driver error, not an opaque crash."""
+    import pytest as _pytest
+
+    from etl_tj_project_spark.sources.jdbc import read_jdbc_pushdown
+
+    with _pytest.raises(Exception) as ei:
+        # Schema resolution contacts the driver — the earliest failure
+        # point; the builder itself must not raise.
+        read_jdbc_pushdown(
+            spark, "jdbc:postgresql://nohost:5432/db", "src.table"
+        ).schema
+    assert "driver" in str(ei.value).lower() or "ClassNotFound" in str(ei.value)
+
+
+def test_jdbc_reader_validates_partition_bounds(spark):
+    import pytest as _pytest
+
+    from etl_tj_project_spark.sources.jdbc import read_jdbc_pushdown
+
+    with _pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc_pushdown(
+            spark,
+            "jdbc:postgresql://nohost:5432/db",
+            "src.table",
+            partition_column="id",
+        )
