@@ -56,3 +56,23 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    watermark_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming deduplication: drop repeated ``id_cols`` rows arriving
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming twin of the exact-dedup operator: state holds
+    one entry per key only until the watermark passes it, so state size
+    is bounded by the duplicate-arrival window, not by stream history —
+    the property that makes exactly-once ingest dedup viable at 10^12
+    events (an unbounded dropDuplicates would OOM the state store).
+    """
+    return events.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )

@@ -109,3 +109,24 @@ def test_foreachbatch_sink_is_idempotent_partitioned(spark, events_dir, tmp_path
         "value_sum",
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
+    from etl_tj_project_spark.streaming.stateful import dedup_stream
+
+    # Duplicate the whole feed: every event_id appears twice.
+    dup_dir = str(tmp_path / "dup")
+    ev = spark.read.parquet(events_dir)
+    ev.unionByName(ev).coalesce(1).write.parquet(dup_dir)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ev.schema)
+        .load(dup_dir)
+    )
+    _run_to_memory(dedup_stream(stream), "dedup_out", "append")
+    assert spark.table("dedup_out").count() == ev.count()
+    assert (
+        spark.table("dedup_out").groupBy("event_id").count().filter("count > 1").count()
+        == 0
+    )
