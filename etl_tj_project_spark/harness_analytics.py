@@ -992,3 +992,39 @@ def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.subtract(op)
+
+
+@register(
+    "tpch_q14_promo_share",
+    f"""
+    SELECT round(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN {_SQL_PRICE} * ({_SQL_ONE} - {_SQL_DISC}) END)
+                      AS DOUBLE)
+                   / CAST(SUM({_SQL_PRICE} * ({_SQL_ONE} - {_SQL_DISC}))
+                      AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1996-10-01'
+    """,
+    doc="TPC-H Q14 promo share: conditional-aggregate ratio over a "
+        "broadcast dim join — both sums come out of one pass; the "
+        "division runs on two exact decimal totals (deterministic), "
+        "rounded in double",
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    d = F.col("l_shipdate").cast("date")
+    revenue = F.col("price") * (_one() - F.col("disc"))
+    joined = li.filter(
+        (d >= F.lit("1996-09-01").cast("date"))
+        & (d < F.lit("1996-10-01").cast("date"))
+    ).join(F.broadcast(p), p["p_partkey"] == li["l_partkey"], "inner")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", revenue))
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * promo.cast("double") / F.sum(revenue).cast("double"), 6
+        ).alias("promo_revenue_pct")
+    )
