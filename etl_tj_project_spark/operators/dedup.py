@@ -344,3 +344,65 @@ def embedding_near_dup_pairs(
         cos.alias("cosine"),
         (cos >= threshold).alias("is_near_dup"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end near-dedup: LSH candidates → Jaccard verify → greedy drop
+# --------------------------------------------------------------------------
+
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+) -> DataFrame:
+    """Score candidate ``(doc_a, doc_b)`` pairs with word-n-gram Jaccard.
+
+    The shingle sets join onto the pair list (two hash joins on the id),
+    so the quadratic work is bounded by |candidates|, never |docs|^2.
+    """
+    sh = F.array_distinct(word_shingles(text_col, k=ngram))
+    base = df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
+    a = base.select(F.col("__id").alias("doc_a"), F.col("__sh").alias("sh_a"))
+    b = base.select(F.col("__id").alias("doc_b"), F.col("__sh").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "doc_a", "doc_b", F.when(union > 0, inter / union).alias("jaccard")
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """The full near-dedup pipeline: MinHash-LSH candidate generation →
+    exact Jaccard verification → greedy keep-lowest-id.
+
+    Greedy rule: any doc verified ≥ ``threshold``-similar to a LOWER-id
+    doc is dropped (the corpus-dedup standard — full transitive
+    clustering needs iterative connected components, which buys little
+    for near-exact thresholds). Cost at scale: one signature projection,
+    one band-bucket self-join (|candidates| pairs), two id-hash joins for
+    verification, one anti-join — no all-pairs stage anywhere.
+    """
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    scored = jaccard_for_pairs(df, cands, id_col, text_col, ngram)
+    # lsh_candidate_pairs emits doc_a < doc_b, so doc_b is always the
+    # higher id — the one the greedy rule drops.
+    drop_ids = (
+        scored.filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drop_ids, on=id_col, how="left_anti")

@@ -176,3 +176,26 @@ def test_jdbc_reader_validates_partition_bounds(spark):
             "src.table",
             partition_column="id",
         )
+
+
+def test_drop_near_duplicates_end_to_end(spark):
+    """LSH → Jaccard → greedy drop on a corpus with planted near-dups."""
+    from etl_tj_project_spark.operators.dedup import drop_near_duplicates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays a slow tune in the warm evening light near the river"
+    )
+    near = base.replace("slow tune", "quiet tune")  # one-word paraphrase
+    rows = [
+        (0, base),
+        (1, base),            # exact dup of 0 → dropped
+        (2, near),            # near dup of 0 → dropped
+        (3, "completely different text about spark query engines and "
+            "distributed shuffles at terabyte scale with many operators"),
+        (4, "yet another unrelated document mentioning minhash lsh "
+            "signatures bands buckets and jaccard verification steps"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = drop_near_duplicates(df, "doc_id", "text", threshold=0.5)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 3, 4]
