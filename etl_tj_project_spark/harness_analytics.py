@@ -1028,3 +1028,56 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * promo.cast("double") / F.sum(revenue).cast("double"), 6
         ).alias("promo_revenue_pct")
     )
+
+
+# =========================================================================
+# Embedding-table operators: centroids, scalar quantization
+# =========================================================================
+
+@register(
+    "embedding_centroids_long",
+    """
+    WITH x AS (
+      SELECT label, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    )
+    SELECT label, i AS pos,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+    FROM x GROUP BY label, i
+    """,
+    doc="Per-label embedding centroids in long form (label, dim, mean): "
+        "posexplode + one partial-aggregated shuffle on (label, dim) — "
+        "the centroid-training step an IVF index build runs; long form "
+        "avoids both engines' list-reassembly nondeterminism",
+)
+def embedding_centroids_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"))
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER))
+             AS q8
+    FROM embeddings
+    """,
+    doc="Scalar int8 quantization of unit-range embeddings (floor(x*127 "
+        "+ .5) — floor, not round, for identical tie behavior on both "
+        "engines): 4x storage/shuffle reduction for the 100 TB embedding "
+        "table; dequantize is q/127.0",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127 + 0.5).cast("int"),
+    )
+    return e.select("vec_id", q8.alias("q8"))
