@@ -1081,3 +1081,41 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x.cast("double") * 127 + 0.5).cast("int"),
     )
     return e.select("vec_id", q8.alias("q8"))
+
+
+# =========================================================================
+# Corpus preparation (stages 1-2 of operators/corpus.prepare_corpus)
+# =========================================================================
+
+def _corpus_filter_sql() -> str:
+    from etl_tj_project_spark.functions import text as _tx
+
+    m = _tx.quality_metrics_sql("text")
+    return (
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE {m['n_chars']} >= 20 AND {m['n_tokens']} >= 5 "
+        f"AND {m['punct_ratio']} <= 0.2 AND {m['alpha_ratio']} >= 0.6 "
+        f"AND {m['stopword_ratio']} <= 0.7 "
+        f"AND {_tx.lang_id_sql('text')} = 'en'"
+    )
+
+
+@register(
+    "corpus_quality_filter",
+    _corpus_filter_sql(),
+    doc="Corpus prep stages 1-2 (operators/corpus.py): quality thresholds "
+        "+ language allowlist as pure row-local filters — they shrink the "
+        "corpus before any shuffle (dedup) sees it; the full pipeline "
+        "adds exact+near dedup (tested end-to-end, LSH stage not "
+        "SQL-expressible)",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators.corpus import (
+        QualityThresholds,
+        language_filter,
+        quality_filter,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = quality_filter(d, "text", QualityThresholds())
+    return language_filter(out, "text", ("en",)).select("doc_id", "lang")

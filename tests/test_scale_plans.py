@@ -199,3 +199,30 @@ def test_drop_near_duplicates_end_to_end(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = drop_near_duplicates(df, "doc_id", "text", threshold=0.5)
     assert sorted(r.doc_id for r in kept.collect()) == [0, 3, 4]
+
+
+def test_prepare_corpus_end_to_end(spark):
+    from etl_tj_project_spark.operators.corpus import (
+        QualityThresholds,
+        prepare_corpus,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs through "
+        "the quiet field before the sun sets on the hill"
+    )
+    rows = [
+        (0, good),
+        (1, good),                         # exact dup → dropped
+        (2, good.replace("quiet", "calm")),  # near dup → dropped
+        (3, "x@#$%"),                       # fails quality → dropped
+        (4, "el rapido zorro marron salta sobre el perro perezoso en la "
+            "manana y corre por el campo antes de que el sol se ponga"),  # es → dropped
+        (5, "a completely different english document about query engines "
+            "and the many ways a shuffle can be avoided at large scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = prepare_corpus(
+        df, th=QualityThresholds(), languages=("en",), near_dup_threshold=0.5
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 5]
