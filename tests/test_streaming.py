@@ -130,3 +130,38 @@ def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
         spark.table("dedup_out").groupBy("event_id").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from etl_tj_project_spark.streaming.stream_joins import (
+        click_purchase_attribution,
+    )
+
+    schema = spark.read.parquet(events_dir).schema
+
+    def stream_of(etype: str):
+        return (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .load(events_dir)
+            .filter(F.col("event_type") == etype)
+        )
+
+    joined = click_purchase_attribution(
+        stream_of("click"), stream_of("purchase"), window="6 hours"
+    )
+    _run_to_memory(joined, "attribution", "append")
+    got = sorted(map(tuple, spark.table("attribution").collect()))
+
+    ev = spark.read.parquet(events_dir)
+    want = sorted(
+        map(
+            tuple,
+            click_purchase_attribution(
+                ev.filter(F.col("event_type") == "click"),
+                ev.filter(F.col("event_type") == "purchase"),
+                window="6 hours",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
