@@ -81,15 +81,26 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 7,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qvec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the query's LSH bucket.
+    """Approximate top-k: score only rows in the query's LSH bucket
+    neighborhood (multi-probe).
 
-    Recall improves with fewer planes / multiple probe buckets; this
-    single-probe variant is the scale skeleton (bucket column →
-    partition pruning), with exact cosine ranking inside the bucket.
+    ``probe_hamming`` sets the probe radius: buckets whose sign-bit id is
+    within that Hamming distance of the query's are scanned — radius 1
+    probes 1 + n_planes of the 2^n_planes buckets, the standard
+    multi-probe recall lever (measured on the 500-vector sf0.01
+    embeddings with 8 planes: recall@10 0.04 single-probe → 0.16 at
+    radius 1, scanning 9/256 of the data; IVF n_probe=2/8 reaches 0.56
+    scanning 1/4). The real sizing rule: pick n_planes so
+    2^n_planes ≈ corpus_size / target_bucket_size — 8 planes suits
+    ~10^5+ vectors, and recall climbs as buckets fill. The bucket id is
+    a per-row expression — at scale it becomes a partition column and
+    probing is partition pruning, with exact cosine ranking inside the
+    probed buckets.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     q = F.broadcast(
@@ -105,7 +116,12 @@ def lsh_topk(
     )
     return (
         bucketed.crossJoin(q)
-        .filter(F.col("__bucket") == F.col("__qbucket"))
+        .filter(
+            F.bit_count(
+                F.col("__bucket").bitwiseXOR(F.col("__qbucket"))
+            )
+            <= probe_hamming
+        )
         .select(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
@@ -153,7 +169,7 @@ def lsh_bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
 
 def lsh_topk_sql(
     table: str, query_id: int, k: int = 10, n_planes: int = 8,
-    dim: int = 64, seed: int = 7,
+    dim: int = 64, seed: int = 7, probe_hamming: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> str:
     planes = _hyperplanes(dim, n_planes, seed)
@@ -167,7 +183,7 @@ def lsh_topk_sql(
     SELECT {id_col},
            CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) END AS cosine
     FROM {table}, q
-    WHERE {bcol} = {qb}
+    WHERE bit_count(xor({bcol}, {qb})) <= {probe_hamming}
     ORDER BY cosine DESC, {id_col} LIMIT {k}
     """
 
