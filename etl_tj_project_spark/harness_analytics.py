@@ -1119,3 +1119,42 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     out = quality_filter(d, "text", QualityThresholds())
     return language_filter(out, "text", ("en",)).select("doc_id", "lang")
+
+
+@register(
+    "tpch_q18_large_orders",
+    f"""
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice,
+           big.sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (
+      SELECT l_orderkey, CAST(SUM({_SQL_QTY}) AS DECIMAL(18,2)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM({_SQL_QTY}) > 150
+    ) big ON big.l_orderkey = o.o_orderkey
+    """,
+    doc="TPC-H Q18 large-volume orders: HAVING-filtered aggregate joined "
+        "back to facts — the aggregate runs first and its selective "
+        "output drives the join (semi-join pushback), never the reverse",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(AMOUNT)).cast(AMOUNT).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, big["l_orderkey"] == o["o_orderkey"], "inner")
+        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"], "inner")
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast(AMOUNT).alias("totalprice"),
+            "sum_qty",
+        )
+    )
