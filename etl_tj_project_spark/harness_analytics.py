@@ -1158,3 +1158,109 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# =========================================================================
+# Function-family packs: rank windows, datetime, strings
+# =========================================================================
+
+@register(
+    "window_rank_family",
+    """
+    SELECT o_orderkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           round(percent_rank() OVER w, 9) AS prnk,
+           round(cume_dist()    OVER w, 9) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="rank / dense_rank / percent_rank / cume_dist in one window pass "
+        "(deterministic: unique tie-break key; ratios are exact rank "
+        "fractions, rounded only for safety)",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prnk"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+    )
+
+
+@register(
+    "datetime_function_pack",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                             AS y,
+           quarter(o_orderdate)                          AS q,
+           month(o_orderdate)                            AS m,
+           day(o_orderdate)                              AS d,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY    AS plus_30,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+                                                          AS days_to_y2k,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow_sun1
+    FROM orders
+    """,
+    doc="Datetime family: extract/trunc/add/diff with the cross-engine "
+        "conventions pinned (dayofweek: Spark Sunday=1 vs DuckDB Sunday=0, shifted to agree; datediff "
+        "argument order differs and is wrapped accordingly)",
+)
+def datetime_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        # Spark: date + 30 days stays a date; DuckDB DATE + INTERVAL is a
+        # timestamp — cast both to timestamp for identical typing.
+        F.date_add(d, 30).cast("timestamp").alias("plus_30"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.dayofweek(d).alias("dow_sun1"),
+    )
+
+
+@register(
+    "string_function_pack",
+    """
+    SELECT p_partkey,
+           replace(p_type, ' ', '_')                  AS type_snake,
+           split_part(p_name, ' ', 1)                 AS first_word,
+           translate(p_brand, '#', '-')               AS brand_dash,
+           strpos(p_name, 'a')                        AS first_a,
+           levenshtein(p_brand, 'PROMO')              AS lev_to_promo,
+           reverse(p_brand)                           AS brand_rev,
+           repeat('*', p_size % 4)                    AS stars,
+           left(p_name, 5)                            AS name5,
+           right(p_brand, 2)                          AS brand2
+    FROM part
+    """,
+    doc="String family: replace/split-head/translate/position/"
+        "levenshtein/reverse/repeat/left/right — Spark twins are "
+        "substring_index, instr, substring arithmetic; all stay inside "
+        "codegen (levenshtein included, for fuzzy dim-key matching)",
+)
+def string_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.substring_index("p_name", " ", 1).alias("first_word"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+        F.levenshtein("p_brand", F.lit("PROMO")).cast("long").alias("lev_to_promo"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 4).cast("int")).alias("stars"),
+        F.col("p_name").substr(1, 5).alias("name5"),
+        F.col("p_brand").substr(
+            F.length("p_brand") - 1, F.lit(2)
+        ).alias("brand2"),
+    )
