@@ -1264,3 +1264,48 @@ def string_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("p_brand") - 1, F.lit(2)
         ).alias("brand2"),
     )
+
+
+@register(
+    "array_hof_pack",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           round(list_sum(list_transform(embedding,
+                 x -> greatest(least(CAST(x AS DOUBLE), 0.5), -0.5))), 6)
+             AS clipped_sum,
+           CAST(list_max(embedding) AS DOUBLE) >= 0.0 AS has_nonneg_max
+    FROM embeddings
+    """,
+    doc="Higher-order array functions (filter/transform/aggregate/max) "
+        "over the embedding column — per-row lambda pipelines that stay "
+        "JVM-side with zero Python; the building blocks every custom "
+        "vector op here composes from",
+)
+def array_hof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: xd(x) * xd(x)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    clipped = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.greatest(F.least(xd(x), F.lit(0.5)), F.lit(-0.5)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(l2, 6).alias("l2_norm"),
+        F.round(clipped, 6).alias("clipped_sum"),
+        (F.array_max("embedding").cast("double") >= 0.0).alias("has_nonneg_max"),
+    )
