@@ -33,6 +33,8 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5ish_regional_revenue",
     "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q13_order_count_distribution",
     "w1_topk_per_group",
     "w2_running_sum",
     "sort_limit_topk",

@@ -890,6 +890,10 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL-view surface, upsert-as-query) registers itself into REGISTRY.
 from etl_tj_project_spark import harness_analytics  # noqa: E402,F401
 
+# Extended TPC-H pack: remaining classic shapes (correlated EXISTS,
+# count-distribution, scalar-subquery max/avg, disjunctive predicates).
+from etl_tj_project_spark import harness_tpch_ext  # noqa: E402,F401
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: e.spark for name, e in REGISTRY.items()}
