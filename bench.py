@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality",
     "ann_brute_force_topk",
+    "corpus_top_terms",
     "sessionize",
     "json_agg_by_field",
     "stream_window_agg",

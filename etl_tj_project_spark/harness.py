@@ -894,6 +894,10 @@ from etl_tj_project_spark import harness_analytics  # noqa: E402,F401
 # count-distribution, scalar-subquery max/avg, disjunctive predicates).
 from etl_tj_project_spark import harness_tpch_ext  # noqa: E402,F401
 
+# Corpus-curation pack: deterministic splits/sampling, sequence packing,
+# PII redaction, vocabulary stats, contamination checks.
+from etl_tj_project_spark import harness_curation  # noqa: E402,F401
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: e.spark for name, e in REGISTRY.items()}

@@ -1,0 +1,236 @@
+"""Training-corpus curation pack: the dataset-engineering operators a
+100 TB pretraining pipeline runs between "raw documents" and "training
+shards" — deterministic splits, sequence packing, PII redaction, corpus
+vocabulary stats, stratified sampling, and train/eval contamination
+checks.
+
+All of these are pure Column expressions (no Python UDFs) so they stay in
+whole-stage codegen over a full-corpus scan, and all are deterministic —
+splitting and sampling hash a salted document key with MD5 (identical hex
+output on any engine) instead of using RNG, so re-runs and the DuckDB
+oracle produce bit-identical assignments. That determinism is not a test
+convenience: at 100 TB it is what makes a re-run of one failed shard
+reproduce the same split membership without coordinating state.
+
+Scale notes: every query is a single corpus scan (plus one tiny broadcast
+where noted); packing uses one window shuffle on (source) and nothing
+else; the contamination check shuffles on the 32-char fingerprint only
+after projecting away the text payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.functions import text as tx
+from etl_tj_project_spark.harness import register
+from etl_tj_project_spark.sources.testdata import load_table
+
+# 256-bucket split on the first two hex chars of a salted doc-key MD5:
+# [00,cd) train ≈ 80.1%, [cd,e6) val ≈ 9.8%, [e6,ff] test ≈ 10.1%.
+_TRAIN_HI = "cd"
+_VAL_HI = "e6"
+
+
+def _doc_key_md5(salt: str) -> F.Column:
+    return F.md5(
+        F.concat(F.lit(salt), F.col("doc_id").cast("string")).cast("binary")
+    )
+
+
+def _doc_key_md5_sql(salt: str) -> str:
+    return f"md5(concat('{salt}', CAST(doc_id AS VARCHAR)))"
+
+
+@register(
+    "corpus_split_assign",
+    f"""
+    SELECT doc_id,
+           CASE WHEN substring({_doc_key_md5_sql('split:')}, 1, 2)
+                     < '{_TRAIN_HI}' THEN 'train'
+                WHEN substring({_doc_key_md5_sql('split:')}, 1, 2)
+                     < '{_VAL_HI}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test assignment: salted MD5 of the doc "
+        "key, bucketed on the hex prefix (string compare — no hex→int "
+        "parse, so any engine agrees). Keyed on doc_id, not text, so an "
+        "edited document keeps its split (no eval contamination drift)",
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h2 = F.substring(_doc_key_md5("split:"), 1, 2)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(h2 < _TRAIN_HI, "train")
+        .when(h2 < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    """
+    SELECT doc_id, source,
+           CAST(floor((cum - n_chars) / 2048.0) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             SUM(CAST(n_chars AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM documents
+    ) t
+    """,
+    doc="Sequence packing (fixed-offset next-fit): running char budget "
+        "per source stream, pack = floor(preceding-cum / 2048). The 2048 "
+        "divisor is a power of two so the double division is exact. One "
+        "window shuffle on (source); at 100 TB the source key is the "
+        "shard key, so packing parallelizes per shard with no skew",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col("n_chars").cast("long")
+    cum = F.sum(n).over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        F.floor((cum - n) / F.lit(2048.0)).cast("long").alias("pack_id"),
+    )
+
+
+@register(
+    "corpus_pii_redact",
+    """
+    SELECT doc_id,
+           regexp_replace(text, '[0-9][0-9][0-9]+', '<NUM>', 'g')
+             AS redacted,
+           regexp_replace(text, '[0-9][0-9][0-9]+', '<NUM>', 'g') <> text
+             AS was_redacted
+    FROM documents
+    """,
+    doc="PII-style scrubbing: global regexp_replace of long digit runs "
+        "(the account-number/phone pattern class) with a typed marker "
+        "token. Pure codegen'd projection — a 100 TB redaction pass is "
+        "scan-speed; the pattern set extends without changing the plan",
+)
+def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = F.regexp_replace(F.col("text"), "[0-9][0-9][0-9]+", "<NUM>")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        red.alias("redacted"),
+        (red != F.col("text")).alias("was_redacted"),
+    )
+
+
+@register(
+    "corpus_top_terms",
+    """
+    SELECT term, COUNT(*) AS term_count
+    FROM (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ) t
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY term_count DESC, term
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary head: explode whitespace tokens → global term "
+        "frequency → deterministic top-50 (count desc, term tiebreak). "
+        "Map-side partial counts collapse the exploded volume before the "
+        "single shuffle; top-k via TakeOrderedAndProject",
+)
+def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(tx.tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .orderBy(F.col("term_count").desc(), "term")
+        .limit(50)
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    f"""
+    SELECT lang, COUNT(*) AS n_kept
+    FROM (
+      SELECT lang,
+             substring({_doc_key_md5_sql('sample:')}, 1, 2) AS h2
+      FROM documents
+    ) t
+    WHERE h2 < (CASE WHEN lang = 'en' THEN '40' ELSE 'cd' END)
+    GROUP BY lang
+    """,
+    doc="Stratified downsampling with per-language keep rates (en 25%, "
+        "others 80%) via the same salted-MD5 device — the language "
+        "rebalancing step of corpus mixing. Deterministic membership: "
+        "adding documents never flips earlier keep/drop decisions",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h2 = F.substring(_doc_key_md5("sample:"), 1, 2)
+    rate = F.when(F.col("lang") == "en", "40").otherwise("cd")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(h2 < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
+    "corpus_contamination_check",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(array_to_string(
+               list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 10),
+               ' '))) AS fingerprint
+      FROM documents WHERE trim(text) <> ''
+    ),
+    eval_fp AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 17 = 0
+    )
+    SELECT f.doc_id, f.fingerprint
+    FROM fp f
+    WHERE f.doc_id % 17 <> 0
+      AND EXISTS (SELECT 1 FROM eval_fp e
+                  WHERE e.fingerprint = f.fingerprint)
+    """,
+    doc="Train/eval contamination check: prefix fingerprints (MD5 of the "
+        "first 10 normalized tokens — the eval-prompt-leak heuristic; an "
+        "exact-content MD5 is the degenerate slice-to-end case), semi-"
+        "join of the training side against the eval set's fingerprints. "
+        "Text is projected away before the join, so the shuffle moves "
+        "32-byte keys, not documents; the eval side is broadcast-sized "
+        "by construction",
+)
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prefix = F.array_join(F.slice(tx.tokens("text"), 1, 10), " ")
+    fp = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select(
+            "doc_id", F.md5(F.lower(prefix).cast("binary")).alias("fingerprint")
+        )
+    )
+    eval_fp = (
+        fp.filter(F.col("doc_id") % 17 == 0).select("fingerprint").distinct()
+    )
+    train = fp.filter(F.col("doc_id") % 17 != 0)
+    return train.join(
+        F.broadcast(eval_fp.withColumnRenamed("fingerprint", "e_fp")),
+        F.col("fingerprint") == F.col("e_fp"),
+        "left_semi",
+    )
