@@ -226,3 +226,39 @@ def test_prepare_corpus_end_to_end(spark):
         df, th=QualityThresholds(), languages=("en",), near_dup_threshold=0.5
     )
     assert sorted(r.doc_id for r in kept.collect()) == [0, 5]
+
+
+def test_no_registered_query_leaves_the_jvm(spark):
+    """Global invariant: every registered query compiles to a plan with no
+    row-at-a-time Python UDF (BatchEvalPython). Python is allowed only as
+    Arrow-batched mapInPandas/applyInPandas in the explicitly-vectorized
+    operators (multimodal decode) — everything else must stay inside
+    whole-stage codegen, or it cannot run at 100 TB.
+    """
+    arrow_ok = {"multimodal_decode"}
+    for name, entry in harness.REGISTRY.items():
+        plan = _plan(entry.spark(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+        if name not in arrow_ok:
+            assert "MapInPandas" not in plan, f"{name} unexpectedly Arrow-batched"
+            assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_q10_topk_avoids_full_sort(spark):
+    plan = _plan(harness.REGISTRY["tpch_q10_returned_items"].spark(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_scalar_max_is_broadcast_back(spark):
+    # The 1-row global max must come back via a broadcast join, not a
+    # driver collect or a shuffled join.
+    plan = _plan(harness.REGISTRY["tpch_q15_top_supplier"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_contamination_check_broadcasts_eval_side(spark):
+    plan = _plan(
+        harness.REGISTRY["corpus_contamination_check"].spark(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
