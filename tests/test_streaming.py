@@ -165,3 +165,39 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    from etl_tj_project_spark.streaming.stream_joins import enrich_with_dim
+
+    ev = spark.read.parquet(events_dir)
+    # Static per-user dim derived from the batch view: value tier.
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.sum("value").alias("lifetime_value"))
+        .withColumn(
+            "tier",
+            F.when(F.col("lifetime_value") > 100, "gold").otherwise("std"),
+        )
+    )
+    schema = ev.schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(events_dir)
+    )
+    enriched = enrich_with_dim(
+        stream.select("event_id", "user_id", "event_type"), dim
+    )
+    _run_to_memory(enriched, "enriched", "append")
+    got = sorted(
+        (r.event_id, r.user_id, r.tier)
+        for r in spark.table("enriched").collect()
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.tier)
+        for r in enrich_with_dim(
+            ev.select("event_id", "user_id", "event_type"), dim
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # Left-join semantics: every stream row survives.
+    assert len(got) == ev.count()
