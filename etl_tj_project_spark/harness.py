@@ -901,6 +901,9 @@ from etl_tj_project_spark import harness_curation  # noqa: E402,F401
 # Function-family packs part 2: math, NULL semantics, conditional aggs.
 from etl_tj_project_spark import harness_fnpacks2  # noqa: E402,F401
 
+# Incremental shapes: partial-aggregate merge, range-frame windows.
+from etl_tj_project_spark import harness_incremental  # noqa: E402,F401
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: e.spark for name, e in REGISTRY.items()}

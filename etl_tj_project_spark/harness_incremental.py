@@ -1,0 +1,121 @@
+"""Incremental-aggregation shapes: partial-aggregate merge (the
+materialized-rollup algebra) and time-range window frames.
+
+The reaggregation pattern is the backbone of every 100 TB warehouse: the
+daily job computes per-(key, day) partials once; weekly/monthly/yearly
+rollups then MERGE PARTIALS instead of rescanning the fact table. The
+merge algebra is pinned here: COUNT merges by SUM, SUM by SUM, MIN/MAX by
+MIN/MAX, and AVG is NOT mergeable — it must be carried as (sum, count)
+and divided at the end (merging averages of unequal groups is the classic
+silent-corruption bug this query exists to pin).
+
+Both queries follow the aggregate-first idiom (SCALE.md §2): the window /
+merge layer runs over the reduced partial table, never the raw facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from etl_tj_project_spark.harness import register
+from etl_tj_project_spark.sources.testdata import load_table
+
+PRICE = DecimalType(18, 2)
+
+
+@register(
+    "reaggregate_partials",
+    """
+    WITH daily AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS sum_price,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS min_price,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS max_price
+      FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    )
+    SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+           CAST(SUM(n_orders) AS BIGINT)  AS n_orders,
+           CAST(SUM(sum_price) AS DECIMAL(18,2)) AS sum_price,
+           CAST(MIN(min_price) AS DECIMAL(18,2)) AS min_price,
+           CAST(MAX(max_price) AS DECIMAL(18,2)) AS max_price,
+           round(CAST(SUM(sum_price) AS DOUBLE) / SUM(n_orders), 6)
+             AS avg_price
+    FROM daily GROUP BY CAST(date_trunc('month', d) AS DATE)
+    """,
+    doc="Partial-aggregate merge: per-(custkey, day) partials rolled up "
+        "to months by the merge algebra (COUNT→SUM, SUM→SUM, MIN→MIN, "
+        "MAX→MAX; AVG recomputed from merged sum/count, never averaged "
+        "averages). At 100 TB the monthly job reads the partial table — "
+        "|keys|×|days| rows — instead of the fact table; the same "
+        "two-level plan here IS the incremental plan, just with the "
+        "daily CTE materialized",
+)
+def reaggregate_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast(PRICE)
+    daily = o.groupBy(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(price).cast(PRICE).alias("sum_price"),
+        F.min(price).cast(PRICE).alias("min_price"),
+        F.max(price).cast(PRICE).alias("max_price"),
+    )
+    return daily.groupBy(
+        F.date_trunc("month", "d").cast("date").alias("month")
+    ).agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("sum_price").cast(PRICE).alias("sum_price"),
+        F.min("min_price").cast(PRICE).alias("min_price"),
+        F.max("max_price").cast(PRICE).alias("max_price"),
+        F.round(
+            F.sum("sum_price").cast("double") / F.sum("n_orders"), 6
+        ).alias("avg_price"),
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS revenue
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT d, revenue,
+           CAST(SUM(revenue) OVER (
+             ORDER BY d
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS revenue_7d
+    FROM daily
+    """,
+    doc="RANGE-frame window (value-based, not row-based): trailing 7-day "
+        "revenue where gaps in the calendar matter — a ROWS frame would "
+        "silently include older days across gaps. Spark expresses the "
+        "interval frame as rangeBetween over epoch seconds (UTC session, "
+        "so day arithmetic is uniform). Aggregate-first: the window runs "
+        "over |days| rows, so the unpartitioned frame is safe at any "
+        "fact-table scale",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast(PRICE)).cast(PRICE).alias("revenue")
+    )
+    day_secs = F.col("d").cast("timestamp").cast("long")
+    w = (
+        Window.orderBy(day_secs)
+        .rangeBetween(-6 * 86400, Window.currentRow)
+    )
+    return daily.select(
+        "d",
+        "revenue",
+        F.sum("revenue").over(w).cast(PRICE).alias("revenue_7d"),
+    )
