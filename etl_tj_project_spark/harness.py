@@ -671,6 +671,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE b AS (SELECT * FROM ({_LSH_BANDS_SQL}) raw_bands),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM b a JOIN b c ON a.band = c.band AND a.h = c.h
+                       AND a.doc_id < c.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS n, doc_b AS m FROM pairs
+      UNION
+      SELECT doc_b AS n, doc_a AS m FROM pairs
+    ),
+    walk(n, r) AS (
+      SELECT n, m FROM sym
+      UNION
+      SELECT w.n, s.m FROM walk w JOIN sym s ON s.n = w.r
+    )
+    SELECT n AS node, least(n, MIN(r)) AS component_id
+    FROM walk GROUP BY n
+    """,
+    doc="Connected components over the LSH candidate graph: cluster id = "
+        "min reachable doc_id (iterative min-label propagation, "
+        "O(diameter) rounds, one label-table shuffle per round — the "
+        "iterative-algorithm surface). Oracle: recursive-CTE transitive "
+        "closure — exponential state the iterative form avoids, fine at "
+        "oracle scale, unusable at 100 TB",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+    return dd.connected_components(pairs, "doc_a", "doc_b")
+
+
+@register(
     "dedup_simhash",
     f"SELECT doc_id, {dd.simhash_sql('text', bits=16)} AS simhash16 FROM documents",
     doc="16-bit SimHash fingerprint from per-token md5 bit votes",

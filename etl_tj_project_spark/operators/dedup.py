@@ -417,3 +417,71 @@ def drop_near_duplicates(
         .distinct()
     )
     return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# Connected components (dedup cluster assignment)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component_id) for every node in ``edges``, where
+    component_id is the MINIMUM node id reachable in the undirected
+    graph — the canonical cluster representative for near-dup groups
+    (greedy keep-the-smallest-id dedup falls out of it directly).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds. Near-dup clusters are shallow (diameter ≤ a few
+    hops), so the loop runs 2-4 rounds in practice; ``max_iter`` bounds
+    pathological chains. Each round is one shuffle of the (still tiny)
+    label table against the edge list — the fact-scale work (signature +
+    candidate generation) happened upstream. The convergence probe is a
+    driver-side count of CHANGED labels (an O(1)-row action), not a
+    collect of data.
+
+    Labels are checkpointed to truncate lineage (iterative plans
+    otherwise grow exponentially in Catalyst).
+    """
+    sym = edges.select(
+        F.col(src).alias("n"), F.col(dst).alias("m")
+    ).unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+    sym = sym.persist()
+    labels = (
+        sym.select("n").distinct().withColumn("lab", F.col("n"))
+    ).persist()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, on="n")
+            .groupBy(F.col("m").alias("n"))
+            .agg(F.min("lab").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="n", how="left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nmin"), F.col("lab"))
+                ).alias("lab"),
+            )
+        ).persist()
+        # Materialize via localCheckpoint: truncates the growing lineage
+        # AND gives the convergence probe a computed table to count.
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), on="n")
+            .filter(F.col("a.lab") != F.col("b.lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("n").alias("node"), F.col("lab").alias("component_id"))
