@@ -75,9 +75,29 @@ def main(argv: list[str] | None = None) -> int:
     p_bf.add_argument("--data-dir", required=True)
     p_bf.add_argument("--warehouse", required=True)
 
+    p_q = sub.add_parser(
+        "query", help="run a registered query by name (see `query --list`)"
+    )
+    p_q.add_argument("name", nargs="?", help="query name from the registry")
+    p_q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_q.add_argument("--show", type=int, default=20, help="rows to print")
+    p_q.add_argument("--explain", action="store_true", help="print the plan")
+    p_q.add_argument("--list", action="store_true", help="list query names")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and args.list:
+        from etl_tj_project_spark import harness
+
+        for name in sorted(harness.REGISTRY):
+            print(f"{name}\t{harness.REGISTRY[name].doc.splitlines()[0]}")
+        return 0
     spark = get_spark("etl_tj_cli")
-    wh = daily.Warehouse(args.warehouse)
+    wh = (
+        daily.Warehouse(args.warehouse)
+        if getattr(args, "warehouse", None)
+        else None
+    )
     try:
         if args.cmd == "load-dims":
             dims = daily.load_dims(spark, args.data_dir, wh)
@@ -95,6 +115,17 @@ def main(argv: list[str] | None = None) -> int:
                 total = sum(counts.values())
                 print(f"{d.isoformat()}: {total} aggregate rows")
                 d += dt.timedelta(days=1)
+        elif args.cmd == "query":
+            from etl_tj_project_spark import harness
+
+            if args.name not in harness.REGISTRY:
+                print(f"unknown query: {args.name!r} (try --list)")
+                return 2
+            df = harness.REGISTRY[args.name].spark(spark, args.sf_dir)
+            if args.explain:
+                df.explain("formatted")
+            df.show(args.show, truncate=40)
+            print(f"{args.name}: {df.count()} rows")
         return 0
     finally:
         spark.stop()

@@ -78,3 +78,81 @@ def test_norm_body_distinct_key_compression(spark):
         r["k"] for r in df.select(norm_body(F.col("s")).alias("k")).collect()
     }
     assert keys == {"KLG-459"}
+
+
+# --------------------------------------------------------------------------
+# Curation-pack semantic properties (the parts an oracle hash can't state)
+# --------------------------------------------------------------------------
+
+def test_split_fractions_near_nominal(spark):
+    """The MD5 split must land near 80/10/10 and be disjoint+total."""
+    from etl_tj_project_spark import harness
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        harness.REGISTRY["corpus_split_assign"]
+        .spark(spark, SF_SMOKE)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    got = {r["split"]: r["count"] for r in rows}
+    total = sum(got.values())
+    assert set(got) <= {"train", "val", "test"}
+    # 50 docs at sf0.001 — loose bounds, but a broken bucketing (all-train
+    # or uniform thirds) fails decisively.
+    assert got.get("train", 0) / total > 0.6
+    assert got.get("train", 0) / total < 0.95
+
+
+def test_split_is_stable_under_reexecution(spark):
+    from etl_tj_project_spark import harness
+    from tests.conftest import SF_SMOKE
+
+    q = harness.REGISTRY["corpus_split_assign"].spark
+    a = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_pack_sequences_monotone_within_source(spark):
+    """pack_id must be non-decreasing in doc_id within each source and
+    start at 0 — the invariant the fixed-offset binning guarantees."""
+    from etl_tj_project_spark import harness
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        harness.REGISTRY["corpus_pack_sequences"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    )
+    by_source: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append((r["doc_id"], r["pack_id"]))
+    for source, pairs in by_source.items():
+        pairs.sort()
+        packs = [p for _, p in pairs]
+        assert packs[0] == 0, source
+        assert all(a <= b for a, b in zip(packs, packs[1:])), source
+
+
+def test_connected_components_are_consistent_with_pairs(spark):
+    """Every candidate pair must land in one component, and every
+    component id must be the minimum doc_id of its member set."""
+    from etl_tj_project_spark import harness
+    from tests.conftest import SF_SMOKE
+
+    pairs = harness.REGISTRY["dedup_minhash_lsh"].spark(spark, SF_SMOKE).collect()
+    comp = {
+        r["node"]: r["component_id"]
+        for r in harness.REGISTRY["dedup_connected_components"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    for r in pairs:
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
+    members: dict[int, list[int]] = {}
+    for node, c in comp.items():
+        members.setdefault(c, []).append(node)
+    for c, nodes in members.items():
+        assert c == min(nodes)

@@ -56,3 +56,19 @@ def test_cli_load_dims_then_daily_then_backfill(
     by_card = spark.read.parquet(f"{wh}/dw/agg_by_card")
     per_day = by_card.groupBy("tanggal", "card_type", "gate_in_boo").count()
     assert per_day.filter("count > 1").count() == 0
+
+
+def test_cli_query_list_and_run(monkeypatch, spark, capsys):
+    assert _run(monkeypatch, spark, ["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "a1_agg_by_card" in out and "tpch_q1_pricing_summary" in out
+
+    from tests.conftest import SF_SMOKE
+
+    assert _run(monkeypatch, spark, [
+        "query", "a4_count_probe", "--sf-dir", SF_SMOKE, "--show", "3",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "a4_count_probe:" in out
+
+    assert _run(monkeypatch, spark, ["query", "nope_not_a_query"]) == 2
