@@ -831,6 +831,54 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(least(octet_length(encode(text)), 64) AS INTEGER) AS thumb_w,
+           CAST(1 AS INTEGER) AS thumb_h,
+           CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS thumb_len,
+           CASE WHEN length(text) > 0
+                THEN upper(hex(encode(substr(text, 1, 4)))) END AS thumb_header
+    FROM documents
+    """,
+    doc="Thumbnail resize stage: Arrow-batched mapInPandas, aspect-"
+        "preserving integer clamp to 64px (stub: fake 'image' is "
+        "width×1, so the thumb is a payload truncation). Oracle states "
+        "the same integer arithmetic in SQL",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return mm.resize_thumbnail(mm.attach_fake_media(d), max_side=64)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH ts AS (
+      SELECT doc_id, text,
+             unnest(range(0, octet_length(encode(text)), 50)) AS ts_ms
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ts_ms // 50 AS BIGINT) AS frame_idx,
+           CAST(ts_ms AS BIGINT) AS ts_ms,
+           upper(hex(encode(substr(text, CAST(ts_ms AS INTEGER) + 1, 16))))
+             AS frame_hex
+    FROM ts
+    """,
+    doc="Video frame sampling: mapInPandas fan-out — one row per 50 ms "
+        "frame (stub: 1 byte = 1 ms, frame = 16-byte slice at the "
+        "timestamp; a real codec swaps the slice for seek+decode with "
+        "the same schema). The frame explode happens INSIDE the Arrow "
+        "batch, so the blob crosses the Python boundary once per video, "
+        "not once per frame",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return mm.sample_frames(mm.attach_fake_media(d), every_ms=50, frame_bytes=16)
+
+
+@register(
     "stream_window_agg",
     """
     SELECT CAST(ts AS DATE) AS window_start, event_type,

@@ -100,3 +100,93 @@ def decode_real(media_df: DataFrame) -> DataFrame:
             "image libraries — use decode_features (stub) instead"
         ) from exc
     raise NotImplementedError("real decode not implemented in this round")
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("thumb_w", T.IntegerType(), False),
+    T.StructField("thumb_h", T.IntegerType(), False),
+    T.StructField("thumb_len", T.LongType(), False),
+    T.StructField("thumb_header", T.StringType(), True),
+])
+
+
+def resize_thumbnail(media_df: DataFrame, max_side: int = 64) -> DataFrame:
+    """Thumbnail stage: Arrow-batched mapInPandas that clamps the longer
+    side to ``max_side`` preserving aspect ratio (integer arithmetic, so
+    the stub is bit-reproducible) and truncates the payload to the kept
+    pixels. Same plumbing rules as decode: prune to (doc_id, bytes,
+    meta) before the Python exchange, emit no blob wider than the thumb.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            tw = w.clip(upper=max_side)
+            th = ((h * tw) // w.where(w > 0, 1)).clip(lower=1)
+            kept = (tw * th).astype("int64")
+            payloads = pdf["media_bytes"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb_w": tw.astype("int32"),
+                    "thumb_h": th.astype("int32"),
+                    "thumb_len": kept,
+                    "thumb_header": [
+                        b[:4].hex().upper() if len(b) else None
+                        for b in payloads
+                    ],
+                }
+            )
+
+    pruned = media_df.select(
+        "doc_id",
+        "media_bytes",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+    return pruned.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("ts_ms", T.LongType(), False),
+    T.StructField("frame_hex", T.StringType(), True),
+])
+
+
+def sample_frames(
+    media_df: DataFrame, every_ms: int = 50, frame_bytes: int = 16
+) -> DataFrame:
+    """Frame-sampling stage: one output row per sampled frame — the
+    fan-out batch shape (a pandas batch of N videos yields sum(dur/step)
+    frame rows). The stub treats 1 payload byte = 1 ms and a frame = the
+    ``frame_bytes``-byte slice at its timestamp; a real implementation
+    swaps the slice for a codec seek+decode with identical schema and
+    partitioning. Blob pruned before, dropped after — frames travel as
+    small hex features, never raw media.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "ts_ms": [],
+                "frame_hex": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["media_bytes"]):
+                dur = len(b)
+                for idx, ts in enumerate(range(0, dur, every_ms)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(ts)
+                    sl = b[ts : ts + frame_bytes]
+                    out["frame_hex"].append(sl.hex().upper() if sl else None)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "media_bytes").mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )

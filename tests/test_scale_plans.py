@@ -235,7 +235,7 @@ def test_no_registered_query_leaves_the_jvm(spark):
     operators (multimodal decode) — everything else must stay inside
     whole-stage codegen, or it cannot run at 100 TB.
     """
-    arrow_ok = {"multimodal_decode"}
+    arrow_ok = {"multimodal_decode", "multimodal_resize", "multimodal_frame_sample"}
     for name, entry in harness.REGISTRY.items():
         plan = _plan(entry.spark(spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
