@@ -119,3 +119,57 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.sum("revenue").over(w).cast(PRICE).alias("revenue_7d"),
     )
+
+
+@register(
+    "funnel_stages",
+    """
+    WITH c AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS first_click_us
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT c.user_id
+      FROM c JOIN events e
+        ON e.user_id = c.user_id
+       AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) >= c.first_click_us
+      GROUP BY c.user_id
+    )
+    SELECT 'clicked' AS stage, COUNT(*) AS n_users FROM c
+    UNION ALL
+    SELECT 'converted' AS stage, COUNT(*) AS n_users FROM conv
+    """,
+    doc="Funnel analysis: ordered event-sequence matching — users whose "
+        "first click is later followed by a purchase. The order "
+        "constraint is a non-equi join conjunct on the per-user first-"
+        "click time (aggregate-then-join, one shuffle on user_id); "
+        "stage counts union into one result. At 100 TB the funnel is "
+        "per-user-partitioned work with no cross-user state",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("first_click")),
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_clicked = clicks.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("clicked").alias("stage"), "n_users"
+    )
+    n_converted = converted.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("converted").alias("stage"), "n_users"
+    )
+    return n_clicked.unionByName(n_converted)
