@@ -173,3 +173,43 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("converted").alias("stage"), "n_users"
     )
     return n_clicked.unionByName(n_converted)
+
+
+@register(
+    "window_first_last",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+             AS first_price,
+           last_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+             AS last_price,
+           nth_value(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER w
+             AS second_price
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    doc="first/last/nth_value windows with the full-partition frame "
+        "spelled explicitly — the default frame (UNBOUNDED PRECEDING → "
+        "CURRENT ROW) makes last_value mean 'current row', the classic "
+        "silent bug; the ordering carries the unique orderkey tiebreak "
+        "so nth_value is deterministic. One shuffle on custkey",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast(PRICE)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first(price).over(w).alias("first_price"),
+        F.last(price).over(w).alias("last_price"),
+        F.nth_value(price, 2).over(w).alias("second_price"),
+    )
