@@ -31,7 +31,8 @@ def entry(spark: SparkSession) -> DataFrame:
     sum.
     """
     tune(spark)
-    return harness.REGISTRY["u2_two_branch_union_agg"].spark(spark, SMOKE_SF_DIR)
+    fn = harness.parity.pin_spark(harness.REGISTRY["u2_two_branch_union_agg"].spark)
+    return fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -176,6 +176,51 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skewed_window_two_phase",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber,
+                      CAST(l_quantity AS DECIMAL(18,2))
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS running_qty
+    FROM lineitem
+    """,
+    doc="Skewed-window stress: running sum over a THREE-value partition "
+        "key (l_returnflag) — the shape that serializes a naive window "
+        "into 3 tasks at any cluster size. Implemented as the two-phase "
+        "chunked rewrite (operators/windows.py): per-(key, year-chunk) "
+        "local windows + broadcast exclusive-prefix offsets, result-"
+        "identical to the plain window the oracle states. Parallelism "
+        "|keys|×|chunks|; no single-partition sort (plan-pinned)",
+)
+def skewed_window_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators.windows import chunked_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ship_date = F.col("l_shipdate").cast("date")
+    qty = F.col("l_quantity").cast(PRICE)
+    # The testdata carries intentional duplicate (shipdate, orderkey,
+    # linenumber) rows with different quantities (dedup fodder), so the
+    # summed value itself is the final tiebreak: remaining ties are then
+    # value-identical and the prefix-sum multiset is order-invariant.
+    out = chunked_running_sum(
+        li,
+        key="l_returnflag",
+        chunk=F.year(ship_date),
+        order_cols=[ship_date, F.col("l_orderkey"), F.col("l_linenumber"), qty],
+        value=qty,
+        out_col="running_qty",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("running_qty").cast(PRICE).alias("running_qty"),
+    )
+
+
+@register(
     "window_first_last",
     """
     SELECT o_orderkey, o_custkey,

@@ -446,6 +446,11 @@ def connected_components(
 
     Labels are checkpointed to truncate lineage (iterative plans
     otherwise grow exponentially in Catalyst).
+
+    Raises ``RuntimeError`` if labels are still changing when
+    ``max_iter`` is exhausted — returning silently would violate the
+    component_id = minimum-reachable-node invariant for chains deeper
+    than ``max_iter`` hops.
     """
     sym = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
@@ -455,6 +460,7 @@ def connected_components(
         sym.select("n").distinct().withColumn("lab", F.col("n"))
     ).persist()
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, on="n")
@@ -484,4 +490,10 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter (each "
+            "round covers one hop of graph diameter)"
+        )
     return labels.select(F.col("n").alias("node"), F.col("lab").alias("component_id"))

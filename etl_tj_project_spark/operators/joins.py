@@ -46,10 +46,15 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
     # Salting by hash(key) alone would put every copy of a hot key in the
-    # same bucket — the salt must vary *within* a key. spark_partition_id
-    # varies by input split, which is what actually spreads a hot key that
-    # spans many input partitions.
-    salt: Column = (F.spark_partition_id() % num_salts).cast("int")
+    # same bucket — the salt must vary *within* a key. Hash the whole row
+    # rather than the partition id: a hot key concentrated in one input
+    # split (the common case after a partitioned/sorted write) gets the
+    # same partition id everywhere and would not spread at all. Row-content
+    # hashing is also deterministic under task retries, unlike
+    # monotonically_increasing_id.
+    salt: Column = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts)
+    ).cast("int")
     big_salted = big.withColumn("_salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("_salt")
     small_salted = small.select("*", salts)

@@ -47,11 +47,14 @@ def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     in for image bytes) plus a typed metadata struct — the schema/layout a
     real ingest would produce."""
     payload = F.encode(F.col(text_col), "UTF-8")
+    # Vary the fake height by doc_id so both orientations exist: portrait
+    # rows (height > width) are what caught the round-1 clamp-width-only
+    # resize bug.
     meta = F.struct(
         F.lit("image").alias("media_type"),
         F.lit("fake").alias("format"),
         F.octet_length(payload).cast("int").alias("width"),
-        F.lit(1).cast("int").alias("height"),
+        (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(97))).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
     return docs.withColumn("media_bytes", payload).withColumn("media_meta", meta)
@@ -123,8 +126,14 @@ def resize_thumbnail(media_df: DataFrame, max_side: int = 64) -> DataFrame:
         for pdf in batches:
             w = pdf["width"].astype("int64")
             h = pdf["height"].astype("int64")
-            tw = w.clip(upper=max_side)
-            th = ((h * tw) // w.where(w > 0, 1)).clip(lower=1)
+            # Clamp the LONGER side to max_side (no upscale), scale the
+            # other by the same integer ratio — portrait and landscape
+            # both end ≤ max_side on both axes.
+            long_side = w.where(w >= h, h)
+            shrink = long_side > max_side
+            denom = long_side.where(long_side > 0, 1)
+            tw = w.where(~shrink, (w * max_side) // denom).clip(lower=1)
+            th = h.where(~shrink, (h * max_side) // denom).clip(lower=1)
             kept = (tw * th).astype("int64")
             payloads = pdf["media_bytes"]
             yield pd.DataFrame(

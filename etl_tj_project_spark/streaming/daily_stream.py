@@ -75,19 +75,30 @@ def write_daily_stream(
 ):
     """Exactly-once partitioned-parquet sink for the windowed aggregate.
 
-    ``foreachBatch`` + dynamic partition overwrite: every micro-batch
-    rewrites exactly the day-partitions it touched, so replays after a
-    failure converge to the same state (the streaming twin of the batch
-    pipeline's idempotent daily re-run, SURVEY §2.10). The checkpoint
-    directory carries the source offsets — together with the idempotent
-    sink this gives end-to-end exactly-once at any scale.
+    ``foreachBatch`` + dynamic partition overwrite, with one physical
+    partition per *group key*: an update-mode micro-batch carries only
+    the (window, event_type) groups it updated, so overwriting at any
+    coarser granularity (e.g. whole day) would delete the day's sibling
+    groups the batch did not touch — the round-1 data-loss bug this
+    layout fixes. Partitioning by (tanggal, event_type, wslot) makes
+    each overwritten directory exactly one group, so a batch replaces
+    precisely the groups it contains and nothing else. Replays after a
+    failure then converge to the same state (the streaming twin of the
+    batch pipeline's idempotent daily re-run, SURVEY §2.10); with the
+    checkpoint carrying source offsets this is end-to-end exactly-once.
+
+    ``partitionOverwriteMode`` is pinned on the writer, not the session —
+    a vanilla session defaults to static overwrite, which would truncate
+    the whole table on every batch.
     """
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         (
             batch_df.withColumn("tanggal", F.col(date_col).cast("date"))
+            .withColumn("wslot", F.date_format(F.col(date_col), "HHmmss"))
             .write.mode("overwrite")
-            .partitionBy("tanggal")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("tanggal", "event_type", "wslot")
             .parquet(path)
         )
 

@@ -32,7 +32,15 @@ def _norm_cell(v):
         # repr round-trips doubles exactly; bit-identical floats match.
         return repr(v)
     if isinstance(v, Decimal):
-        return str(v.normalize()) if v != 0 else "0"
+        # Round 1 proved the driver's hash is representation-sensitive:
+        # Spark Decimal('23.00') vs DuckDB client float64 23.0 mismatch
+        # even when values are equal. The parity layer must have pinned
+        # every decimal output to DOUBLE before it gets here.
+        raise AssertionError(
+            "DECIMAL value reached the compare — output representation "
+            f"not pinned (value={v!r}); route the query through "
+            "parity.pin_spark / parity.pin_oracle_sql"
+        )
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, date):
@@ -52,8 +60,39 @@ def normalize_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def compare_pinned(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    """Pin both sides' output representation (DECIMAL→DOUBLE etc.), then
+    compare. For tests whose DataFrames are internal warehouse tables that
+    legitimately carry DECIMAL columns."""
+    from etl_tj_project_spark import parity
+
+    compare(parity.pin_spark_output(spark_df), con, parity.pin_oracle_sql(con, sql))
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
-    """Assert Spark result == DuckDB oracle result (order-insensitive)."""
+    """Assert Spark result == DuckDB oracle result (order-insensitive).
+
+    Also enforces the representation-pinning invariant on both schemas:
+    no DECIMAL on the Spark side, no DECIMAL/HUGEINT on the DuckDB side
+    (those materialize differently in the two clients — see parity.py).
+    """
+    from pyspark.sql import types as T
+
+    bad_spark = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, T.DecimalType)
+        or (isinstance(f.dataType, T.ArrayType)
+            and isinstance(f.dataType.elementType, T.DecimalType))
+    ]
+    assert not bad_spark, f"unpinned DECIMAL output columns (spark): {bad_spark}"
+    bad_duck = [
+        (name, typ)
+        for name, typ, *_ in con.sql(f"DESCRIBE {sql}").fetchall()
+        if typ.upper().startswith("DECIMAL") or typ.upper() in ("HUGEINT", "UHUGEINT")
+    ]
+    assert not bad_duck, f"unpinned DECIMAL/HUGEINT oracle columns: {bad_duck}"
+
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)

@@ -156,3 +156,57 @@ def test_connected_components_are_consistent_with_pairs(spark):
         members.setdefault(c, []).append(node)
     for c, nodes in members.items():
         assert c == min(nodes)
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain deeper than max_iter hops must raise, not silently return
+    labels that violate the min-reachable-node invariant."""
+    import pytest
+
+    from etl_tj_project_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and a sufficient max_iter resolves the same chain to component 0
+    out = connected_components(chain, max_iter=10).collect()
+    assert {r.component_id for r in out} == {0}
+
+
+def test_resize_thumbnail_clamps_longer_side(spark):
+    """Portrait media (h > w) must clamp height to max_side, not scale it
+    off the width — the round-1 clamp-width-only bug."""
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark.operators import multimodal as mm
+
+    rows = [
+        (1, b"x" * 32, 32, 1000),   # portrait: 32x1000 -> 2x64
+        (2, b"x" * 200, 200, 50),   # landscape: 200x50 -> 64x16
+        (3, b"x" * 10, 10, 8),      # small: untouched
+        (4, b"", 0, 100),           # degenerate zero width -> >=1
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "media_bytes", "w", "h"]
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_bytes",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.col("w").cast("int").alias("width"),
+            F.col("h").cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+    got = {
+        r.doc_id: (r.thumb_w, r.thumb_h)
+        for r in mm.resize_thumbnail(df, max_side=64).collect()
+    }
+    assert got[1] == (2, 64)
+    assert got[2] == (64, 16)
+    assert got[3] == (10, 8)
+    assert got[4][0] >= 1 and got[4][1] == 64
+    assert all(tw <= 64 and th <= 64 for tw, th in got.values())

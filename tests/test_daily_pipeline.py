@@ -15,7 +15,7 @@ from etl_tj_project_spark.plans.daily import (
     run_daily,
 )
 from tests.gen_fixtures import generate
-from tests.oracle_compare import compare
+from tests.oracle_compare import compare_pinned
 
 import duckdb
 
@@ -128,7 +128,7 @@ def test_agg_by_card_matches_reference_semantics(duck, pipeline_outputs, ds):
       SELECT tanggal, card_type, amount, gate_in_boo FROM ({_day_filter('vw_halte', ds)})
     ) x GROUP BY tanggal, card_type, gate_in_boo
     """
-    compare(pipeline_outputs[ds]["agg_by_card"], duck, oracle)
+    compare_pinned(pipeline_outputs[ds]["agg_by_card"], duck, oracle)
 
 
 @pytest.mark.parametrize("ds", DS_LIST)
@@ -151,7 +151,7 @@ def test_agg_by_route_matches_reference_semantics(duck, pipeline_outputs, ds):
       LEFT JOIN routes_d r ON r.route_code = CAST(sc.corridor_code AS VARCHAR)
     ) y GROUP BY tanggal, route_code, route_name, gate_in_boo
     """
-    compare(pipeline_outputs[ds]["agg_by_route"], duck, oracle)
+    compare_pinned(pipeline_outputs[ds]["agg_by_route"], duck, oracle)
 
 
 @pytest.mark.parametrize("ds", DS_LIST)
@@ -164,7 +164,7 @@ def test_agg_by_tariff_matches_reference_semantics(duck, pipeline_outputs, ds):
       SELECT tanggal, amount, gate_in_boo FROM ({_day_filter('vw_halte', ds)})
     ) z GROUP BY tanggal, amount, gate_in_boo
     """
-    compare(pipeline_outputs[ds]["agg_by_tariff"], duck, oracle)
+    compare_pinned(pipeline_outputs[ds]["agg_by_tariff"], duck, oracle)
 
 
 def test_realisasi_date_parse_preserves_reference_nulls(spark, data_dir, wh_dir, pipeline_outputs):

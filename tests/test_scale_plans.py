@@ -262,3 +262,25 @@ def test_contamination_check_broadcasts_eval_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
+
+
+def test_skewed_window_has_no_key_only_partition(spark):
+    """The two-phase rewrite must never sort a whole key in one task: every
+    Window over the full fact table partitions on (key, chunk), and the
+    only key-only window runs over the tiny per-chunk totals table."""
+    import re
+
+    plan = _plan(
+        harness.REGISTRY["skewed_window_two_phase"].spark(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan  # offsets come back via broadcast
+    # Each Window's partition spec: the fact-table running sum must carry
+    # the chunk column next to the skewed key.
+    specs = re.findall(r"Window \[.*?partitionspec=\[(.*?)\]", plan) or re.findall(
+        r"windowspecdefinition\((.*?), specifiedwindowframe", plan
+    )
+    assert specs, f"no window spec found in plan:\n{plan[:2000]}"
+    for s in specs:
+        if "_chunk_sum" in s:
+            continue  # offsets window: |keys|x|chunks| rows, key-only is fine
+        assert "_chunk" in s, f"fact window partitioned on key only: {s}"

@@ -111,6 +111,65 @@ def test_foreachbatch_sink_is_idempotent_partitioned(spark, events_dir, tmp_path
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_foreachbatch_sink_preserves_untouched_groups(spark, events_dir, tmp_path):
+    """Round-1 ADVICE data-loss repro: after a full run, an incremental
+    micro-batch containing ONLY 'click' events for a day must not delete
+    that day's other event-type groups (update-mode batches carry only
+    updated groups; the sink must overwrite per-group, not per-day)."""
+    from etl_tj_project_spark.streaming.daily_stream import (
+        windowed_event_agg_stream,
+        write_daily_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "agg")
+    cp = str(tmp_path / "cp")
+    ev = spark.read.parquet(events_dir)
+    ev.coalesce(1).write.parquet(src)
+
+    def run_once():
+        q = write_daily_stream(
+            windowed_event_agg_stream(spark, src, window="1 day"), out, checkpoint=cp
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    first = spark.read.parquet(out)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    target_day = max_ts.date()
+    non_click_before = sorted(
+        map(
+            tuple,
+            first.filter(
+                (F.col("tanggal") == F.lit(target_day))
+                & (F.col("event_type") != "click")
+            ).select("tanggal", "event_type", "event_count", "value_sum").collect(),
+        )
+    )
+    assert non_click_before, "fixture day has no non-click groups"
+
+    # Incremental batch: one new click event on the last day (inside the
+    # watermark, so its group gets an update row — and only its group).
+    late = ev.filter(F.col("event_type") == "click").limit(1).withColumn(
+        "ts", F.lit(max_ts)
+    )
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    after = spark.read.parquet(out)
+    non_click_after = sorted(
+        map(
+            tuple,
+            after.filter(
+                (F.col("tanggal") == F.lit(target_day))
+                & (F.col("event_type") != "click")
+            ).select("tanggal", "event_type", "event_count", "value_sum").collect(),
+        )
+    )
+    assert non_click_after == non_click_before
+
+
 def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
     from etl_tj_project_spark.streaming.stateful import dedup_stream
 
