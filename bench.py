@@ -39,6 +39,15 @@ HEADLINE = [
     "w2_running_sum",
     "sort_limit_topk",
     "rollup_agg",
+    # Extended TPC-H pack: the most expensive multi-join / correlated /
+    # disjunctive plans — the bench must cover the worst plans, not just
+    # the pretty ones.
+    "tpch_q7_volume_shipping",
+    "tpch_q9ish_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q21ish_lone_late_supplier",
     # Training-data-pipeline ops — the engine's extension surface belongs
     # in the headline number, not just correctness checks.
     "dedup_exact",
@@ -49,6 +58,7 @@ HEADLINE = [
     "sessionize",
     "json_agg_by_field",
     "stream_window_agg",
+    "skewed_window_two_phase",
 ]
 
 

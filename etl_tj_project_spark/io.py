@@ -14,6 +14,9 @@ without a partition column; its upsert (S5) is handled in operators/dims.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -27,6 +30,92 @@ def write_partitioned(
     ``partitionOverwriteMode=dynamic`` (set by session.tune) `overwrite`
     only replaces the partitions present in ``df``."""
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def commit_partitions_atomic(
+    outputs: dict[str, tuple[DataFrame, str]],
+    day: str,
+    partition_col: str = "tanggal",
+    _fail_after: int | None = None,
+) -> None:
+    """All-or-nothing publication of one logical day across SEVERAL
+    tables (the reference commits its three aggregates in a single
+    Postgres transaction, dag_datapelangan.py:172-244; a lake has no
+    transactions, so this is the staged-rename protocol instead).
+
+    ``outputs`` maps table name → (DataFrame, table_path).
+
+    Phase 1 — stage (minutes, crash-safe): each DataFrame is written to
+    a hidden ``.staging-{day}`` directory inside its table path (dot-
+    prefixed, so Spark/Hadoop readers never list it). A crash anywhere
+    in this phase leaves every table's visible state untouched; staging
+    residue is deleted on the way out and harmless if the process dies
+    before cleanup.
+
+    Phase 2 — publish (milliseconds): for every table, the existing
+    ``{partition_col}={day}`` directory is renamed aside and the staged
+    one renamed into place — pure filesystem-metadata operations. The
+    cross-table visibility window shrinks from the full write duration
+    to a few renames; closing it entirely needs a manifest-based table
+    format (Delta/Iceberg), which is out of scope here. On a rename
+    failure the already-published tables are rolled back from the
+    set-aside directories.
+
+    A day with zero rows publishes as an absent partition (the staged
+    write emits no partition directory).
+
+    ``_fail_after`` is a test hook: raise after that many staged writes
+    to exercise the crash path.
+    """
+    part = f"{partition_col}={day}"
+    token = f".staging-{day}"
+
+    def _staging(table_path: str) -> str:
+        return os.path.join(table_path, token)
+
+    try:
+        done = 0
+        for _name, (df, table_path) in outputs.items():
+            staging = _staging(table_path)
+            shutil.rmtree(staging, ignore_errors=True)
+            df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+            done += 1
+            if _fail_after is not None and done >= _fail_after:
+                raise RuntimeError("injected crash after staged write")
+    except BaseException:
+        for _name, (_df, table_path) in outputs.items():
+            shutil.rmtree(_staging(table_path), ignore_errors=True)
+        raise
+
+    published: list[tuple[str, str]] = []  # (live_dir, set_aside_dir)
+    try:
+        for _name, (_df, table_path) in outputs.items():
+            src = os.path.join(_staging(table_path), part)
+            dst = os.path.join(table_path, part)
+            aside = os.path.join(table_path, f".replaced-{day}")
+            shutil.rmtree(aside, ignore_errors=True)
+            moved_aside = None
+            if os.path.exists(dst):
+                os.rename(dst, aside)
+                moved_aside = aside
+            # Register before the publish rename so a failure between the
+            # two renames still restores this table's prior partition.
+            published.append((dst, moved_aside))
+            if os.path.exists(src):
+                os.rename(src, dst)
+    except BaseException:
+        # Roll the already-published tables back to their prior state.
+        for dst, aside in reversed(published):
+            shutil.rmtree(dst, ignore_errors=True)
+            if aside is not None and os.path.exists(aside):
+                os.rename(aside, dst)
+        raise
+    finally:
+        for _name, (_df, table_path) in outputs.items():
+            shutil.rmtree(_staging(table_path), ignore_errors=True)
+    for _dst, aside in published:
+        if aside is not None:
+            shutil.rmtree(aside, ignore_errors=True)
 
 
 def overwrite_table(df: DataFrame, path: str) -> None:

@@ -11,8 +11,10 @@ Where the reference hand-rolls optimization, Catalyst covers it (SURVEY
 pushes into the scan; the single-statement CTE chain that feeds three
 INSERTs at once becomes an explicit ``.persist()`` of the shared union —
 the one optimization Spark does NOT do automatically across actions.
-Cross-table atomicity is per-partition-overwrite per table (documented
-deviation; the reference commits all three in one transaction).
+Cross-table atomicity (the reference commits all three aggregates in one
+transaction) maps to the staged-rename protocol in
+io.commit_partitions_atomic: stage all three day-partitions first, then
+publish with metadata renames only.
 """
 
 from __future__ import annotations
@@ -111,9 +113,14 @@ def run_daily(
             bus, halte, routes, realisasi_bus, shelter_corridor
         )
         if wh is not None:
-            lake_io.write_partitioned(by_card, wh.agg("agg_by_card"))
-            lake_io.write_partitioned(by_route, wh.agg("agg_by_route"))
-            lake_io.write_partitioned(by_tariff, wh.agg("agg_by_tariff"))
+            lake_io.commit_partitions_atomic(
+                {
+                    "agg_by_card": (by_card, wh.agg("agg_by_card")),
+                    "agg_by_route": (by_route, wh.agg("agg_by_route")),
+                    "agg_by_tariff": (by_tariff, wh.agg("agg_by_tariff")),
+                },
+                day=ds,
+            )
         return {
             "agg_by_card": by_card,
             "agg_by_route": by_route,

@@ -227,3 +227,66 @@ def test_partitioned_layout(spark, wh_dir, pipeline_outputs):
         p for p in os.listdir(f"{wh_dir}/dw/agg_by_card") if p.startswith("tanggal=")
     ]
     assert sorted(parts) == [f"tanggal={ds}" for ds in DS_LIST]
+
+
+def test_atomic_multi_table_commit_crash_leaves_no_partial_day(
+    spark, data_dir, wh_dir, pipeline_outputs
+):
+    """A crash after staging 2 of 3 tables must leave NO table showing the
+    new day — the all-or-nothing property the reference gets from its
+    single Postgres transaction."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark import io as lake_io
+
+    tables = ["agg_by_card", "agg_by_route", "agg_by_tariff"]
+    new_day = "2025-08-01"
+    # Materialize eagerly (collect + recreate): earlier tests overwrite the
+    # dim tables these lazy plans read, and a lazy plan over renamed files
+    # would fail mid-write.
+    outs = {}
+    for t in tables:
+        src = (
+            spark.read.parquet(f"{wh_dir}/dw/{t}")
+            .filter(F.col("tanggal") == F.lit(DS_LIST[0]).cast("date"))
+            .withColumn("tanggal", F.lit(new_day).cast("date"))
+        )
+        outs[t] = (
+            spark.createDataFrame(src.collect(), src.schema),
+            f"{wh_dir}/dw/{t}",
+        )
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lake_io.commit_partitions_atomic(outs, day=new_day, _fail_after=2)
+    for t in tables:
+        assert not os.path.exists(f"{wh_dir}/dw/{t}/tanggal={new_day}"), t
+        assert not os.path.exists(f"{wh_dir}/dw/{t}/.staging-{new_day}"), t
+        n = (
+            spark.read.parquet(f"{wh_dir}/dw/{t}")
+            .filter(F.col("tanggal") == F.lit(new_day))
+            .count()
+        )
+        assert n == 0, t
+
+    # The same commit without the crash publishes all three.
+    lake_io.commit_partitions_atomic(outs, day=new_day)
+    counts = {
+        t: spark.read.parquet(f"{wh_dir}/dw/{t}")
+        .filter(F.col("tanggal") == F.lit(new_day))
+        .count()
+        for t in tables
+    }
+    assert all(n > 0 for n in counts.values()), counts
+    # And re-publishing the same day is idempotent (replaces, not appends).
+    lake_io.commit_partitions_atomic(outs, day=new_day)
+    for t in tables:
+        n = (
+            spark.read.parquet(f"{wh_dir}/dw/{t}")
+            .filter(F.col("tanggal") == F.lit(new_day))
+            .count()
+        )
+        assert n == counts[t], t
