@@ -1003,6 +1003,10 @@ from etl_tj_project_spark import harness_fnpacks2  # noqa: E402,F401
 # Incremental shapes: partial-aggregate merge, range-frame windows.
 from etl_tj_project_spark import harness_incremental  # noqa: E402,F401
 
+# LLM-data analytics pack 2: TF-IDF, n-grams, edit distance, gap-fill,
+# histograms, cohorts, sliding windows.
+from etl_tj_project_spark import harness_llmdata  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 
