@@ -58,6 +58,64 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_STATE_SCHEMA = "last_ts_us BIGINT, session_id BIGINT"
+SESSION_OUTPUT_SCHEMA = "user_id BIGINT, event_id BIGINT, session_id BIGINT"
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming gap-based sessionization: the stateful twin of the batch
+    ``sessionize`` query (lag + running sum over event time).
+
+    Per-user state is two BIGINTs — (timestamp of the key's latest seen
+    event, current session ordinal). Each micro-batch sorts its rows for
+    the key by (ts, event_id), continues the session numbering from
+    state, and emits one (user_id, event_id, session_id) row per event —
+    so after any micro-batch split of an in-order feed the union of
+    outputs equals the batch assignment. State size is O(1) per user
+    regardless of history, the property that keeps the state store flat
+    at 10^9 users; windowed aggregation cannot express this because the
+    session boundary depends on the *previous event*, not on a fixed
+    grid.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, cur = state.get if state.exists else (-1, 0)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("int64") // 1000
+        session_ids = []
+        for t in ts_us:
+            if last_ts >= 0 and t - last_ts > gap_us:
+                cur += 1
+            last_ts = int(t)
+            session_ids.append(cur)
+        state.update((last_ts, cur))
+        yield pd.DataFrame(
+            {
+                "user_id": rows["user_id"].astype("int64"),
+                "event_id": rows["event_id"].astype("int64"),
+                "session_id": pd.Series(session_ids, index=rows.index).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     id_cols: list[str] | None = None,

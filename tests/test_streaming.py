@@ -260,3 +260,47 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
     assert got == want and len(got) > 0
     # Left-join semantics: every stream row survives.
     assert len(got) == ev.count()
+
+
+def test_stateful_sessionize_matches_batch(spark, events_dir):
+    """The streamed per-event session assignment must equal the batch
+    lag+running-sum sessionization."""
+    from etl_tj_project_spark import harness
+    from etl_tj_project_spark.streaming.stateful import sessionize_stream
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(events_dir)
+    )
+    _run_to_memory(sessionize_stream(stream), "sessions_out", "update")
+    got = {
+        (r.user_id, r.event_id): r.session_id
+        for r in spark.table("sessions_out").collect()
+    }
+
+    # Batch twin over the same files (not via sf_dir: the fixture re-wrote
+    # timestamps to micros).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    ev = spark.read.parquet(events_dir)
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = ev.select("user_id", "event_id", F2.unix_micros("ts").alias("ts_us"))
+    batch = (
+        base.withColumn(
+            "is_new",
+            F2.when(
+                F2.col("ts_us") - F2.lag("ts_us").over(w_order)
+                > 30 * 60 * 1_000_000,
+                F2.lit(1),
+            ).otherwise(F2.lit(0)),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F2.sum("is_new").over(w_run).cast("long").alias("session_id"),
+        )
+    )
+    want = {(r.user_id, r.event_id): r.session_id for r in batch.collect()}
+    assert got == want and len(got) > 0
