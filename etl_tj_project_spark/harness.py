@@ -1007,6 +1007,10 @@ from etl_tj_project_spark import harness_incremental  # noqa: E402,F401
 # histograms, cohorts, sliding windows.
 from etl_tj_project_spark import harness_llmdata  # noqa: E402,F401
 
+# Function packs 3: posexplode, regexp_extract_all, null-safe join,
+# map/struct surface.
+from etl_tj_project_spark import harness_fnpacks3  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 
