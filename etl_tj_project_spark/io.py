@@ -105,10 +105,15 @@ def commit_partitions_atomic(
                 os.rename(src, dst)
     except BaseException:
         # Roll the already-published tables back to their prior state.
+        # Best-effort per table: one failed restore must not strand the
+        # remaining tables in the new state.
         for dst, aside in reversed(published):
-            shutil.rmtree(dst, ignore_errors=True)
-            if aside is not None and os.path.exists(aside):
-                os.rename(aside, dst)
+            try:
+                shutil.rmtree(dst, ignore_errors=True)
+                if aside is not None and os.path.exists(aside):
+                    os.rename(aside, dst)
+            except OSError:
+                continue
         raise
     finally:
         for _name, (_df, table_path) in outputs.items():

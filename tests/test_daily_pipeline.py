@@ -290,3 +290,57 @@ def test_atomic_multi_table_commit_crash_leaves_no_partial_day(
             .count()
         )
         assert n == counts[t], t
+
+
+def test_atomic_commit_rolls_back_on_publish_failure(spark, tmp_path, monkeypatch):
+    """If a rename fails mid-publish (table 2 of 2), table 1's already-
+    published day must be rolled back to its previous contents."""
+    import os as _os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark import io as lake_io
+
+    d0, d1 = "2025-01-01", "2025-01-02"
+    paths = {t: str(tmp_path / t) for t in ("ta", "tb")}
+
+    def day_df(day, v):
+        return spark.range(3).select(
+            F.col("id"),
+            F.lit(v).alias("v"),
+            F.lit(day).cast("date").alias("tanggal"),
+        )
+
+    # Seed both tables with day d0 = v0.
+    lake_io.commit_partitions_atomic(
+        {t: (day_df(d0, "v0"), p) for t, p in paths.items()}, day=d0
+    )
+
+    # Publish d0 again with v1, but fail the publish rename for table 2.
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        # Transient single failure: the rollback's own renames succeed.
+        if (
+            calls["n"] == 0
+            and f"tanggal={d0}" in dst
+            and "/tb/" in dst.replace("\\", "/")
+        ):
+            calls["n"] += 1
+            raise OSError("injected publish failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", flaky_rename)
+    with pytest.raises(OSError, match="injected publish failure"):
+        lake_io.commit_partitions_atomic(
+            {t: (day_df(d0, "v1"), p) for t, p in paths.items()}, day=d0
+        )
+    monkeypatch.setattr(_os, "rename", real_rename)
+
+    # Both tables must still show the ORIGINAL v0 day — all-or-nothing.
+    for t, p in paths.items():
+        vals = {r.v for r in spark.read.parquet(p).collect()}
+        assert vals == {"v0"}, (t, vals)

@@ -284,3 +284,12 @@ def test_skewed_window_has_no_key_only_partition(spark):
         if "_chunk_sum" in s:
             continue  # offsets window: |keys|x|chunks| rows, key-only is fine
         assert "_chunk" in s, f"fact window partitioned on key only: {s}"
+
+
+def test_tfidf_probe_filter_pushes_to_scan(spark):
+    """The doc_id<100 probe bound must reach the parquet scan through the
+    explode+groupBy chain — at 100 TB the tf branch reads 100 docs, not
+    the corpus."""
+    plan = _plan(harness.REGISTRY["tfidf_top_terms"].spark(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    assert "LessThan(doc_id,100)" in plan.replace(" ", "")
