@@ -567,6 +567,39 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "partitioned_write_roundtrip",
+    """
+    SELECT CAST(ts AS DATE) AS tanggal, event_id,
+           CAST(value AS DECIMAL(18,2)) AS amount
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="S4/S7 write path under the correctness gate: day-partitioned "
+        "parquet write (Hive tanggal= layout, dynamic-overwrite-capable "
+        "writer from io.py) followed by a read-back — the oracle states "
+        "the content that must survive the roundtrip bit-exactly "
+        "(partition-column date inference included). Uses a fresh temp "
+        "dir per call so re-runs are independent "
+        "(ref dag_datapelangan.py:118-151 daily partition DDL)",
+)
+def partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_tj_project_spark.io import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    df = ev.select(
+        F.col("ts").cast("date").alias("tanggal"),
+        "event_id",
+        F.col("value").cast(AMOUNT).alias("amount"),
+    )
+    out = tempfile.mkdtemp(prefix="tj_roundtrip_")
+    write_partitioned(df, out, partition_col="tanggal")
+    return spark.read.parquet(out).select("tanggal", "event_id", "amount")
+
+
 # =========================================================================
 # Training-data-pipeline extensions: text analysis over `documents`
 # =========================================================================
@@ -1076,7 +1109,7 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q13_order_count_distribution",
     "tpch_q15_top_supplier",
     "tpch_q17ish_small_qty_revenue",
-    "tpch_q19_disjunctive_predicates",
+    "partitioned_write_roundtrip",
 ]
 
 

@@ -1,0 +1,57 @@
+"""Unit tests for the cross-engine representation-pinning layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_tj_project_spark import parity
+
+
+def test_pin_oracle_wraps_decimal_and_hugeint():
+    con = parity.describe_connection()
+    try:
+        sql = ("SELECT CAST(1.50 AS DECIMAL(18,2)) AS money, "
+               "SUM(x) AS intsum, 'k' AS tag "
+               "FROM (SELECT 1 AS x) t GROUP BY tag")
+        pinned = parity.pin_oracle_sql(con, sql)
+        assert pinned != sql
+        desc = {name: typ for name, typ, *_ in con.sql(f"DESCRIBE {pinned}").fetchall()}
+        assert desc["money"] == "DOUBLE"
+        assert desc["intsum"] == "BIGINT"
+        assert desc["tag"] == "VARCHAR"
+        row = con.sql(pinned).fetchone()
+        assert row == (1.5, 1, "k")
+    finally:
+        con.close()
+
+
+def test_pin_oracle_leaves_clean_sql_unchanged():
+    con = parity.describe_connection()
+    try:
+        sql = "SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c"
+        assert parity.pin_oracle_sql(con, sql) == sql
+    finally:
+        con.close()
+
+
+def test_pin_spark_output_casts_decimals(spark):
+    df = spark.range(2).select(
+        F.col("id"),
+        F.lit("1.50").cast(T.DecimalType(18, 2)).alias("money"),
+        F.array(F.lit("2.25").cast(T.DecimalType(10, 2))).alias("moneys"),
+        F.lit("s").alias("tag"),
+    )
+    pinned = parity.pin_spark_output(df)
+    types = {f.name: f.dataType for f in pinned.schema.fields}
+    assert types["money"] == T.DoubleType()
+    assert types["moneys"] == T.ArrayType(T.DoubleType())
+    assert types["tag"] == T.StringType()
+    assert types["id"] == T.LongType()
+    row = pinned.orderBy("id").first()
+    assert row.money == 1.5 and row.moneys == [2.25]
+
+
+def test_pin_spark_output_noop_without_decimals(spark):
+    df = spark.range(1).select("id", F.lit("x").alias("s"))
+    assert parity.pin_spark_output(df) is df
