@@ -9,10 +9,13 @@ JDBC source (predicate pushdown), and ``partition_column`` splits the read
 into parallel range queries — the knob the reference lacks entirely (its
 dblink pull is a single serial cursor).
 
-No JDBC driver jars ship in this container, so the connect is gated: the
-builder constructs and returns the lazy DataFrame; calling an action
-without the driver raises Spark's driver-not-found error. Tests cover the
-builder path only.
+Proven end-to-end in tests/test_scale_plans.py against embedded Derby
+(the one JDBC engine whose driver ships inside Spark's own jars):
+pushdown lands in the remote SQL, the read splits into parallel range
+queries, values round-trip exactly. For engines whose driver jar is
+absent (e.g. Postgres here), the builder still constructs the lazy
+DataFrame and an action raises Spark's clear driver-not-found error —
+that gate is tested too.
 """
 
 from __future__ import annotations

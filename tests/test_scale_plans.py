@@ -293,3 +293,63 @@ def test_tfidf_probe_filter_pushes_to_scan(spark):
     plan = _plan(harness.REGISTRY["tfidf_top_terms"].spark(spark, SF_SMOKE))
     assert "PushedFilters: [" in plan
     assert "LessThan(doc_id,100)" in plan.replace(" ", "")
+
+
+def test_jdbc_federation_end_to_end_with_derby(spark, tmp_path):
+    """S2 federation proven end-to-end against a real JDBC database
+    (embedded Derby ships with Spark): the declarative filter is pushed
+    into the remote SQL, the read splits into parallel range queries,
+    and the values round-trip exactly — everything the reference's
+    serial dblink pull does, plus pushdown and parallelism."""
+    from etl_tj_project_spark.sources.jdbc import read_jdbc_pushdown
+
+    jvm = spark._jvm
+    db = str(tmp_path / "derby_fed")
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    con = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    try:
+        st = con.createStatement()
+        st.executeUpdate(
+            "CREATE TABLE trx (id INT, day_key INT, amount DOUBLE, "
+            "status VARCHAR(4))"
+        )
+        ps = con.prepareStatement("INSERT INTO trx VALUES (?, ?, ?, ?)")
+        rows = [
+            (i, 20240100 + (i % 7), i * 1.5, "S" if i % 3 else "F")
+            for i in range(100)
+        ]
+        for i, day, amt, status in rows:
+            ps.setInt(1, i)
+            ps.setInt(2, day)
+            ps.setDouble(3, amt)
+            ps.setString(4, status)
+            ps.addBatch()
+        ps.executeBatch()
+    finally:
+        con.close()
+
+    df = read_jdbc_pushdown(
+        spark,
+        f"jdbc:derby:{db}",
+        "trx",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    assert df.rdd.getNumPartitions() == 4  # parallel range scan, not a cursor
+
+    flt = df.filter(
+        (F.col("status") == "S") & (F.col("day_key") == 20240101)
+    ).select("id", "amount")
+    plan = _plan(flt)
+    pushed = plan.upper().split("PUSHEDFILTERS")[1][:250]
+    assert "STATUS" in pushed and "DAY_KEY" in pushed  # remote-side filter
+
+    want = sorted(
+        (i, amt) for i, day, amt, status in rows
+        if status == "S" and day == 20240101
+    )
+    got = sorted((r.id, r.amount) for r in flt.collect())
+    assert got == want and len(got) > 0
