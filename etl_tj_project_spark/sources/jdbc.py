@@ -23,6 +23,72 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def write_jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    properties: dict[str, str] | None = None,
+    staging_table: str | None = None,
+) -> None:
+    """ON CONFLICT upsert into a JDBC table (the reference's S5 sink,
+    stage_csv_dims_to_pg.py upsert) as stage-then-MERGE:
+
+    1. the DataFrame is written to a staging table through the parallel
+       executor-side JDBC writer (the data plane — this is the part that
+       must scale);
+    2. one driver-side ``MERGE INTO target USING staging`` statement
+       asks the database to reconcile keys transactionally (the control
+       plane — a single SQL round-trip regardless of data volume,
+       exactly how the reference's ON CONFLICT behaves).
+
+    Requires the target table to exist (its schema defines the merge
+    contract). ANSI MERGE syntax — works on Derby (tested here),
+    Postgres 15+, Oracle, SQL Server; for older Postgres swap step 2
+    for INSERT ... ON CONFLICT.
+    """
+    spark = df.sparkSession
+    staging = staging_table or f"{table}_stg"
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", staging)
+        .mode("overwrite")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+    # The Spark JDBC writer creates staging columns QUOTED with the exact
+    # DataFrame names (case-sensitive in the DB), so staging refs must be
+    # quoted; target refs stay unquoted and resolve with the DB's normal
+    # case-folding against the pre-existing table.
+    def s_ref(c: str) -> str:
+        return 's."' + c.replace('"', '""') + '"'
+
+    non_keys = [c for c in df.columns if c not in key_cols]
+    on = " AND ".join(f"t.{k} = {s_ref(k)}" for k in key_cols)
+    set_clause = ", ".join(f"t.{c} = {s_ref(c)}" for c in non_keys)
+    cols = ", ".join(df.columns)
+    vals = ", ".join(s_ref(c) for c in df.columns)
+    merge = (
+        f"MERGE INTO {table} t USING {staging} s ON ({on}) "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+    jvm = spark._jvm
+    driver = (properties or {}).get("driver")
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = con.createStatement()
+        st.executeUpdate(merge)
+        st.executeUpdate(f"DROP TABLE {staging}")
+    finally:
+        con.close()
+
+
 def read_jdbc_pushdown(
     spark: SparkSession,
     url: str,

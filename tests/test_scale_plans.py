@@ -353,3 +353,45 @@ def test_jdbc_federation_end_to_end_with_derby(spark, tmp_path):
     )
     got = sorted((r.id, r.amount) for r in flt.collect())
     assert got == want and len(got) > 0
+
+
+def test_jdbc_upsert_merge_on_derby(spark, tmp_path):
+    """S5 ON CONFLICT upsert proven against a real database: stage via
+    the parallel JDBC writer, reconcile with one MERGE — updated rows
+    take the new values, unmatched keys insert, untouched rows stay."""
+    from etl_tj_project_spark.sources.jdbc import (
+        read_jdbc_pushdown,
+        write_jdbc_upsert,
+    )
+
+    jvm = spark._jvm
+    db = str(tmp_path / "derby_upsert")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jvm.java.lang.Class.forName(props["driver"])
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = con.createStatement()
+        st.executeUpdate(
+            "CREATE TABLE dim_route (route_code INT PRIMARY KEY, "
+            "route_name VARCHAR(32))"
+        )
+        st.executeUpdate("INSERT INTO dim_route VALUES (1, 'old-1')")
+        st.executeUpdate("INSERT INTO dim_route VALUES (2, 'old-2')")
+        st.executeUpdate("INSERT INTO dim_route VALUES (3, 'keep-3')")
+    finally:
+        con.close()
+
+    delta = spark.createDataFrame(
+        [(1, "new-1"), (2, "new-2"), (9, "ins-9")],
+        ["route_code", "route_name"],
+    )
+    write_jdbc_upsert(
+        delta, f"jdbc:derby:{db}", "dim_route", ["route_code"], properties=props
+    )
+
+    back = read_jdbc_pushdown(
+        spark, f"jdbc:derby:{db}", "dim_route", properties=props
+    )
+    got = sorted((r.ROUTE_CODE, r.ROUTE_NAME) for r in back.collect())
+    assert got == [(1, "new-1"), (2, "new-2"), (3, "keep-3"), (9, "ins-9")]
