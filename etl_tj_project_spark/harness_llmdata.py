@@ -320,3 +320,26 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@register(
+    "ann_ivf_trained_topk",
+    None,  # rows-only: Lloyd means are shuffle-order dependent in the
+    # last ulp (mean of doubles), so trained centroids are value- but
+    # not bitwise-reproducible — an equality-hash oracle would flap.
+    # The untrained-centroid twin (ann_ivf_topk) carries the hash check
+    # for the identical plan shape; train_kmeans convergence is pinned
+    # in tests/test_scale_plans.py on planted clusters.
+    doc="IVF-Flat ANN with TRAINED centroids: Lloyd k-means "
+        "(operators/similarity.train_kmeans — per iteration one "
+        "(cell,dim) shuffle of partial sums + a constant k x dim "
+        "collect) feeds the same IVF probe/rank plan as ann_ivf_topk",
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = sim.train_kmeans(e, k=8, iters=3)
+    q = e.filter(F.col("vec_id") == 0)
+    top = sim.ivf_topk(e, q, k=10, centroids=cents)
+    return top.select("vec_id", F.round("cosine", 9).alias("cosine"))

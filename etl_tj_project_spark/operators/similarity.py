@@ -216,29 +216,34 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qvec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: every vector is assigned to its
     nearest of ``n_cells`` centroid cells; the query probes its
     ``n_probe`` nearest cells and ranks exactly (cosine) inside them.
 
-    Centroids are the first ``n_cells`` vectors by id — a deterministic
-    stand-in for trained k-means centroids that keeps the operator a pure
-    column expression (oracle-checkable); swapping in trained centroids
-    changes recall, not the plan. The centroid collect is ``n_cells``
-    rows — constant-size driver traffic at any data scale. At 100 TB the
-    cell id becomes a partition column: probing ``n_probe`` cells reads
+    Default centroids are the first ``n_cells`` vectors by id — a
+    deterministic stand-in for trained centroids that keeps the operator
+    oracle-checkable; pass ``centroids`` (e.g. from
+    :func:`train_kmeans`) for trained cells — that changes recall, not
+    the plan. The centroid collect is ``n_cells`` rows — constant-size
+    driver traffic at any data scale. At 100 TB the cell id becomes a
+    partition column: probing ``n_probe`` cells reads
     ``n_probe/n_cells`` of the data, and inside a cell the scan is the
     brute-force path (no shuffle, TakeOrderedAndProject).
     """
-    cents = [
-        [float(x) for x in r[1]]
-        for r in sorted(
-            df.filter(F.col(id_col) < n_cells)
-            .select(id_col, vec_col)
-            .collect(),
-            key=lambda r: r[0],
-        )
-    ]
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = [
+            [float(x) for x in r[1]]
+            for r in sorted(
+                df.filter(F.col(id_col) < n_cells)
+                .select(id_col, vec_col)
+                .collect(),
+                key=lambda r: r[0],
+            )
+        ]
     cell = _cell_expr(F.col(vec_col), cents)
     bucketed = df.select(F.col(id_col), F.col(vec_col), cell.alias("__cell"))
     # Query side: rank ALL cells by cosine, keep the top n_probe.
@@ -268,3 +273,61 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --- k-means centroid training (Lloyd's algorithm) -------------------------
+
+def train_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column; returns the
+    trained centroids (feed them to :func:`ivf_topk` for trained IVF
+    cells).
+
+    Per iteration the cluster assignment is a pure column expression
+    (:func:`_cell_expr` — argmax cosine over k centroids, no join, no
+    UDF), and the centroid update is ONE (cell, dim) shuffle of
+    map-side-combined partial sums via posexplode. Driver traffic per
+    iteration is exactly k x dim mean rows — constant in the table size,
+    the property that lets the same loop run on 10^10 vectors. The plan
+    does not grow with iterations: each round's assignment is a fresh
+    expression over the base table (centroids live driver-side), so no
+    lineage checkpointing is needed, unlike label-propagation loops.
+
+    Deterministic: init = first k vectors by id; empty cells keep their
+    previous centroid. Mean-of-doubles is shuffle-order dependent in the
+    last ulp, so trained centroids are reproducible in value but not
+    bitwise — callers needing bitwise stability should round.
+    """
+    init = df.orderBy(id_col).select(vec_col).limit(k).collect()
+    cents: list[list[float]] = [[float(x) for x in r[0]] for r in init]
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} vectors, found {len(cents)}")
+
+    for _ in range(iters):
+        assigned = df.select(
+            _cell_expr(F.col(vec_col), cents).alias("__cell"),
+            F.col(vec_col).alias("__v"),
+        )
+        longf = assigned.select(
+            "__cell", F.posexplode("__v").alias("__dim", "__val")
+        )
+        means = (
+            longf.groupBy("__cell", "__dim")
+            .agg(F.avg("__val").alias("__m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"], {})[r["__dim"]] = r["__m"]
+        cents = [
+            [by_cell[c][d] for d in sorted(by_cell[c])]
+            if c in by_cell
+            else cents[c]
+            for c in range(k)
+        ]
+    return cents

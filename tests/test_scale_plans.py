@@ -395,3 +395,48 @@ def test_jdbc_upsert_merge_on_derby(spark, tmp_path):
     )
     got = sorted((r.ROUTE_CODE, r.ROUTE_NAME) for r in back.collect())
     assert got == [(1, "new-1"), (2, "new-2"), (3, "keep-3"), (9, "ins-9")]
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Lloyd training on three tight planted clusters must converge to
+    the cluster means and assign every vector to its own cluster."""
+    import random
+
+    from etl_tj_project_spark.operators.similarity import (
+        _cell_expr,
+        train_kmeans,
+    )
+
+    rng = random.Random(7)
+    anchors = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    vid = 0
+    for a in anchors:
+        for _ in range(30):
+            rows.append((vid, [x + rng.uniform(-0.5, 0.5) for x in a]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents = train_kmeans(df, k=3, iters=5)
+    # Each trained centroid must align (cosine ~1) with exactly one anchor.
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.hypot(*a) * math.hypot(*b))
+
+    matched = {max(range(3), key=lambda i: cos(c, anchors[i])) for c in cents}
+    assert matched == {0, 1, 2}
+    for c in cents:
+        assert max(cos(c, a) for a in anchors) > 0.99
+
+    # And the assignment column expression puts every vector with its
+    # planted cluster (purity 1.0 on this separation).
+    assigned = df.select(
+        "vec_id", _cell_expr(F.col("embedding"), cents).alias("cell")
+    ).collect()
+    groups = {}
+    for r in assigned:
+        groups.setdefault(r.vec_id // 30, set()).add(r.cell)
+    assert all(len(cells) == 1 for cells in groups.values())
+    assert len(set().union(*groups.values())) == 3
