@@ -343,3 +343,59 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0)
     top = sim.ivf_topk(e, q, k=10, centroids=cents)
     return top.select("vec_id", F.round("cosine", 9).alias("cosine"))
+
+
+@register(
+    "dq_expectations",
+    """
+    SELECT 'orders.o_custkey.not_null' AS rule,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice.range' AS rule,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL
+                          OR o_totalprice < 0
+                          OR o_totalprice > 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderkey.unique' AS rule,
+           CAST(SUM(n - 1) AS BIGINT) AS n_violations
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey) t
+    UNION ALL
+    SELECT 'lineitem.l_orderkey.ref_orders' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    doc="Data-quality publish gate (operators/quality.py): row-level "
+        "rules (not-null, range) fold into ONE conditional-agg scan — a "
+        "new rule is a new column, not a new pass; uniqueness is one "
+        "keyed groupBy; referential integrity one broadcast anti-join. "
+        "Exact violation counts, so the whole report is hash-checked. "
+        "Pairs with the atomic day commit: red report, no publish",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators import quality as dq
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = dq.row_rules_report(
+        o,
+        {
+            "orders.o_custkey.not_null": F.col("o_custkey").isNull(),
+            "orders.o_totalprice.range": (
+                F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") < 0)
+                | (F.col("o_totalprice") > 1_000_000)
+            ),
+        },
+    )
+    uniq = dq.unique_report(o, ["o_orderkey"], "orders.o_orderkey.unique")
+    ref = dq.ref_integrity_report(
+        li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey.ref_orders"
+    )
+    return dq.combine_reports(rows, uniq, ref)
