@@ -1128,12 +1128,27 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    con = parity.describe_connection()
+    out: dict[str, str] = {}
     try:
+        con = parity.describe_connection()
+    except Exception:
+        # Describe connection unavailable (e.g. no testdata on disk):
+        # fall back to the raw oracles rather than returning nothing.
         return {
-            name: parity.pin_oracle_sql(con, e.oracle)
+            name: e.oracle
             for name, e in ordered_registry().items()
             if e.oracle is not None
         }
+    try:
+        for name, e in ordered_registry().items():
+            if e.oracle is None:
+                continue
+            try:
+                out[name] = parity.pin_oracle_sql(con, e.oracle)
+            except Exception:
+                # One broken DESCRIBE must not zero the whole board —
+                # fail open to the raw SQL for that entry only.
+                out[name] = e.oracle
     finally:
         con.close()
+    return out

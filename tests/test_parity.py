@@ -55,3 +55,24 @@ def test_pin_spark_output_casts_decimals(spark):
 def test_pin_spark_output_noop_without_decimals(spark):
     df = spark.range(1).select("id", F.lit("x").alias("s"))
     assert parity.pin_spark_output(df) is df
+
+
+def test_oracle_sql_fails_open_per_entry(monkeypatch):
+    """A single DESCRIBE failure must degrade that one entry to its raw
+    oracle, not destroy the whole dict."""
+    from etl_tj_project_spark import harness, parity
+
+    real = parity.pin_oracle_sql
+    victim = "p2_equality_filter"
+
+    def flaky(con, sql):
+        if sql is harness.REGISTRY[victim].oracle:
+            raise RuntimeError("injected describe failure")
+        return real(con, sql)
+
+    monkeypatch.setattr(parity, "pin_oracle_sql", flaky)
+    out = harness.oracle_sql()
+    assert out[victim] == harness.REGISTRY[victim].oracle  # raw fallback
+    assert len(out) == sum(1 for e in harness.REGISTRY.values() if e.oracle)
+    # Other entries still pinned (p1 has decimal outputs -> wrapped).
+    assert out["p1_typed_projection"] != harness.REGISTRY["p1_typed_projection"].oracle
