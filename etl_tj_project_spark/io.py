@@ -79,6 +79,21 @@ def commit_partitions_atomic(
             staging = _staging(table_path)
             shutil.rmtree(staging, ignore_errors=True)
             df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+            # The publish phase renames exactly one partition directory;
+            # rows for any OTHER day would be staged and then silently
+            # dropped — refuse instead.
+            stray = [
+                p
+                for p in os.listdir(staging)
+                if p.startswith(f"{partition_col}=") and p != part
+            ]
+            if stray:
+                raise ValueError(
+                    f"{_name}: DataFrame contains partitions beyond "
+                    f"{part}: {sorted(stray)} — commit_partitions_atomic "
+                    "publishes a single day; filter the input or commit "
+                    "each day separately"
+                )
             done += 1
             if _fail_after is not None and done >= _fail_after:
                 raise RuntimeError("injected crash after staged write")

@@ -344,3 +344,30 @@ def test_atomic_commit_rolls_back_on_publish_failure(spark, tmp_path, monkeypatc
     for t, p in paths.items():
         vals = {r.v for r in spark.read.parquet(p).collect()}
         assert vals == {"v0"}, (t, vals)
+
+
+def test_atomic_commit_refuses_multi_day_input(spark, tmp_path):
+    """Rows outside the declared day would be staged then silently
+    dropped by the single-partition publish — must raise instead."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark import io as lake_io
+
+    df = spark.range(4).select(
+        "id",
+        F.when(F.col("id") < 2, F.lit("2025-01-01"))
+        .otherwise(F.lit("2025-01-02"))
+        .cast("date")
+        .alias("tanggal"),
+    )
+    with pytest.raises(ValueError, match="partitions beyond"):
+        lake_io.commit_partitions_atomic(
+            {"t": (df, str(tmp_path / "t"))}, day="2025-01-01"
+        )
+    # Nothing published, staging cleaned.
+    import os
+
+    assert not os.path.exists(str(tmp_path / "t" / "tanggal=2025-01-01"))
+    assert not os.path.exists(str(tmp_path / "t" / ".staging-2025-01-01"))

@@ -440,3 +440,42 @@ def test_kmeans_recovers_planted_clusters(spark):
         groups.setdefault(r.vec_id // 30, set()).add(r.cell)
     assert all(len(cells) == 1 for cells in groups.values())
     assert len(set().union(*groups.values())) == 3
+
+
+def test_chunked_running_sum_equals_naive_window_on_adversarial_data(spark):
+    """Property check: the two-phase rewrite equals the plain window on
+    random data with duplicate order keys, ties, single-row chunks, and
+    an empty chunk boundary."""
+    import random
+
+    from pyspark.sql import Window
+
+    from etl_tj_project_spark.operators.windows import chunked_running_sum
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(300):
+        key = rng.choice(["A", "B"])
+        # Chunk values 0..4 with deliberate gaps and hot chunks.
+        chunk = rng.choice([0, 0, 0, 1, 3, 4])
+        pos = rng.randint(0, 5)  # duplicate order positions (ties)
+        val = rng.randint(-5, 20)
+        rows.append((i, key, chunk, pos, val))
+    df = spark.createDataFrame(rows, ["rid", "key", "chunkv", "pos", "val"])
+
+    got = chunked_running_sum(
+        df,
+        key="key",
+        chunk=F.col("chunkv"),
+        order_cols=[F.col("chunkv"), F.col("pos"), F.col("rid")],
+        value=F.col("val"),
+        out_col="rs",
+    ).select("rid", "rs")
+
+    w = (
+        Window.partitionBy("key")
+        .orderBy("chunkv", "pos", "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select("rid", F.sum("val").over(w).alias("rs"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
