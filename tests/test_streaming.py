@@ -304,3 +304,63 @@ def test_stateful_sessionize_matches_batch(spark, events_dir):
     )
     want = {(r.user_id, r.event_id): r.session_id for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_foreachbatch_sink_subdaily_windows_preserved(spark, events_dir, tmp_path):
+    """With 6-hour windows, several (window, type) groups share one day;
+    an incremental batch touching one window slot must not delete the
+    day's other slots — the reason the sink partitions by wslot."""
+    from etl_tj_project_spark.streaming.daily_stream import (
+        windowed_event_agg,
+        windowed_event_agg_stream,
+        write_daily_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "agg")
+    cp = str(tmp_path / "cp")
+    ev = spark.read.parquet(events_dir)
+    ev.coalesce(1).write.parquet(src)
+
+    def run_once():
+        q = write_daily_stream(
+            windowed_event_agg_stream(spark, src, window="6 hours"),
+            out,
+            checkpoint=cp,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    target_day = max_ts.date()
+    first = spark.read.parquet(out).filter(F.col("tanggal") == F.lit(target_day))
+    # the fixture day must have more than one window slot to make the test
+    # meaningful
+    slots_before = sorted(
+        map(tuple, first.select("window_start", "event_type",
+                                "event_count", "value_sum").collect())
+    )
+    assert len({s[0] for s in slots_before}) > 1
+
+    # Append one event into only the LAST 6h window of that day.
+    late = ev.limit(1).withColumn("ts", F.lit(max_ts))
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    after = spark.read.parquet(out).filter(F.col("tanggal") == F.lit(target_day))
+    slots_after = sorted(
+        map(tuple, after.select("window_start", "event_type",
+                                "event_count", "value_sum").collect())
+    )
+    # Full-batch recompute oracle over the appended source.
+    want = sorted(
+        map(
+            tuple,
+            windowed_event_agg(spark.read.parquet(src), "6 hours")
+            .filter(F.col("window_start").cast("date") == F.lit(target_day))
+            .select("window_start", "event_type", "event_count", "value_sum")
+            .collect(),
+        )
+    )
+    assert slots_after == want
