@@ -40,6 +40,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Cap in-flight bytes per task when Python (Pandas-UDF) stages run.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Date truncation and window alignment must agree with the DuckDB
+    # oracle and with partition directory names regardless of machine
+    # timezone; runtime-settable, so pin it here (the driver hands us
+    # its own session — builder-time confs in get_spark don't reach it).
+    "spark.sql.session.timeZone": "UTC",
 }
 
 
