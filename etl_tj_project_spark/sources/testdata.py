@@ -20,10 +20,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table; normalizes ``events.ts`` to TimestampType."""
+    """Load one testdata table; normalizes ``events.ts`` to TimestampType.
+
+    Calls :func:`tune` first so every registered query is self-sufficient
+    on a vanilla session (nanosAsLong for the events scan, UTC timezone
+    for date truncation) even if the harness never ran ``entry()``.
+    """
+    tune(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        tune(spark)  # ensures nanosAsLong before schema resolution
         df = spark.read.parquet(path)
         # int64 nanoseconds since epoch → microsecond-precision timestamp.
         # Integer `div` (not `/`) — float division of ~1e18 ns loses µs bits.
