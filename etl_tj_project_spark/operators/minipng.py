@@ -1,0 +1,199 @@
+"""Dependency-free minimal PNG codec (stdlib zlib + struct only).
+
+Exists so the *real* media-decode branch of :mod:`.multimodal` can run in
+environments without PIL (this container has no image libraries): decode
+is a full PNG read — chunk walk, zlib inflate, per-scanline unfilter
+(None/Sub/Up/Average/Paeth) — not a header peek, and the luma and
+thumbnail-dimension math reproduces PIL bit-for-bit so swapping backends
+never changes results:
+
+* luma: PIL ``convert("L")`` integer ITU-R 601-2 —
+  ``(R*19595 + G*38470 + B*7471 + 0x8000) >> 16``
+* thumbnail dims: PIL ``Image.thumbnail`` round-aspect selection
+  (floor/ceil candidate minimizing aspect error, never below 1; no
+  upscale)
+
+Scope (documented, raises ``ValueError`` outside it): 8-bit depth, color
+types 0/2/4/6 (gray, RGB, gray+alpha, RGBA), no interlace, no palette.
+Resampling for thumbnails is nearest-neighbor (deterministic and cheap;
+PIL's default is bicubic — pixel VALUES may differ between backends,
+dimensions and format never do).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _chunks(data: bytes):
+    if data[:8] != _MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        yield tag, payload
+        pos += 12 + length  # skip CRC — zlib inflate will catch corruption
+        if tag == b"IEND":
+            return
+    raise ValueError("PNG ended without IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
+    """→ (width, height, channels, rows of unfiltered samples).
+
+    Each row is ``width * channels`` bytes, top to bottom.
+    """
+    width = height = None
+    ctype = None
+    idat = bytearray()
+    for tag, payload in _chunks(data):
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth} (only 8)")
+            if ctype not in _CHANNELS:
+                raise ValueError(f"unsupported color type {ctype}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            if comp or filt:
+                raise ValueError("nonstandard compression/filter method")
+        elif tag == b"IDAT":
+            idat += payload
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    rows: list[bytearray] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                upleft = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        rows.append(line)
+        prev = line
+    return width, height, ch, rows
+
+
+def mean_luma(data: bytes) -> float | None:
+    """Mean grayscale value, PIL ``convert("L")``-identical: integer
+    ITU-R 601-2 per pixel (alpha ignored), float mean over pixels.
+    None for a 0-pixel image."""
+    width, height, ch, rows = decode(data)
+    n = width * height
+    if n == 0:
+        return None
+    total = 0
+    for row in rows:
+        if ch >= 3:  # RGB / RGBA
+            for i in range(0, len(row), ch):
+                total += (
+                    row[i] * 19595 + row[i + 1] * 38470 + row[i + 2] * 7471 + 0x8000
+                ) >> 16
+        else:  # gray / gray+alpha
+            for i in range(0, len(row), ch):
+                total += row[i]
+    return total / n
+
+
+def _round_aspect(number: float, key) -> int:
+    # PIL Image.thumbnail's tie-break: floor vs ceil, whichever keeps the
+    # aspect ratio closest; never below 1.
+    return max(min(math.floor(number), math.ceil(number), key=key), 1)
+
+
+def thumbnail_size(width: int, height: int, max_side: int) -> tuple[int, int]:
+    """PIL ``Image.thumbnail((max_side, max_side))`` output dims: clamp
+    the longer side, aspect-preserving, no upscale."""
+    if max_side >= width and max_side >= height:
+        return width, height
+    aspect = width / height
+    x, y = max_side, max_side
+    if x / y >= aspect:
+        x = _round_aspect(y * aspect, key=lambda n: abs(aspect - n / y))
+    else:
+        y = _round_aspect(
+            x / aspect, key=lambda n: 0 if n == 0 else abs(aspect - x / n)
+        )
+    return x, y
+
+
+def encode(width: int, height: int, channels: int, rows: list[bytearray]) -> bytes:
+    """Minimal PNG writer: filter 0 scanlines, one IDAT."""
+    ctype = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    return (
+        _MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def thumbnail(data: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """Decode → PIL-dimensioned clamp → nearest-neighbor resample →
+    re-encode. → (thumb_w, thumb_h, png_bytes)."""
+    width, height, ch, rows = decode(data)
+    tw, th = thumbnail_size(width, height, max_side)
+    if (tw, th) == (width, height):
+        return width, height, encode(width, height, ch, rows)
+    out_rows: list[bytearray] = []
+    for ty in range(th):
+        src = rows[ty * height // th]
+        line = bytearray(tw * ch)
+        for tx in range(tw):
+            sx = tx * width // tw
+            line[tx * ch : (tx + 1) * ch] = src[sx * ch : (sx + 1) * ch]
+        out_rows.append(line)
+    return tw, th, encode(tw, th, ch, out_rows)

@@ -3,10 +3,16 @@
 Treats media payloads as opaque ``binary`` columns with a typed metadata
 struct alongside. The Spark-side plumbing — schema, Arrow-batched
 ``mapInPandas`` decode stage, batch shapes, partition sizing — is real
-and tested; the actual codec calls are STUBBED (this container has no
-image/audio libraries): ``decode_stub`` computes deterministic fake
-features from the raw bytes, and :func:`decode_real` raises
-``NotImplementedError`` unless PIL/soundfile happen to be importable.
+and tested. Two decode tiers:
+
+* :func:`decode_features` — deterministic stub (byte statistics), always
+  available, used where a codec is irrelevant to what is under test;
+* :func:`decode_features_real` / :func:`resize_thumbnail_real` — real
+  image decode: PIL when importable, else the stdlib
+  :mod:`.minipng` PNG codec (zlib inflate + unfilter), so the real
+  branch executes even in containers with no image libraries. Audio /
+  video codecs remain out of scope for this container (the frame
+  sampler documents its stub semantics inline).
 
 Scale notes: media blobs dominate row size, so the decode stage runs on
 ``mapInPandas`` with a bounded Arrow batch size (set in session.py via
@@ -93,32 +99,47 @@ def decode_features(media_df: DataFrame) -> DataFrame:
     )
 
 
-def _require_pil():
+def codec_backend() -> str:
+    """'pil' when PIL is importable, else 'minipng' — the stdlib fallback
+    codec (:mod:`.minipng`) that lets the real-decode branch run in
+    containers without image libraries. Dimension and luma math are
+    PIL-identical in both backends; only resample pixel values differ
+    (bicubic vs nearest)."""
     try:
         import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "real media decode needs PIL/pillow; this environment has no "
-            "image libraries — use decode_features (stub) instead"
-        ) from exc
+
+        return "pil"
+    except ImportError:  # pragma: no cover - environment-dependent
+        return "minipng"
 
 
 def decode_features_real(media_df: DataFrame) -> DataFrame:
     """Real codec decode stage: identical plumbing and output schema to
     :func:`decode_features`, but ``brightness`` is the mean grayscale
-    pixel of the actually-decoded image (PIL, ITU-R 601-2 luma).
+    pixel of the actually-decoded image (ITU-R 601-2 integer luma —
+    PIL ``convert("L")`` when PIL is present, the stdlib
+    :mod:`.minipng` decoder otherwise; both produce the same value for
+    PNGs in minipng's scope).
 
-    The PIL import happens inside the Arrow batch function so the
-    executor-side dependency is only exercised when this path is chosen;
-    driver-side :func:`_require_pil` fails fast with a clear message
-    when the library is absent.
+    The codec import happens inside the Arrow batch function so the
+    executor-side dependency is resolved where the work runs.
     """
-    _require_pil()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from PIL import Image
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None
+        from etl_tj_project_spark.operators import minipng
+
+        def luma(b: bytes) -> float | None:
+            if Image is not None:
+                img = Image.open(io.BytesIO(b)).convert("L")
+                px = list(img.getdata())
+                return sum(px) / len(px) if px else None
+            return minipng.mean_luma(b)
 
         for pdf in batches:
             out: dict[str, list] = {
@@ -132,9 +153,7 @@ def decode_features_real(media_df: DataFrame) -> DataFrame:
                 out["byte_len"].append(len(b))
                 out["header_hex"].append(b[:4].hex().upper() if len(b) else None)
                 try:
-                    img = Image.open(io.BytesIO(b)).convert("L")
-                    px = list(img.getdata())
-                    out["brightness"].append(sum(px) / len(px) if px else None)
+                    out["brightness"].append(luma(b))
                 except Exception:
                     out["brightness"].append(None)  # undecodable payload
             yield pd.DataFrame(out)
@@ -145,17 +164,32 @@ def decode_features_real(media_df: DataFrame) -> DataFrame:
 
 
 def resize_thumbnail_real(media_df: DataFrame, max_side: int = 64) -> DataFrame:
-    """Real thumbnail stage: PIL decode → aspect-preserving clamp of the
-    longer side to ``max_side`` (no upscale) → PNG re-encode. Output
-    schema identical to the stub's: (doc_id, thumb_w, thumb_h,
-    thumb_len, thumb_header), with thumb_len/thumb_header describing the
-    re-encoded thumbnail bytes."""
-    _require_pil()
+    """Real thumbnail stage: decode → aspect-preserving clamp of the
+    longer side to ``max_side`` (no upscale, PIL ``thumbnail`` dimension
+    math in both backends) → PNG re-encode. Output schema identical to
+    the stub's: (doc_id, thumb_w, thumb_h, thumb_len, thumb_header),
+    with thumb_len/thumb_header describing the re-encoded thumbnail
+    bytes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from PIL import Image
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None
+        from etl_tj_project_spark.operators import minipng
+
+        def thumb(b: bytes) -> tuple[int, int, bytes]:
+            if Image is not None:
+                img = Image.open(io.BytesIO(b))
+                # Image.thumbnail clamps the longer side and never
+                # upscales — the exact semantics minipng mirrors.
+                img.thumbnail((max_side, max_side))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return img.width, img.height, buf.getvalue()
+            return minipng.thumbnail(b, max_side)
 
         for pdf in batches:
             out: dict[str, list] = {
@@ -168,15 +202,9 @@ def resize_thumbnail_real(media_df: DataFrame, max_side: int = 64) -> DataFrame:
             for doc_id, b in zip(pdf["doc_id"], pdf["media_bytes"]):
                 out["doc_id"].append(doc_id)
                 try:
-                    img = Image.open(io.BytesIO(b))
-                    # Image.thumbnail clamps the longer side and never
-                    # upscales — the exact semantics the stub mirrors.
-                    img.thumbnail((max_side, max_side))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    tb = buf.getvalue()
-                    out["thumb_w"].append(img.width)
-                    out["thumb_h"].append(img.height)
+                    tw, th, tb = thumb(b)
+                    out["thumb_w"].append(tw)
+                    out["thumb_h"].append(th)
                     out["thumb_len"].append(len(tb))
                     out["thumb_header"].append(tb[:4].hex().upper())
                 except Exception:

@@ -1,20 +1,25 @@
-"""Real-codec multimodal path: exercised only where PIL is installed
-(this container has no media libs, so these tests skip — the driver-
-checked stub path covers the plumbing either way). The fixture PNG is
-generated with zlib+struct so the test needs no library to *create*
-media, only to decode it."""
+"""Real-codec multimodal path. Runs EVERYWHERE: with PIL when installed,
+else through the stdlib minipng backend (zlib+struct decode — a real
+pixel decode, not a header peek). The fixture PNG is generated with
+zlib+struct so the test needs no library to *create* media either.
+
+Both backends share dimension math (PIL Image.thumbnail round-aspect)
+and integer ITU-R 601-2 luma, so these assertions are backend-stable.
+"""
 
 from __future__ import annotations
 
 import struct
 import zlib
 
-import pytest
-
 from pyspark.sql import functions as F
 
+from etl_tj_project_spark.operators import minipng
 
-def make_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+
+def make_png(
+    width: int, height: int, rgb: tuple[int, int, int], filter_type: int = 0
+) -> bytes:
     """Minimal valid 8-bit RGB PNG: one IHDR, one IDAT, one IEND."""
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
@@ -26,7 +31,12 @@ def make_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    row = b"\x00" + bytes(rgb) * width  # filter byte 0 + pixels
+    if filter_type == 0:
+        row = b"\x00" + bytes(rgb) * width  # filter byte 0 + pixels
+    elif filter_type == 1:  # Sub: first pixel raw, rest delta-0
+        row = b"\x01" + bytes(rgb) + b"\x00\x00\x00" * (width - 1)
+    else:
+        raise ValueError(filter_type)
     idat = zlib.compress(row * height)
     return (
         b"\x89PNG\r\n\x1a\n"
@@ -42,8 +52,12 @@ def _media_df(spark, rows):
     )
 
 
+def _pil_luma(rgb: tuple[int, int, int]) -> int:
+    r, g, b = rgb
+    return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+
+
 def test_decode_real_reads_generated_png(spark):
-    pytest.importorskip("PIL")
     from etl_tj_project_spark.operators.multimodal import decode_features_real
 
     png = make_png(6, 4, (10, 200, 30))
@@ -55,14 +69,13 @@ def test_decode_real_reads_generated_png(spark):
     }
     assert out[1].byte_len == len(png)
     assert out[1].header_hex == png[:4].hex().upper()
-    # ITU-R 601-2 luma of (10, 200, 30): uniform image, one value.
-    want = int(10 * 299 / 1000 + 200 * 587 / 1000 + 30 * 114 / 1000)
-    assert abs(out[1].brightness - want) <= 1.0
+    # Integer ITU-R 601-2 luma of uniform (10, 200, 30) — exact in both
+    # backends (PIL convert("L") uses the same >>16 fixed-point form).
+    assert out[1].brightness == float(_pil_luma((10, 200, 30)))
     assert out[2].brightness is None  # undecodable -> NULL, never raises
 
 
 def test_resize_real_clamps_longer_side(spark):
-    pytest.importorskip("PIL")
     from etl_tj_project_spark.operators.multimodal import resize_thumbnail_real
 
     portrait = make_png(32, 256, (5, 5, 5))
@@ -76,13 +89,41 @@ def test_resize_real_clamps_longer_side(spark):
         ).collect()
     }
     assert (out[1].thumb_w, out[1].thumb_h) == (8, 64)
-    assert (out[2].thumb_w, out[2].thumb_h) == (64, 25)
+    # 100x40 → clamp 100→64; 40*0.64 = 25.6, and PIL's round_aspect picks
+    # the floor/ceil candidate minimizing aspect error: |2.5 - 64/26| <
+    # |2.5 - 64/25| → 26 (both backends implement this rule).
+    assert (out[2].thumb_w, out[2].thumb_h) == (64, 26)
     assert (out[3].thumb_w, out[3].thumb_h) == (10, 8)  # no upscale
     assert all(r.thumb_header == "89504E47" for r in out.values())  # PNG magic
 
 
+def test_minipng_roundtrip_and_filters():
+    """Pure-stdlib codec invariants, no Spark: decode(encode(x)) == x,
+    Sub-filtered input unfilters to the same pixels as filter-0 input."""
+    png0 = make_png(7, 3, (9, 130, 250), filter_type=0)
+    png1 = make_png(7, 3, (9, 130, 250), filter_type=1)
+    w0, h0, ch0, rows0 = minipng.decode(png0)
+    w1, h1, ch1, rows1 = minipng.decode(png1)
+    assert (w0, h0, ch0) == (7, 3, 3) == (w1, h1, ch1)
+    assert rows0 == rows1  # unfilter reproduces the same pixel bytes
+    again = minipng.decode(minipng.encode(w0, h0, ch0, rows0))
+    assert again == (w0, h0, ch0, rows0)
+    assert minipng.mean_luma(png0) == float(_pil_luma((9, 130, 250)))
+
+
+def test_minipng_thumbnail_size_matches_pil_rules():
+    assert minipng.thumbnail_size(32, 256, 64) == (8, 64)
+    assert minipng.thumbnail_size(100, 40, 64) == (64, 26)
+    assert minipng.thumbnail_size(10, 8, 64) == (10, 8)
+    assert minipng.thumbnail_size(8000, 2, 64) == (64, 1)  # never below 1
+    tw, th, tb = minipng.thumbnail(make_png(100, 40, (5, 5, 5)), 64)
+    assert (tw, th) == (64, 26)
+    assert tb[:8] == b"\x89PNG\r\n\x1a\n"
+    assert minipng.decode(tb)[:3] == (64, 26, 3)
+
+
 def test_png_generator_is_structurally_valid():
-    """Runs everywhere: CRC-checked chunk layout independent of PIL."""
+    """CRC-checked chunk layout independent of any codec."""
     png = make_png(3, 2, (1, 2, 3))
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
     pos = 8
