@@ -52,6 +52,11 @@ HEADLINE = [
     # in the headline number, not just correctness checks.
     "dedup_exact",
     "dedup_minhash_lsh",
+    # The two most iterative/expensive extension plans — previously
+    # unbenched (VERDICT r2 #3): label-propagation connected components
+    # over the LSH graph, and trained (distributed-Lloyd) IVF ANN.
+    "dedup_connected_components",
+    "ann_ivf_trained_topk",
     "text_quality",
     "ann_brute_force_topk",
     "corpus_top_terms",

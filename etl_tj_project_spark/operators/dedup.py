@@ -39,6 +39,22 @@ from etl_tj_project_spark.functions.text import (
 )
 from etl_tj_project_spark.functions.vectors import cosine_similarity
 
+
+def _persist_once(df: DataFrame) -> DataFrame:
+    """persist() unless the CacheManager already holds this plan.
+
+    ``df.storageLevel`` does a CacheManager lookup by logical plan, so a
+    SECOND DataFrame object with the same plan (e.g. bench.py's
+    best-of-2 repeat of a query builder) reports the cached level and we
+    skip the redundant persist — which would otherwise log
+    "Asked to cache already cached data" and do nothing useful.
+    (``df.is_cached`` only reflects persist() called on THIS object.)"""
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        df = df.persist()
+    return df
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -190,7 +206,7 @@ def lsh_candidate_pairs(
     """
     b = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_k)
     if persist_bands:
-        b = b.persist()
+        b = _persist_once(b)
     left = b.select(
         F.col(id_col).alias("doc_a"), F.col("band"), F.col("h")
     )
@@ -434,15 +450,17 @@ def connected_components(
     graph — the canonical cluster representative for near-dup groups
     (greedy keep-the-smallest-id dedup falls out of it directly).
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(diameter) rounds. Near-dup clusters are shallow (diameter ≤ a few
-    hops), so the loop runs 2-4 rounds in practice; ``max_iter`` bounds
-    pathological chains. Each round is one shuffle of the (still tiny)
-    label table against the edge list — the fact-scale work (signature +
-    candidate generation) happened upstream. The convergence probe is a
-    driver-side count of CHANGED labels (an O(1)-row action), not a
-    collect of data.
+    Iterative min-label propagation with pointer-doubling: each round
+    every node adopts the smallest label among itself and its neighbors
+    (one hop), then shortcuts ``lab(n) := lab(lab(n))`` — labels are
+    node ids and ``lab(x) <= x``, so the shortcut halves chain depth
+    every round and convergence is O(log diameter) rounds, not
+    O(diameter) (an LSH graph over boilerplate-heavy corpora can chain
+    hundreds of hops; plain propagation measurably crawled there).
+    Each round is two keyed shuffles of the (still tiny) label table —
+    the fact-scale work (signature + candidate generation) happened
+    upstream. The convergence probe is a driver-side count of CHANGED
+    labels (an O(1)-row action), not a collect of data.
 
     Labels are checkpointed to truncate lineage (iterative plans
     otherwise grow exponentially in Catalyst).
@@ -452,13 +470,21 @@ def connected_components(
     component_id = minimum-reachable-node invariant for chains deeper
     than ``max_iter`` hops.
     """
+    # Symmetrize with ONE pass over the edge plan: a union of two selects
+    # would execute the (possibly expensive — e.g. an LSH self-join)
+    # upstream plan twice; explode duplicates each row map-side instead.
     sym = edges.select(
-        F.col(src).alias("n"), F.col(dst).alias("m")
-    ).unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
-    sym = sym.persist()
-    labels = (
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("n"), F.col(dst).alias("m")),
+                F.struct(F.col(dst).alias("n"), F.col(src).alias("m")),
+            )
+        ).alias("__e")
+    ).select("__e.n", "__e.m")
+    sym = _persist_once(sym)
+    labels = _persist_once(
         sym.select("n").distinct().withColumn("lab", F.col("n"))
-    ).persist()
+    )
 
     changed = 0
     for _ in range(max_iter):
@@ -467,7 +493,7 @@ def connected_components(
             .groupBy(F.col("m").alias("n"))
             .agg(F.min("lab").alias("nmin"))
         )
-        new_labels = (
+        cand = (
             labels.join(neighbor_min, on="n", how="left")
             .select(
                 "n",
@@ -475,9 +501,21 @@ def connected_components(
                     F.col("lab"), F.coalesce(F.col("nmin"), F.col("lab"))
                 ).alias("lab"),
             )
-        ).persist()
+        )
+        # Pointer doubling: follow each node's label one more hop
+        # (labels ARE node ids, and every label value appears as a node
+        # in cand, so the lookup is a self-join on the label). lab(x)<=x
+        # guarantees the hop never increases a label.
+        parent = cand.select(
+            F.col("n").alias("lab"), F.col("lab").alias("lab2")
+        )
+        new_labels = cand.join(parent, on="lab", how="left").select(
+            "n", F.coalesce(F.col("lab2"), F.col("lab")).alias("lab")
+        )
         # Materialize via localCheckpoint: truncates the growing lineage
         # AND gives the convergence probe a computed table to count.
+        # (localCheckpoint persists its RDD itself — an extra .persist()
+        # here would leave one orphaned cache entry per iteration.)
         new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("a")

@@ -56,22 +56,38 @@ def _plane_col(plane: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in plane])
 
 
+def _planes_col(planes: list[list[float]]) -> Column:
+    """All planes/centroids as ONE 2-D literal array. Expression-size
+    matters: inlining the scoring machinery once per plane (the naive
+    form) makes the AST grow linearly in n_planes and Catalyst
+    analysis + codegen dominate wall-clock on small inputs; a single
+    ``transform`` lambda over this 2-D literal keeps one copy of the
+    machinery regardless of n_planes, with identical per-element math."""
+    return F.array(*[_plane_col(p) for p in planes])
+
+
 def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    One transform lambda over the 2-D plane literal (see
+    :func:`_planes_col`); bit p contributes ``1 << p`` exactly as the
+    unrolled form did, summed in ascending-p order."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec, _plane_col(plane), lambda x, y: x.cast("double") * y
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0)
-        )
-    return bucket
+    bits = F.transform(
+        _planes_col(planes),
+        lambda plane, p: F.when(
+            F.aggregate(
+                F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            # 1 << p with a Column exponent (F.shiftleft needs a Python
+            # int); pow is exact for p << 53 so the cast is lossless.
+            F.pow(F.lit(2.0), p.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
 def lsh_topk(
@@ -190,21 +206,36 @@ def lsh_topk_sql(
 
 # --- IVF (inverted-file) ANN ----------------------------------------------
 
-def _cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+def _scored_cells(
+    vec: Column, centroids: list[list[float]] | Column
+) -> Column:
+    """array< struct(cosine, cell) > over all centroids, via ONE
+    transform lambda (identical math and struct ordering to the unrolled
+    per-centroid form, ~n_cells× less expression for Catalyst to
+    analyze/codegen — the unrolled form made plan compilation, not data,
+    the cost on benched inputs). ``centroids`` may be a literal list OR
+    an ``array<array<double>>`` Column (e.g. a broadcast-joined training
+    table — see :func:`train_kmeans` for why that matters)."""
+    cents = (
+        centroids
+        if isinstance(centroids, Column)
+        else _planes_col(centroids)
+    )
+    return F.transform(
+        cents,
+        lambda c, i: F.struct(
+            cosine_similarity(vec, c).alias("c"), i.alias("cell")
+        ),
+    )
+
+
+def _cell_expr(vec: Column, centroids: list[list[float]] | Column) -> Column:
     """argmax_i cosine(vec, centroid_i) as a pure column expression.
 
-    Built as array< struct(cosine, cell) > → array_max: struct ordering
-    compares cosine first, then cell id — deterministic tie-break, no
-    join, no shuffle.
+    array_max over struct(cosine, cell): struct ordering compares cosine
+    first, then cell id — deterministic tie-break, no join, no shuffle.
     """
-    scored = [
-        F.struct(
-            cosine_similarity(vec, _plane_col(c)).alias("c"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return F.array_max(F.array(*scored)).getField("cell")
+    return F.array_max(_scored_cells(vec, centroids)).getField("cell")
 
 
 def ivf_topk(
@@ -247,15 +278,10 @@ def ivf_topk(
     cell = _cell_expr(F.col(vec_col), cents)
     bucketed = df.select(F.col(id_col), F.col(vec_col), cell.alias("__cell"))
     # Query side: rank ALL cells by cosine, keep the top n_probe.
-    probe_scores = [
-        F.struct(
-            cosine_similarity(F.col(qvec_col), _plane_col(c)).alias("c"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(cents)
-    ]
     probes = F.slice(
-        F.reverse(F.array_sort(F.array(*probe_scores))), 1, n_probe
+        F.reverse(F.array_sort(_scored_cells(F.col(qvec_col), cents))),
+        1,
+        n_probe,
     )
     q = F.broadcast(
         query_vec.select(
@@ -289,14 +315,18 @@ def train_kmeans(
     cells).
 
     Per iteration the cluster assignment is a pure column expression
-    (:func:`_cell_expr` — argmax cosine over k centroids, no join, no
-    UDF), and the centroid update is ONE (cell, dim) shuffle of
-    map-side-combined partial sums via posexplode. Driver traffic per
-    iteration is exactly k x dim mean rows — constant in the table size,
-    the property that lets the same loop run on 10^10 vectors. The plan
-    does not grow with iterations: each round's assignment is a fresh
-    expression over the base table (centroids live driver-side), so no
-    lineage checkpointing is needed, unlike label-propagation loops.
+    (:func:`_cell_expr` — argmax cosine over k centroids, no UDF), and
+    the centroid update is ONE (cell, dim) shuffle of map-side-combined
+    partial sums via posexplode. Driver traffic per iteration is exactly
+    k x dim mean rows — constant in the table size, the property that
+    lets the same loop run on 10^10 vectors. The plan does not grow with
+    iterations; moreover the centroids enter through a BROADCAST
+    single-row table rather than literals, so every iteration submits
+    the IDENTICAL plan (only the broadcast payload changes) and
+    whole-stage-codegen compiles once for the whole loop — with literal
+    centroids each round re-analyzed and re-JIT'd a fresh expression,
+    which dominated wall-clock on benched inputs. No lineage
+    checkpointing is needed, unlike label-propagation loops.
 
     Deterministic: init = first k vectors by id; empty cells keep their
     previous centroid. Mean-of-doubles is shuffle-order dependent in the
@@ -308,9 +338,13 @@ def train_kmeans(
     if len(cents) < k:
         raise ValueError(f"need at least k={k} vectors, found {len(cents)}")
 
+    spark = df.sparkSession
     for _ in range(iters):
-        assigned = df.select(
-            _cell_expr(F.col(vec_col), cents).alias("__cell"),
+        cents_df = spark.createDataFrame(
+            [(cents,)], schema="__cents array<array<double>>"
+        )
+        assigned = df.crossJoin(F.broadcast(cents_df)).select(
+            _cell_expr(F.col(vec_col), F.col("__cents")).alias("__cell"),
             F.col(vec_col).alias("__v"),
         )
         longf = assigned.select(
