@@ -596,8 +596,64 @@ def partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast(AMOUNT).alias("amount"),
     )
     out = tempfile.mkdtemp(prefix="tj_roundtrip_")
-    write_partitioned(df, out, partition_col="tanggal")
-    return spark.read.parquet(out).select("tanggal", "event_id", "amount")
+    try:
+        write_partitioned(df, out, partition_col="tanggal")
+        back = spark.read.parquet(out).select("tanggal", "event_id", "amount")
+        # Materialize the read-back so the temp directory can be deleted
+        # NOW instead of leaking a parquet copy per invocation (the driver
+        # and parity tests call every registered query repeatedly). The
+        # roundtrip result is day-aggregate-sized, not fact-sized, so a
+        # driver-side materialization is safe here — and the point of the
+        # query is the write/read path, which has already run in full.
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_snapshot_roundtrip",
+    """
+    SELECT CAST(ts AS DATE) AS tanggal, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             AS DECIMAL(18,2)) AS value_sum
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+    doc="Snapshot-manifest table format (manifest.py) under the "
+        "correctness gate: a daily aggregate is committed through "
+        "manifest.commit (immutable snapshot dir + atomic pointer swap) "
+        "and read back through manifest.read_table; the oracle states "
+        "the content that must survive the commit→read roundtrip "
+        "bit-exactly. The lake-native twin of the reference's "
+        "single-transaction aggregate publish "
+        "(dag_datapelangan.py:172-244)",
+)
+def manifest_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etl_tj_project_spark import manifest as mf
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    agg = ev.groupBy(
+        F.col("ts").cast("date").alias("tanggal"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(AMOUNT)).cast(AMOUNT).alias("value_sum"),
+    )
+    root = tempfile.mkdtemp(prefix="tj_manifest_")
+    try:
+        mf.commit(root, {"daily_agg": agg})
+        back = mf.read_table(spark, root, "daily_agg")
+        # Materialize before deleting the snapshot dir (same pattern as
+        # partitioned_write_roundtrip: result is aggregate-sized).
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # =========================================================================
@@ -1048,68 +1104,75 @@ from etl_tj_project_spark import parity  # noqa: E402
 
 
 # The driver runs CORRECTNESS on the FIRST 50 registry entries only, in
-# iteration order — so iteration order is the coverage lever. The window
-# below keeps (a) every §2-core operator, (b) every round-1 hash-red
-# entry (so the representation fix shows green), (c) the three round-1
-# lucky decimal passes (so they provably *stay* green), and rotates the
-# remaining slots to entries with no CORRECTNESS row yet (extended TPC-H
-# pack, curation pack, IVF, view/upsert/salted-join surface). Entries
-# outside the window keep their round-1 rows and rotate in next round.
+# iteration order — so iteration order is the coverage lever. Rounds 1+2
+# proved 71 distinct entries green; round 3 shrinks the stability core to
+# six §2 representatives (one per family: projection, join, agg, union,
+# window, rollup) and fills the other 44 slots from the 51 entries that
+# have never had a driver CORRECTNESS row. Deferred to round 4 (7): the
+# two rows-only-by-policy entries (approx_count_distinct,
+# ann_ivf_trained_topk) plus five whose shapes are near-duplicates of
+# in-window entries (bigram_top50, histogram_fixed_buckets,
+# posexplode_tokens, regexp_extract_all_numbers, embedding_int8_quantize).
 DRIVER_WINDOW: list[str] = [
-    # §2 core (driver-green r1, must stay green)
+    # §2 stability core (driver-green r1+r2, one per operator family)
     "p1_typed_projection",
-    "p2_equality_filter",
-    "p3_date_partition_filter",
-    "p4_null_rejection",
-    "p5_conjunctive_predicate",
-    "ud1_norm_body",
-    "ud2_to_bool_safe",
-    "f_scalar_pack",
     "j1_inner_join_fanout",
-    "j2_left_join_code_to_name",
-    "j4_cast_key_join",
-    "u1_union_all",
     "a1_agg_by_card",
-    "a2_agg_nullable_group_keys",
-    "a3_agg_by_tariff",
-    "a4_count_probe",
     "u2_two_branch_union_agg",
-    "w1_topk_per_group",
     "w2_running_sum",
-    "sort_limit_topk",
-    "distinct_pairs",
     "rollup_agg",
-    # r1 hash-red outside the core + lucky decimal passes
-    "stream_window_agg",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q5ish_regional_revenue",
-    "cube_agg",
-    "pivot_status_counts",
-    # §2 surface with no r1 CORRECTNESS row
-    "sql_view_layer",
-    "upsert_dim_delta",
-    "skew_salted_join",
-    # previously-unchecked rotation: ANN, skew-window, curation, TPC-H ext
-    "ann_ivf_topk",
-    "skewed_window_two_phase",
-    "corpus_split_assign",
-    "corpus_pack_sequences",
-    "corpus_pii_redact",
-    "corpus_top_terms",
-    "corpus_stratified_sample",
-    "corpus_contamination_check",
-    "tpch_q4ish_late_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9ish_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q12ish_priority_by_returnflag",
-    "tpch_q13_order_count_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17ish_small_qty_revenue",
-    "partitioned_write_roundtrip",
+    # never-driver-checked rotation: window-function family
+    "window_lag_delta",
+    "window_ntile_quartiles",
+    "window_rank_family",
+    "window_range_frame",
+    "window_first_last",
+    "session_window_agg",
+    "sliding_window_counts",
+    "unpivot_melt",
+    # set ops + grouping surface
+    "intersect_distinct",
+    "except_distinct",
+    "grouping_sets_agg",
+    "stats_agg_by_group",
+    "array_agg_sorted",
+    "argmin_join_back",
+    # remaining TPC-H shapes
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q21ish_lone_late_supplier",
+    "tpch_q22ish_idle_customers",
+    # function-family packs
+    "datetime_function_pack",
+    "string_function_pack",
+    "array_hof_pack",
+    "math_function_pack",
+    "null_semantics_pack",
+    "conditional_agg_pack",
+    "map_struct_pack",
+    "null_safe_join_agg",
+    # JSON surface
+    "json_extract_typed",
+    "json_agg_by_field",
+    # temporal / incremental pack
+    "scd2_validity_ranges",
+    "range_band_join",
+    "date_spine_gap_fill",
+    "cohort_retention",
+    "reaggregate_partials",
+    "funnel_stages",
+    # data-quality + profiling
+    "dq_expectations",
+    "profile_columns",
+    # LLM-data / embedding surface
+    "tfidf_top_terms",
+    "dedup_levenshtein_pairs",
+    "ann_lsh_recall",
+    "embedding_centroids_long",
+    "corpus_quality_filter",
+    "source_curation_stats",
+    "repetition_filter",
 ]
 
 

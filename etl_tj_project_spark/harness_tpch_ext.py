@@ -578,13 +578,18 @@ def tpch_q21ish_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFram
     WHERE substring(c.c_name, 17, 2) IN ('01','02','03','04','05','06','07')
       AND CAST(c.c_acctbal AS DOUBLE) > pos.avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '2000-07-01')
     GROUP BY substring(c.c_name, 17, 2)
     """,
     doc="TPC-H Q22 shape (c_phone absent → a c_name digit slice is the "
         "country code): scalar-subquery AVG threshold + NOT EXISTS anti-"
-        "join + group over the derived code. The 1-row avg broadcasts; "
-        "the anti join builds on filtered customers only",
+        "join + group over the derived code. 'Idle' = no orders on/after "
+        "2000-07-01 (every sf0.01 customer has SOME order, so an "
+        "unconditioned NOT EXISTS is vacuously empty — the date filter "
+        "keeps the result non-empty at sf0.001/0.01/0.1 AND shrinks the "
+        "anti-join build side). The 1-row avg broadcasts; the anti join "
+        "builds on date-filtered orders only",
 )
 def tpch_q22ish_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = ("01", "02", "03", "04", "05", "06", "07")
@@ -598,7 +603,9 @@ def tpch_q22ish_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_bal")
     )
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("2000-07-01").cast("date")
+    )
     return (
         in_codes.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))

@@ -56,10 +56,14 @@ def commit_partitions_atomic(
     ``{partition_col}={day}`` directory is renamed aside and the staged
     one renamed into place — pure filesystem-metadata operations. The
     cross-table visibility window shrinks from the full write duration
-    to a few renames; closing it entirely needs a manifest-based table
-    format (Delta/Iceberg), which is out of scope here. On a rename
-    failure the already-published tables are rolled back from the
-    set-aside directories.
+    to a few renames; closing it ENTIRELY needs a manifest-based table
+    format — which this repo now has: :mod:`..manifest` publishes N
+    tables behind one atomically-replaced manifest pointer (plus time
+    travel + vacuum). Use that for new snapshot-style tables; this
+    staged-rename path remains for Hive-layout day-partitioned tables
+    whose directory structure external readers already depend on. On a
+    rename failure the already-published tables are rolled back from
+    the set-aside directories.
 
     A day with zero rows publishes as an absent partition (the staged
     write emits no partition directory).

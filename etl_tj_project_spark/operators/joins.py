@@ -46,14 +46,20 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
     # Salting by hash(key) alone would put every copy of a hot key in the
-    # same bucket — the salt must vary *within* a key. Hash the whole row
-    # rather than the partition id: a hot key concentrated in one input
-    # split (the common case after a partitioned/sorted write) gets the
-    # same partition id everywhere and would not spread at all. Row-content
-    # hashing is also deterministic under task retries, unlike
-    # monotonically_increasing_id.
+    # same bucket — the salt must vary *within* a key. Mix BOTH the row
+    # content and the input split id into the salt: row-content hashing
+    # alone sends identical duplicate rows of a hot key (a common skew
+    # shape) to one bucket, and split id alone fails when a hot key is
+    # concentrated in a single input split. Together, duplicates in
+    # different splits spread by split id and distinct rows in one split
+    # spread by content. Residual case: identical duplicates inside a
+    # single split still share a bucket — at that point only an exploded
+    # random salt helps, at the cost of retry determinism
+    # (spark_partition_id is stable under task retry, which re-reads the
+    # same split; monotonically_increasing_id is not).
     salt: Column = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts)
+        F.xxhash64(*[F.col(c) for c in big.columns], F.spark_partition_id()),
+        F.lit(num_salts),
     ).cast("int")
     big_salted = big.withColumn("_salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("_salt")

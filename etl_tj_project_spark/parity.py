@@ -52,13 +52,45 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Spark side
 # ---------------------------------------------------------------------------
 
-def _pin_col(field: T.StructField):
-    dt = field.dataType
+def _pinned_type(dt: T.DataType) -> T.DataType | None:
+    """The same type with every DECIMAL (at any nesting depth — struct,
+    array, map) replaced by DOUBLE; None when nothing needs pinning."""
     if isinstance(dt, T.DecimalType):
-        return F.col(field.name).cast("double").alias(field.name)
-    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.DecimalType):
-        return F.col(field.name).cast("array<double>").alias(field.name)
+        return T.DoubleType()
+    if isinstance(dt, T.ArrayType):
+        el = _pinned_type(dt.elementType)
+        return T.ArrayType(el, dt.containsNull) if el is not None else None
+    if isinstance(dt, T.StructType):
+        pinned = {f.name: _pinned_type(f.dataType) for f in dt.fields}
+        if not any(p is not None for p in pinned.values()):
+            return None
+        return T.StructType([
+            T.StructField(
+                f.name,
+                pinned[f.name] if pinned[f.name] is not None else f.dataType,
+                f.nullable,
+            )
+            for f in dt.fields
+        ])
+    if isinstance(dt, T.MapType):
+        k, v = _pinned_type(dt.keyType), _pinned_type(dt.valueType)
+        if k is None and v is None:
+            return None
+        return T.MapType(
+            k if k is not None else dt.keyType,
+            v if v is not None else dt.valueType,
+            dt.valueContainsNull,
+        )
     return None
+
+
+def _pin_col(field: T.StructField):
+    pinned = _pinned_type(field.dataType)
+    if pinned is None:
+        return None
+    # One cast handles arbitrary nesting: Spark casts struct→struct /
+    # array→array / map→map field-wise when the shapes line up.
+    return F.col(field.name).cast(pinned).alias(field.name)
 
 
 def pin_spark_output(df: DataFrame) -> DataFrame:

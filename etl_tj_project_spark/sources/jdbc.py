@@ -77,15 +77,32 @@ def write_jdbc_upsert(
         f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )
     jvm = spark._jvm
-    driver = (properties or {}).get("driver")
+    props = properties or {}
+    driver = props.get("driver")
     if driver:
         jvm.java.lang.Class.forName(driver)
-    con = jvm.java.sql.DriverManager.getConnection(url)
+    # Forward connection properties (user/password/ssl/...) to the
+    # driver-side control connection too — the executor-side writer above
+    # already got them via .option(), and an authenticated target
+    # (Postgres/Oracle/SQL Server) rejects a bare getConnection(url).
+    # Spark-reserved reader/writer options are not JDBC driver properties.
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        if k not in ("driver", "dbtable", "url", "fetchsize", "batchsize"):
+            jprops.setProperty(k, v)
+    con = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         st = con.createStatement()
         st.executeUpdate(merge)
-        st.executeUpdate(f"DROP TABLE {staging}")
     finally:
+        # Drop staging even when the MERGE fails — otherwise a failed run
+        # orphans the staging table and the NEXT run's overwrite may
+        # conflict with it. A lost connection can make the DROP itself
+        # fail; that must not mask the original MERGE error.
+        try:
+            con.createStatement().executeUpdate(f"DROP TABLE {staging}")
+        except Exception:
+            pass
         con.close()
 
 

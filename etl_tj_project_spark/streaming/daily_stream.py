@@ -67,6 +67,39 @@ def windowed_event_agg_stream(
     return _agg(stream, window)
 
 
+def write_epoch_partitioned(
+    batch_df: DataFrame, path: str, date_col: str = "window_start"
+) -> None:
+    """One micro-batch epoch of the daily-stream sink: dynamic partition
+    overwrite at per-group granularity. Module-level (not closed over
+    inside :func:`write_daily_stream`) so crash-recovery tests can drive
+    a PARTIAL epoch through the identical write path."""
+    secs = F.unix_timestamp(F.col(date_col))
+    sod = F.pmod(secs, F.lit(86400))  # second-of-day, UTC
+    (
+        batch_df.withColumn(
+            "tanggal",
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.floor(secs / 86400).cast("int"),
+            ),
+        )
+        .withColumn(
+            "wslot",
+            F.format_string(
+                "%02d%02d%02d",
+                F.floor(sod / 3600).cast("int"),
+                F.floor(F.pmod(sod, F.lit(3600)) / 60).cast("int"),
+                F.pmod(sod, F.lit(60)).cast("int"),
+            ),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tanggal", "event_type", "wslot")
+        .parquet(path)
+    )
+
+
 def write_daily_stream(
     agg_stream: DataFrame,
     path: str,
@@ -89,18 +122,18 @@ def write_daily_stream(
 
     ``partitionOverwriteMode`` is pinned on the writer, not the session —
     a vanilla session defaults to static overwrite, which would truncate
-    the whole table on every batch.
+    the whole table on every batch. The partition columns are likewise
+    derived timezone-independently (epoch-seconds arithmetic, not
+    cast-to-date / date_format, which render through
+    ``spark.sql.session.timeZone``): on a vanilla non-UTC session the
+    rendered paths would shift relative to a UTC run, so a replay or
+    incremental batch would overwrite *different* directories and strand
+    the stale ones — the same vanilla-session trap the overwrite-mode
+    pin above closes.
     """
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn("tanggal", F.col(date_col).cast("date"))
-            .withColumn("wslot", F.date_format(F.col(date_col), "HHmmss"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("tanggal", "event_type", "wslot")
-            .parquet(path)
-        )
+        write_epoch_partitioned(batch_df, path, date_col)
 
     return (
         agg_stream.writeStream.foreachBatch(_sink)

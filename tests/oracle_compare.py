@@ -78,18 +78,29 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """
     from pyspark.sql import types as T
 
+    def _has_decimal(dt) -> bool:
+        # Recursive: a DECIMAL nested in a struct/array/map materializes
+        # differently across the two clients just like a top-level one.
+        if isinstance(dt, T.DecimalType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_decimal(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_decimal(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.MapType):
+            return _has_decimal(dt.keyType) or _has_decimal(dt.valueType)
+        return False
+
     bad_spark = [
-        f.name
-        for f in spark_df.schema.fields
-        if isinstance(f.dataType, T.DecimalType)
-        or (isinstance(f.dataType, T.ArrayType)
-            and isinstance(f.dataType.elementType, T.DecimalType))
+        f.name for f in spark_df.schema.fields if _has_decimal(f.dataType)
     ]
     assert not bad_spark, f"unpinned DECIMAL output columns (spark): {bad_spark}"
+    # Substring, not prefix: catches STRUCT(x DECIMAL(18,2)),
+    # MAP(VARCHAR, DECIMAL), DECIMAL[] — any nesting DuckDB can print.
     bad_duck = [
         (name, typ)
         for name, typ, *_ in con.sql(f"DESCRIBE {sql}").fetchall()
-        if typ.upper().startswith("DECIMAL") or typ.upper() in ("HUGEINT", "UHUGEINT")
+        if "DECIMAL" in typ.upper() or "HUGEINT" in typ.upper()
     ]
     assert not bad_duck, f"unpinned DECIMAL/HUGEINT oracle columns: {bad_duck}"
 

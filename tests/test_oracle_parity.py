@@ -44,3 +44,53 @@ def test_driver_window_is_first_50():
     assert ordered[:50] == harness.DRIVER_WINDOW
     assert len(harness.DRIVER_WINDOW) == 50
     assert set(ordered) == set(harness.REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# The two rows-only-by-policy entries still get VALUE constraints locally:
+# "rows-only" exempts them from bit-equality with the oracle, not from
+# being right.
+# ---------------------------------------------------------------------------
+
+def test_approx_count_distinct_within_5pct_of_exact(spark):
+    """HLL++ at rsd=0.02 must land within ±5% of the exact distinct count
+    per group (measured: ≤1% at sf0.001/sf0.01 — 5% leaves sketch noise
+    headroom without ever accepting a wrong-shape estimate)."""
+    approx = {
+        r.l_linestatus: r.approx_parts
+        for r in harness.REGISTRY["approx_count_distinct"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    exact = {
+        r.l_linestatus: r.n_parts
+        for r in harness.REGISTRY["count_distinct_by_group"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(approx) == set(exact) and exact
+    for grp, n in exact.items():
+        assert abs(approx[grp] - n) <= 0.05 * n, (grp, approx[grp], n)
+
+
+def test_trained_ivf_recall_floor(spark):
+    """Trained-centroid IVF top-10 must keep recall ≥ 0.8 against exact
+    brute-force cosine top-10 (measured: 1.0 at sf0.001, 0.9 at sf0.01 —
+    2-probe of 8 trained cells can drop a boundary neighbor, but an
+    implementation bug drops most of them)."""
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark.operators import similarity as sim
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    exact_ids = {r.vec_id for r in sim.brute_force_topk(e, q, k=10).collect()}
+    trained_ids = {
+        r.vec_id
+        for r in harness.REGISTRY["ann_ivf_trained_topk"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    assert len(exact_ids) == 10
+    assert len(trained_ids & exact_ids) / 10 >= 0.8

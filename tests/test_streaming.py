@@ -306,6 +306,85 @@ def test_stateful_sessionize_matches_batch(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+def test_checkpoint_recovery_after_midbatch_crash(spark, events_dir, tmp_path):
+    """Kill the stream MID-EPOCH — after part of the batch's partition
+    directories are written but before the checkpoint commits — then
+    restart write_daily_stream from the same checkpoint. The restarted
+    stream must replay the uncommitted epoch in full and converge to the
+    batch answer: exactly-once at the sink despite a real partial write
+    on disk (not just a clean replay from a fresh checkpoint)."""
+    from pyspark.errors import StreamingQueryException
+
+    from etl_tj_project_spark.streaming.daily_stream import (
+        windowed_event_agg,
+        windowed_event_agg_stream,
+        write_daily_stream,
+        write_epoch_partitioned,
+    )
+
+    out = str(tmp_path / "agg")
+    cp = str(tmp_path / "cp")
+
+    def crashing_sink(batch_df, epoch_id):
+        # Drive HALF the groups through the identical write path (the
+        # partial on-disk state a task/executor death leaves behind),
+        # then die before Spark can commit the epoch to the checkpoint.
+        write_epoch_partitioned(
+            batch_df.filter(F.col("event_type") == "click"), out
+        )
+        raise RuntimeError("injected mid-epoch crash")
+
+    q = (
+        windowed_event_agg_stream(spark, events_dir, window="1 day")
+        .writeStream.foreachBatch(crashing_sink)
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected mid-epoch crash"):
+        q.awaitTermination(120)
+    assert not q.isActive
+    # The crash left real partial state: click groups only.
+    partial = spark.read.parquet(out)
+    assert partial.count() > 0
+    assert partial.select("event_type").distinct().collect() == [("click",)]
+
+    # Restart the REAL sink from the same checkpoint: the uncommitted
+    # epoch replays (offsets were staged, never committed) and its
+    # per-group dynamic overwrite repairs/completes the partial state.
+    q2 = write_daily_stream(
+        windowed_event_agg_stream(spark, events_dir, window="1 day"),
+        out,
+        checkpoint=cp,
+    )
+    q2.awaitTermination(120)
+    assert not q2.isActive
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("tanggal", "event_type", "event_count", "value_sum")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            windowed_event_agg(spark.read.parquet(events_dir), "1 day")
+            .select(
+                F.col("window_start").cast("date").alias("tanggal"),
+                "event_type",
+                "event_count",
+                "value_sum",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_foreachbatch_sink_subdaily_windows_preserved(spark, events_dir, tmp_path):
     """With 6-hour windows, several (window, type) groups share one day;
     an incremental batch touching one window slot must not delete the
