@@ -258,3 +258,171 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(price).over(w).alias("last_price"),
         F.nth_value(price, 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "interval_containment_join",
+    """
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), p AS (
+      SELECT epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+    )
+    SELECT spans.user_id, spans.day, COUNT(*) AS n_contained
+    FROM spans JOIN p ON p.us >= spans.s_us AND p.us <= spans.e_us
+    GROUP BY spans.user_id, spans.day
+    """,
+    doc="Big-big interval-containment join (operators/joins."
+        "binned_interval_join): per-(user, day) activity spans joined to "
+        "ALL purchase timestamps they contain — no equi key, so a naive "
+        "plan is a BroadcastNestedLoopJoin that dies when neither side "
+        "broadcasts. The rewrite buckets both sides into 1-hour epoch "
+        "bins (intervals explode to overlapped bins, points map to one) "
+        "making it a plain equi-join + refine filter; the oracle states "
+        "the naive theta-join semantics, proving the rewrite exact",
+)
+def interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators.joins import binned_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("s_us"),
+        F.max(F.unix_micros("ts")).alias("e_us"),
+    )
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("us")
+    )
+    joined = binned_interval_join(
+        points, spans, "us", "s_us", "e_us", bin_width=3_600_000_000
+    )
+    return joined.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_contained")
+    )
+
+
+@register(
+    "asof_join_tolerance",
+    """
+    SELECT p.event_id, p.user_id,
+           (SELECT max(epoch_us(c.ts))
+            FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND (epoch_us(c.ts) < epoch_us(p.ts)
+                   OR (epoch_us(c.ts) = epoch_us(p.ts)
+                       AND c.event_id <= p.event_id))
+              AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
+           ) AS attributed_click_us
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    doc="As-of join WITH TOLERANCE (the pandas merge_asof `tolerance` / "
+        "kdb wj staleness bound): each purchase takes the user's most "
+        "recent click at-or-before it ONLY if within 6 hours, else NULL "
+        "— stale attributions are discarded, not silently used. Same "
+        "single tagged-union window pass as asof_join (the most recent "
+        "click is the only candidate that can satisfy the bound, so the "
+        "tolerance is one post-filter, not a second window)",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tol_us = 6 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = both.withColumn(
+        "click_us", F.when(F.col("event_type") == "click", F.col("us"))
+    ).withColumn(
+        "last_click_us", F.last("click_us", ignorenulls=True).over(w)
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("us") - F.col("last_click_us") <= tol_us,
+            F.col("last_click_us"),
+        ).alias("attributed_click_us"),
+    )
+
+
+@register(
+    "scd2_apply_changes",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+             AS valid_to_us
+    FROM events WHERE event_type = 'signup'
+    """,
+    doc="Incremental SCD2 maintenance (the MERGE/apply-changes pattern): "
+        "an existing SCD2 dim (built from changes before 2024-01-25) "
+        "absorbs a delta batch by rewriting ONLY touched users — "
+        "untouched users pass through via LEFT ANTI join, touched users "
+        "rebuild from (their old rows + delta) via the same window. The "
+        "oracle is the FULL recompute over all changes, proving "
+        "incremental == recompute exactly. At 100 TB the anti/semi "
+        "split is the whole point: the delta touches a fraction of "
+        "users, so the rewrite is delta-sized, not dim-sized",
+)
+def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.to_timestamp(F.lit("2024-01-25"))
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    sig = ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+    cutoff_us = F.unix_micros(cutoff)
+    base = sig.filter(F.col("us") < cutoff_us)
+    delta = sig.filter(F.col("us") >= cutoff_us)
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+
+    def ranges(points: DataFrame) -> DataFrame:
+        return points.select(
+            "user_id",
+            "event_id",
+            F.col("us").alias("valid_from_us"),
+            F.lead("us").over(w).alias("valid_to_us"),
+        )
+
+    old_dim = ranges(base)
+    touched = delta.select("user_id").distinct()
+    untouched = old_dim.join(F.broadcast(touched), "user_id", "left_anti")
+    rebuilt_points = (
+        old_dim.join(F.broadcast(touched), "user_id", "left_semi")
+        .select(
+            "user_id", "event_id", F.col("valid_from_us").alias("us")
+        )
+        .unionByName(delta)
+    )
+    return untouched.unionByName(ranges(rebuilt_points))
+
+
+@register(
+    "approx_percentile_profile",
+    None,  # rows-only: Greenwald-Khanna sketch internals are engine-
+    # specific, so cross-engine value equality is not a fair oracle; the
+    # local gate instead bounds each estimate's RANK ERROR against the
+    # exact sorted data (test_approx_percentile_rank_error_bounded).
+    doc="Quantile sketch profile: approx_percentile (GK sketch, "
+        "mergeable, single pass) of l_extendedprice at p50/p90/p99 per "
+        "l_linestatus — the 100 TB replacement for exact percentile_cont "
+        "(which needs a per-group sort); exact twin percentile_by_group "
+        "carries the hash check for the same shape",
+)
+def approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx(
+            F.col("l_extendedprice").cast("double"),
+            [0.5, 0.9, 0.99],
+            10_000,
+        ).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -618,3 +618,221 @@ def tpch_q22ish_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# =========================================================================
+# Round-3 completions: the last classic shapes (Q2/Q11/Q16/Q20 analogues).
+# partsupp does not exist in the reduced schema; lineitem aggregated to
+# (partkey, suppkey) stands in as the supplier-offer table, preserving
+# each query's operator shape (min-per-group equality join, scalar-
+# subquery threshold, NOT-IN anti join + multi-key distinct count,
+# IN-subquery semi join over a HAVING aggregate).
+# =========================================================================
+
+@register(
+    "tpch_q2ish_min_cost_supplier",
+    f"""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM({_SQL_PRICE}) AS DECIMAL(18,2)) AS supply_value
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), rs AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+                      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ), cand AS (
+      SELECT p.p_partkey, rs.s_name, rs.s_acctbal, rs.n_name, o.supply_value,
+             MIN(o.supply_value) OVER (PARTITION BY p.p_partkey) AS min_value
+      FROM part p
+      JOIN offers o ON o.l_partkey = p.p_partkey
+      JOIN rs ON rs.s_suppkey = o.l_suppkey
+      WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, supply_value
+    FROM cand WHERE supply_value = min_value
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part): correlated scalar "
+        "MIN subquery decorrelated to a per-part window MIN + exact-"
+        "decimal equality (float argmin would be engine-divergent in the "
+        "last ulp; decimal sums are not). The region-filtered supplier "
+        "side and the filtered part side both broadcast; the offer "
+        "table shuffles once on (partkey, suppkey); the window runs on "
+        "post-filter candidate rows only",
+)
+def tpch_q2ish_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("price").cast(AMOUNT).alias("supply_value")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rs = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    cand = (
+        offers.join(F.broadcast(p), offers["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(rs), offers["l_suppkey"] == rs["s_suppkey"])
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "supply_value")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_value", F.min("supply_value").over(w))
+        .filter(F.col("supply_value") == F.col("min_value"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_value")
+    )
+
+
+@register(
+    "tpch_q11ish_value_concentration",
+    f"""
+    WITH natline AS (
+      SELECT l.l_partkey, {_SQL_PRICE} AS price
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                      JOIN nation n ON n.n_nationkey = s.s_nationkey
+                      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), per_part AS (
+      SELECT l_partkey, CAST(SUM(price) AS DECIMAL(18,2)) AS part_value
+      FROM natline GROUP BY l_partkey
+    ), total AS (
+      SELECT CAST(SUM(price) AS DECIMAL(18,2)) AS total_value FROM natline
+    )
+    SELECT l_partkey, part_value FROM per_part, total
+    WHERE part_value * 10000 > total_value
+    """,
+    doc="TPC-H Q11 shape (value concentration): group aggregate compared "
+        "against a scalar-subquery global total. The threshold compare "
+        "is exact-integer-scaled decimal (value*10000 > total) instead "
+        "of the spec's total*0.0001 so neither engine divides (division "
+        "scale rules differ; multiplication is exact on both). The "
+        "1-row total broadcasts; one shuffle on partkey reused by both "
+        "aggregates at the DataFrame level",
+)
+def tpch_q11ish_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rs = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey")
+    )
+    natline = li.join(
+        F.broadcast(rs), li["l_suppkey"] == rs["s_suppkey"]
+    ).select("l_partkey", "price")
+    per_part = natline.groupBy("l_partkey").agg(
+        F.sum("price").cast(AMOUNT).alias("part_value")
+    )
+    total = natline.agg(F.sum("price").cast(AMOUNT).alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * 10000 > F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "tpch_q16ish_supplier_cnt_by_part",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#4' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape (supplier count by part attributes): NOT IN "
+        "subquery over a key with no NULLs = broadcast LEFT ANTI join "
+        "(the 'complaints' exclusion), then COUNT(DISTINCT) grouped on "
+        "three part attributes. The anti-join build side is the tiny "
+        "filtered supplier list; one Expand-based distinct aggregate "
+        "shuffle on the 3-attribute key",
+)
+def tpch_q16ish_supplier_cnt_by_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20ish_excess_stock_suppliers",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+                    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND s.s_suppkey IN (
+        SELECT big.l_suppkey FROM (
+          SELECT l.l_suppkey, l.l_partkey,
+                 CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                   AS DECIMAL(18,2)) AS qty_sum
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE 'small%'
+            AND CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+            AND CAST(l.l_shipdate AS DATE) <  DATE '1999-01-01'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 40
+        ) big)
+    """,
+    doc="TPC-H Q20 shape (excess-stock suppliers): IN-subquery over a "
+        "HAVING-filtered aggregate = LEFT SEMI join against the "
+        "aggregated (suppkey, partkey) quantity table — the nested "
+        "aggregate runs ONCE, not per supplier row. Part filter "
+        "broadcasts into the fact scan; exact-decimal HAVING threshold",
+)
+def tpch_q20ish_excess_stock_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1999-01-01").cast("date"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    big = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("qty").cast(AMOUNT).alias("qty_sum"))
+        .filter(F.col("qty_sum") > 40)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(big, s["s_suppkey"] == big["l_suppkey"], "left_semi")
+        .select("s_name", "s_acctbal")
+    )

@@ -68,6 +68,62 @@ def salted_join(
     return out.drop("_salt")
 
 
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Big-big interval-containment join (point ∈ [lo, hi], inclusive)
+    as a bin-bucketed EQUI-join.
+
+    A raw ``points.join(intervals, lo <= p AND p <= hi)`` has no equi
+    key, so Spark plans BroadcastNestedLoopJoin — O(|points| × |intervals|)
+    and only viable when one side broadcasts (the `range_band_join`
+    case). When BOTH sides are fact-sized, bucketize: each interval
+    replicates to every bin of width ``bin_width`` it overlaps (explode
+    of an integer sequence — ceil(span/width)+1 rows per interval), each
+    point maps to exactly ONE bin, and the join becomes equi on the bin
+    with the original predicate re-applied as a post-filter. Each
+    qualifying (point, interval) pair meets in exactly one bin — the
+    point's — so no dedup is needed.
+
+    Pick ``bin_width`` ≈ the typical interval span: wider bins replicate
+    intervals less but enlarge each bin's candidate cross-product;
+    narrower bins do the reverse. Works on any integer key (epoch
+    micros, integer cents). Skewed bins (rush-hour timestamps) are
+    ordinary equi-join skew — AQE splitting / salting apply.
+    """
+    if how != "inner":
+        raise ValueError("binned_interval_join supports inner joins")
+
+    def floordiv(c: str) -> Column:
+        # Exact integer floor division: F.floor(col / lit) goes through
+        # DOUBLE division, whose rounding can mis-bin values sitting
+        # exactly on a bin edge; (x - pmod(x, w)) / w stays exact for
+        # |x| < 2^53 and floors correctly for negatives too.
+        x = F.col(c)
+        w = F.lit(bin_width)
+        return ((x - F.pmod(x, w)) / w).cast("long")
+
+    b_pts = points.withColumn("__bin", floordiv(point_col))
+    b_iv = intervals.withColumn(
+        "__bin",
+        F.explode(F.sequence(floordiv(lo_col), floordiv(hi_col))),
+    )
+    return (
+        b_pts.join(b_iv, on="__bin", how="inner")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("__bin")
+    )
+
+
 def colocated_join_keys(df: DataFrame, key: str, partitions: int) -> DataFrame:
     """Pre-shuffle a fact onto its join key so several downstream joins /
     aggs on the same key reuse one exchange (the reference's CTE-chain

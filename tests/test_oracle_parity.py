@@ -94,3 +94,46 @@ def test_trained_ivf_recall_floor(spark):
     }
     assert len(exact_ids) == 10
     assert len(trained_ids & exact_ids) / 10 >= 0.8
+
+
+def test_approx_percentile_rank_error_bounded(spark):
+    """approx_percentile(accuracy=1e4) guarantees rank error <= n/1e4;
+    assert each estimate's true rank is within that bound (+1 for
+    discreteness) of the target rank — a VALUE constraint for the
+    rows-only sketch entry, like the HLL/IVF bounds above."""
+    rows = (
+        harness.REGISTRY["approx_percentile_profile"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    )
+    assert rows
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    by_status = {
+        r.l_linestatus: sorted(r.vals)
+        for r in li.groupBy("l_linestatus")
+        .agg(
+            F.collect_list(
+                F.col("l_extendedprice").cast("double")
+            ).alias("vals")
+        )
+        .collect()
+    }
+    import bisect
+
+    for r in rows:
+        vals = by_status[r.l_linestatus]
+        n = len(vals)
+        assert n == r.n_rows
+        tol = n / 10_000 + 1
+        for target, est in zip((0.5, 0.9, 0.99), r.approx_pcts):
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est)
+            target_rank = target * (n - 1)
+            # est's occupied rank interval must overlap the target ± tol.
+            assert lo - tol <= target_rank <= hi + tol, (
+                r.l_linestatus, target, est, lo, hi, n
+            )

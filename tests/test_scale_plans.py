@@ -479,3 +479,46 @@ def test_chunked_running_sum_equals_naive_window_on_adversarial_data(spark):
     )
     want = df.select("rid", F.sum("val").over(w).alias("rs"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_binned_interval_join_is_equi_not_nested_loop(spark):
+    """The whole point of the bin rewrite: the physical plan must be a
+    hash/sort-merge EQUI join on the bin, never BroadcastNestedLoopJoin
+    (which a raw containment predicate between two non-broadcast sides
+    would force)."""
+    df = harness.REGISTRY["interval_containment_join"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_binned_interval_join_exact_on_bin_edges(spark):
+    """Points sitting exactly on bin boundaries and intervals whose
+    endpoints coincide with bin edges must bin consistently (the
+    double-division floor bug this guards against) — verified against a
+    driver-side brute-force containment check."""
+    from etl_tj_project_spark.operators.joins import binned_interval_join
+
+    W = 100
+    pts = [(i, v) for i, v in enumerate(
+        [0, 99, 100, 101, 200, 250, 299, 300, 1000]
+    )]
+    ivs = [(10, 0, 100), (11, 100, 199), (12, 100, 300), (13, 250, 250),
+           (14, 301, 999)]
+    points = spark.createDataFrame(pts, "pid long, p long")
+    intervals = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in binned_interval_join(
+            points, intervals, "p", "lo", "hi", bin_width=W
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, p in pts
+        for iid, lo, hi in ivs
+        if lo <= p <= hi
+    )
+    assert got == want and len(want) > 0
