@@ -58,6 +58,56 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on the ``transformWithStateInPandas``
+    API (Spark 4's StatefulProcessor) — semantically identical to
+    :func:`user_running_totals`, exercised so BOTH stateful surfaces
+    (the GroupState flatMap API and the newer processor/handle API with
+    typed ValueState) are covered; the processor API additionally
+    offers timers, TTL'd state, and multiple named state variables,
+    which is where new stateful operators should land.
+
+    Runtime requirements beyond the GroupState API: the ``protobuf``
+    package (the processor's state server speaks protobuf to the JVM)
+    and the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``). The test is
+    gated on protobuf availability exactly like the PIL image branch —
+    environments without it use :func:`user_running_totals`, which is
+    semantically identical.
+
+    Output contract matches :func:`user_running_totals` exactly: one
+    refreshed (user_id, n_events, value_total) row per touched user per
+    micro-batch, update mode.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += int(len(pdf))
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 SESSION_STATE_SCHEMA = "last_ts_us BIGINT, session_id BIGINT"
 SESSION_OUTPUT_SCHEMA = "user_id BIGINT, event_id BIGINT, session_id BIGINT"
 

@@ -143,3 +143,97 @@ def test_png_generator_is_structurally_valid():
     # before IDAT crc(4) + IEND chunk(12).
     raw = zlib.decompress(png[8 + 25 + 8 : -16])
     assert len(raw) == (1 + 3 * 3) * 2
+
+
+# --- property-based codec checks (hypothesis) ------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _apply_filter(ftype: int, raw: bytes, prev: bytes, ch: int) -> bytes:
+    """Forward PNG filter (the encoder side of what minipng.decode
+    reverses) — lets the test produce valid PNGs using ALL filter types,
+    which minipng.encode (filter-0 only) cannot."""
+    out = bytearray(len(raw))
+    for i in range(len(raw)):
+        left = raw[i - ch] if i >= ch else 0
+        up = prev[i]
+        upleft = prev[i - ch] if i >= ch else 0
+        if ftype == 0:
+            out[i] = raw[i]
+        elif ftype == 1:
+            out[i] = (raw[i] - left) & 0xFF
+        elif ftype == 2:
+            out[i] = (raw[i] - up) & 0xFF
+        elif ftype == 3:
+            out[i] = (raw[i] - ((left + up) >> 1)) & 0xFF
+        else:
+            from etl_tj_project_spark.operators.minipng import _paeth
+
+            out[i] = (raw[i] - _paeth(left, up, upleft)) & 0xFF
+    return bytes(out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 8),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_minipng_decodes_any_filter_sequence(w, h, channels, data):
+    """decode(encode_with_random_filters(pixels)) == pixels for every
+    color type and per-row filter choice — the unfilter paths (Sub/Up/
+    Average/Paeth) are exercised against a forward-filter reference."""
+    rows = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * channels,
+                    max_size=w * channels,
+                )
+            )
+        )
+        for _ in range(h)
+    ]
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+    ctype = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    idat = bytearray()
+    prev = bytes(w * channels)
+    for raw, ftype in zip(rows, filters):
+        idat.append(ftype)
+        idat += _apply_filter(ftype, raw, prev, channels)
+        prev = raw
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(idat)))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, dch, drows = minipng.decode(png)
+    assert (dw, dh, dch) == (w, h, channels)
+    assert [bytes(r) for r in drows] == rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 300), h=st.integers(1, 300), m=st.integers(1, 128))
+def test_minipng_thumbnail_size_invariants(w, h, m):
+    """Clamp semantics hold for arbitrary shapes: never upscale, longer
+    side <= max_side after shrink, both dims >= 1."""
+    tw, th = minipng.thumbnail_size(w, h, m)
+    assert 1 <= tw <= max(w, m) and 1 <= th <= max(h, m)
+    if w <= m and h <= m:
+        assert (tw, th) == (w, h)
+    else:
+        assert max(tw, th) <= m

@@ -80,6 +80,37 @@ def test_stateful_totals_match_batch_groupby(spark, events_dir):
     assert got == want
 
 
+def test_transform_with_state_matches_legacy_and_batch(spark, events_dir):
+    """The Spark 4 StatefulProcessor path must produce the same final
+    per-user totals as both the legacy GroupState operator and the plain
+    batch aggregate. Gated on protobuf (the processor API's state
+    server dependency; absent in this container, like PIL)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_tj_project_spark.streaming.stateful import user_running_totals_tws
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(events_dir).schema)
+        .load(events_dir)
+    )
+    _run_to_memory(user_running_totals_tws(stream), "user_totals_tws", "update")
+    got = {
+        r.user_id: (r.n_events, round(r.value_total, 6))
+        for r in spark.table("user_totals_tws").collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_foreachbatch_sink_is_idempotent_partitioned(spark, events_dir, tmp_path):
     from etl_tj_project_spark.streaming.daily_stream import write_daily_stream
 
