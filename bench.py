@@ -106,10 +106,35 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Host-speed anchor: round 3 proved the shared VM drifts
+                # (identical code measured 1.45× slower across rounds —
+                # SCALE.md §13). This fixed CPU workload lets any two
+                # rounds' numbers be normalized: query_time /
+                # cpu_calib_sec is comparable across hosts; raw seconds
+                # are not.
+                "cpu_calib_sec": _cpu_calibration(),
             }
         )
     )
     spark.stop()
+
+
+def _cpu_calibration() -> float:
+    """Seconds for a fixed single-thread workload (sha256 over 64 MB of
+    deterministic bytes, best of 3) — a machine-speed yardstick."""
+    import hashlib
+    import time as _t
+
+    block = bytes(range(256)) * 4096  # 1 MiB
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        h = hashlib.sha256()
+        for _i in range(64):
+            h.update(block)
+        h.hexdigest()
+        best = min(best, _t.perf_counter() - t0)
+    return round(best, 4)
 
 
 if __name__ == "__main__":
