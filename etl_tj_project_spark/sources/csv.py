@@ -21,21 +21,36 @@ def read_csv_staging(
     schema: T.StructType,
     *,
     header: bool = True,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Read a CSV into an all-string staging DataFrame.
 
     ``schema`` must be all-string (schema-on-load staging semantics);
     multiline/quote handling follows RFC-4180 like the reference's COPY.
+
+    ``corrupt_col`` opts into malformed-row auditing: rows the parser
+    cannot interpret (unclosed quotes, binary junk) land with their RAW
+    LINE in that extra column and NULLs elsewhere, instead of being
+    silently mangled — the production posture for 100 TB ingest, where
+    "how many rows failed and what did they look like" must be a query
+    (``df.filter(col(corrupt_col).isNotNull())``), not a log grep. The
+    reference's COPY aborts the whole load on such rows (all-or-
+    nothing); this keeps the load running and quarantines instead.
     """
     for f in schema.fields:
         if not isinstance(f.dataType, T.StringType):
             raise ValueError(
                 f"staging schema must be all-string; {f.name} is {f.dataType}"
             )
-    return (
-        spark.read.schema(schema)
-        .option("header", str(header).lower())
+    reader = (
+        spark.read.option("header", str(header).lower())
         .option("multiLine", "false")
         .option("mode", "PERMISSIVE")
-        .csv(path)
     )
+    if corrupt_col is not None:
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(corrupt_col, T.StringType(), True)]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.schema(schema).csv(path)

@@ -46,6 +46,13 @@ def write_jdbc_upsert(
     contract). ANSI MERGE syntax — works on Derby (tested here),
     Postgres 15+, Oracle, SQL Server; for older Postgres swap step 2
     for INSERT ... ON CONFLICT.
+
+    String KEY columns need ``properties["createTableColumnTypes"]``
+    (e.g. ``"day_key VARCHAR(10), kind VARCHAR(16)"``): Spark's JDBC
+    writer maps StringType to the engine's unbounded text type (CLOB on
+    Derby), and engines typically cannot compare CLOB against the
+    target's VARCHAR in the MERGE's ON clause. Non-key string columns
+    are unaffected (assignment casts fine).
     """
     spark = df.sparkSession
     staging = staging_table or f"{table}_stg"
@@ -88,7 +95,10 @@ def write_jdbc_upsert(
     # Spark-reserved reader/writer options are not JDBC driver properties.
     jprops = jvm.java.util.Properties()
     for k, v in props.items():
-        if k not in ("driver", "dbtable", "url", "fetchsize", "batchsize"):
+        if k not in (
+            "driver", "dbtable", "url", "fetchsize", "batchsize",
+            "createTableColumnTypes", "createTableOptions",
+        ):
             jprops.setProperty(k, v)
     con = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:

@@ -371,3 +371,45 @@ def test_atomic_commit_refuses_multi_day_input(spark, tmp_path):
 
     assert not os.path.exists(str(tmp_path / "t" / "tanggal=2025-01-01"))
     assert not os.path.exists(str(tmp_path / "t" / ".staging-2025-01-01"))
+
+
+def test_csv_staging_quarantines_corrupt_rows(spark, tmp_path):
+    """Rows whose token count disagrees with the staging schema must
+    carry their RAW LINE in the audit column (best-effort prefix parse
+    alongside) — never silently mangled, never aborting the load (the
+    reference's COPY would abort; S1 keeps running and makes failures
+    queryable)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_tj_project_spark.sources.csv import read_csv_staging
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,name\n"
+        "1,alpha\n"
+        "4,delta,EXTRA,MORE\n"  # too many columns
+        "5\n"                   # too few columns
+        "3,gamma\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    df = read_csv_staging(
+        spark, str(p), schema, corrupt_col="_corrupt_record"
+    ).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted((r.id, r.name) for r in good.collect()) == [
+        ("1", "alpha"), ("3", "gamma"),
+    ]
+    assert sorted(r._corrupt_record for r in bad.collect()) == [
+        "4,delta,EXTRA,MORE", "5",
+    ]
+    df.unpersist()
+    # Default path (no corrupt_col) keeps the historical 2-column shape.
+    plain = read_csv_staging(spark, str(p), schema)
+    assert plain.columns == ["id", "name"]

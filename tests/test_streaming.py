@@ -474,3 +474,89 @@ def test_foreachbatch_sink_subdaily_windows_preserved(spark, events_dir, tmp_pat
         )
     )
     assert slots_after == want
+
+
+def test_streaming_foreachbatch_jdbc_upsert_exactly_once(spark, events_dir, tmp_path):
+    """Streaming aggregates land in a REAL database (embedded Derby)
+    through foreachBatch + the stage-and-MERGE upsert keyed on the
+    window grain: a full replay from a fresh checkpoint re-MERGEs the
+    same keys instead of duplicating rows, so the table converges to
+    the batch aggregate — the JDBC twin of the partitioned-parquet
+    exactly-once sink."""
+    from etl_tj_project_spark.sources.jdbc import (
+        read_jdbc_pushdown,
+        write_jdbc_upsert,
+    )
+    from etl_tj_project_spark.streaming.daily_stream import (
+        windowed_event_agg,
+        windowed_event_agg_stream,
+    )
+
+    jvm = spark._jvm
+    db = str(tmp_path / "derby_stream")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jvm.java.lang.Class.forName(props["driver"])
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        con.createStatement().executeUpdate(
+            "CREATE TABLE daily_agg (window_day VARCHAR(10), "
+            "event_type VARCHAR(16), event_count BIGINT, "
+            "value_sum DOUBLE, PRIMARY KEY (window_day, event_type))"
+        )
+    finally:
+        con.close()
+
+    def to_rows(batch_df):
+        return batch_df.select(
+            F.col("window_start").cast("date").cast("string").alias("window_day"),
+            "event_type",
+            "event_count",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+
+    def sink(batch_df, epoch_id):
+        write_jdbc_upsert(
+            to_rows(batch_df),
+            f"jdbc:derby:{db}",
+            "daily_agg",
+            ["window_day", "event_type"],
+            properties={
+                **props,
+                # String MERGE keys must stage as VARCHAR, not CLOB —
+                # see write_jdbc_upsert's docstring.
+                "createTableColumnTypes": (
+                    "window_day VARCHAR(10), event_type VARCHAR(16)"
+                ),
+            },
+        )
+
+    def run_once(cp: str):
+        q = (
+            windowed_event_agg_stream(spark, events_dir, window="1 day")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once("cp1")
+    run_once("cp2")  # fresh checkpoint = full replay; MERGE must dedupe
+
+    back = read_jdbc_pushdown(
+        spark, f"jdbc:derby:{db}", "daily_agg", properties=props
+    )
+    got = sorted(
+        (r.WINDOW_DAY, r.EVENT_TYPE, r.EVENT_COUNT, round(r.VALUE_SUM, 6))
+        for r in back.collect()
+    )
+    want = sorted(
+        (r.window_day, r.event_type, r.event_count, round(r.value_sum, 6))
+        for r in to_rows(
+            windowed_event_agg(spark.read.parquet(events_dir), "1 day")
+        ).collect()
+    )
+    assert got == want and len(got) > 0
