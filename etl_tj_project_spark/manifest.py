@@ -14,9 +14,10 @@ standard manifest trick those formats use:
   pointer: POSIX rename atomicity means any reader sees the whole old
   snapshot or the whole new one, never a mix, regardless of how many
   tables changed;
-* a crash anywhere before the pointer swap leaves only unreferenced
-  data directories (invisible to readers; reclaimed by :func:`vacuum`),
-  so multi-table commits are all-or-nothing with NO rollback logic;
+* a crash anywhere before the pointer swap leaves only an aborted
+  version claim and unreferenced data directories (both invisible to
+  readers; reclaimed by :func:`vacuum`), so multi-table commits are
+  all-or-nothing with NO rollback logic;
 * every manifest is also archived immutably under
   ``<root>/_manifests/manifest-<version>.json`` — time travel is just
   reading an old manifest (:func:`read_table` with ``version=``).
@@ -108,21 +109,26 @@ def commit(root: str, tables: dict[str, DataFrame]) -> int:
     # that is the recovery path, not a retry loop here.
     version = (0 if prev is None else int(prev["version"])) + 1
     entries: dict[str, str] = {} if prev is None else dict(prev["tables"])
-
-    for name, df in tables.items():
-        rel = os.path.join(name, f"snap-{version}")
-        df.write.mode("overwrite").parquet(os.path.join(root, rel))
-        entries[name] = rel
-
+    for name in tables:
+        entries[name] = os.path.join(name, f"snap-{version}")
     manifest = {"version": version, "tables": entries}
+
+    # Claim BEFORE writing any data: snapshot paths are deterministic
+    # (snap-<version>), so two racing committers would target the SAME
+    # data directories — if data were written first, the loser could
+    # overwrite the winner's already-published files before discovering
+    # the collision. O_EXCL creation of the archived manifest is the
+    # claim; the loser fails here having touched nothing. A crash after
+    # the claim leaves an aborted version (> pointer) with missing or
+    # partial data dirs — unreferenced by any pointer, cleared by
+    # vacuum().
     archived = _archive_path(root, version)
-    # Optimistic concurrency: O_EXCL creation of the archived manifest is
-    # the commit's claim on `version`; a concurrent committer that
-    # already claimed it makes this raise FileExistsError and no pointer
-    # is touched (the loser's data dirs are unreferenced -> vacuum).
     with open(os.open(archived, os.O_CREAT | os.O_EXCL | os.O_WRONLY), "w",
               encoding="utf-8") as f:
         json.dump(manifest, f)
+
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(root, entries[name]))
     fd, tmp = tempfile.mkstemp(dir=root, prefix=".manifest-", suffix=".tmp")
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as f:
@@ -162,7 +168,15 @@ def vacuum(root: str, keep_versions: int = 2) -> list[str]:
     references, plus the expired archived manifests; returns removed
     paths. Readers of retained versions are unaffected — data referenced
     by ANY kept manifest is kept (a snapshot dir is shared by every
-    version that carried it forward)."""
+    version that carried it forward).
+
+    MUST NOT run concurrently with a commit: vacuum classifies archived
+    versions beyond the pointer as aborted claims, and an in-flight
+    commit sits in exactly that state between its claim and its pointer
+    swap — vacuuming then would delete the claim and the data being
+    written. Serialize vacuum in the same single-writer regime as
+    commits (it is a maintenance/recovery operation, not a reader-side
+    one)."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     cur = current_version(root)

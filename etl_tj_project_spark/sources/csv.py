@@ -28,12 +28,16 @@ def read_csv_staging(
     ``schema`` must be all-string (schema-on-load staging semantics);
     multiline/quote handling follows RFC-4180 like the reference's COPY.
 
-    ``corrupt_col`` opts into malformed-row auditing: rows the parser
-    cannot interpret (unclosed quotes, binary junk) land with their RAW
-    LINE in that extra column and NULLs elsewhere, instead of being
+    ``corrupt_col`` opts into malformed-row auditing: rows whose token
+    count disagrees with the schema land with their RAW LINE in that
+    extra column (best-effort prefix parse alongside), instead of being
     silently mangled — the production posture for 100 TB ingest, where
-    "how many rows failed and what did they look like" must be a query
-    (``df.filter(col(corrupt_col).isNotNull())``), not a log grep. The
+    "how many rows failed and what did they look like" must be a query,
+    not a log grep. Spark refuses a query that selects ONLY the
+    internal corrupt column from raw CSV
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache or
+    otherwise materialize the staging frame first:
+    ``df.cache(); df.filter(col(corrupt_col).isNotNull())``. The
     reference's COPY aborts the whole load on such rows (all-or-
     nothing); this keeps the load running and quarantines instead.
     """

@@ -94,12 +94,16 @@ def write_jdbc_upsert(
     # (Postgres/Oracle/SQL Server) rejects a bare getConnection(url).
     # Spark-reserved reader/writer options are not JDBC driver properties.
     jprops = jvm.java.util.Properties()
+    # Spark treats reader/writer option names case-insensitively and
+    # accepts non-string values; java.util.Properties does neither —
+    # compare folded and stringify.
+    _spark_only = {
+        "driver", "dbtable", "url", "fetchsize", "batchsize",
+        "createtablecolumntypes", "createtableoptions",
+    }
     for k, v in props.items():
-        if k not in (
-            "driver", "dbtable", "url", "fetchsize", "batchsize",
-            "createTableColumnTypes", "createTableOptions",
-        ):
-            jprops.setProperty(k, v)
+        if k.lower() not in _spark_only:
+            jprops.setProperty(str(k), str(v))
     con = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         st = con.createStatement()

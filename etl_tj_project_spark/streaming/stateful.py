@@ -81,6 +81,21 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
+    # Fail at construction with an actionable message, not minutes later
+    # inside a stream thread: transformWithState needs the RocksDB state
+    # store (multiple column families), which is NOT Spark's default.
+    provider = events.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDB" not in (provider or ""):
+        raise ValueError(
+            "transformWithStateInPandas requires the RocksDB state store:"
+            " set spark.sql.streaming.stateStore.providerClass=org.apache."
+            "spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+            " (the default HDFSBackedStateStoreProvider lacks the multiple"
+            " column families this API uses)"
+        )
+
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState("totals", STATE_SCHEMA)

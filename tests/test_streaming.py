@@ -93,7 +93,22 @@ def test_transform_with_state_matches_legacy_and_batch(spark, events_dir):
         .schema(spark.read.parquet(events_dir).schema)
         .load(events_dir)
     )
-    _run_to_memory(user_running_totals_tws(stream), "user_totals_tws", "update")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _run_to_memory(
+            user_running_totals_tws(stream), "user_totals_tws", "update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     got = {
         r.user_id: (r.n_events, round(r.value_total, 6))
         for r in spark.table("user_totals_tws").collect()
@@ -109,6 +124,26 @@ def test_transform_with_state_matches_legacy_and_batch(spark, events_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_transform_with_state_requires_rocksdb_provider(spark, events_dir):
+    """Without the RocksDB provider conf the operator must fail at
+    construction with an actionable message — not minutes later inside
+    the stream thread (runs in every environment: the check precedes
+    any protobuf use)."""
+    from etl_tj_project_spark.streaming.stateful import user_running_totals_tws
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(events_dir).schema)
+        .load(events_dir)
+    )
+    assert "RocksDB" not in (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+        or ""
+    )
+    with pytest.raises(ValueError, match="RocksDB state store"):
+        user_running_totals_tws(stream)
 
 
 def test_foreachbatch_sink_is_idempotent_partitioned(spark, events_dir, tmp_path):
