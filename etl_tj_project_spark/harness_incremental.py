@@ -426,3 +426,33 @@ def approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_pcts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+from etl_tj_project_spark.functions import zorder as _z  # noqa: E402
+
+
+@register(
+    "zorder_key_2d",
+    f"""
+    SELECT o_orderkey,
+           {_z.morton_key_2d_sql("o_custkey & 65535", "o_orderkey & 65535")}
+             AS zkey
+    FROM orders
+    """,
+    doc="Z-order (Morton) clustering key: bit-interleave of two integer "
+        "dimensions as a pure int64 column expression (four shift-or-"
+        "mask spread rounds per input — functions/zorder.py), the key "
+        "io.write_zordered range-partitions and sorts by so parquet "
+        "min/max footer stats prune scans on EITHER dimension. The "
+        "oracle renders the identical arithmetic in SQL; bit-exact "
+        "across engines",
+)
+def zorder_key_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        _z.morton_key_2d(
+            F.col("o_custkey").bitwiseAND(F.lit(65535)),
+            F.col("o_orderkey").bitwiseAND(F.lit(65535)),
+        ).alias("zkey"),
+    )

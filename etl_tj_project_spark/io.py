@@ -178,6 +178,34 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    a: str,
+    b: str,
+    num_files: int = 8,
+) -> None:
+    """Write ``df`` clustered on the Z-order (Morton) key of two integer
+    columns: repartitionByRange on the interleaved key keeps files
+    DISJOINT in key space, and the within-partition sort tightens each
+    file's parquet min/max footer stats in BOTH dimensions — so scans
+    filtering on ``a``, ``b``, or both skip most files (the
+    Delta/Iceberg ZORDER BY primitive; functions/zorder.py for the key).
+    One range shuffle; no UDF. Verified effective (file min/max ranges
+    shrink vs an unclustered write) in tests/test_scale_plans.py."""
+    from etl_tj_project_spark.functions.zorder import morton_key_2d
+
+    key = morton_key_2d(a, b).alias("__zkey")
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -522,3 +522,52 @@ def test_binned_interval_join_exact_on_bin_edges(spark):
         if lo <= p <= hi
     )
     assert got == want and len(want) > 0
+
+
+def test_zordered_write_tightens_file_stats_in_both_dims(spark, tmp_path):
+    """The point of Z-ordering: after write_zordered, each FILE's
+    (min, max) envelope must be narrow in BOTH dimensions, so parquet
+    footer stats can skip files for predicates on either column. Total
+    per-file range must shrink substantially vs an unclustered write of
+    the same data."""
+    from etl_tj_project_spark.io import write_zordered
+
+    # Equal 7-bit domains for both dimensions — Z-order requires
+    # comparable bit widths (see morton_key_2d's docstring; unbalanced
+    # widths degenerate to a sort on the wide dimension).
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey").bitwiseAND(F.lit(127))).alias("x"),
+        (F.pmod(F.col("o_orderkey") * 31, F.lit(128))).alias("y"),
+    )
+    plain_dir = str(tmp_path / "plain")
+    z_dir = str(tmp_path / "zorder")
+    # Unclustered baseline with the SAME file count: random-ish hash
+    # distribution puts every file's envelope near the full domain.
+    o.repartition(16).write.parquet(plain_dir)
+    # 16 range-partitioned files = top 4 key bits = 2 bits per
+    # dimension: every file's envelope is ~1/4 of each domain.
+    write_zordered(o, z_dir, "x", "y", num_files=16)
+
+    def total_envelope(path: str) -> tuple[int, int, int]:
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("rx"),
+                (F.max("y") - F.min("y")).alias("ry"),
+            )
+        )
+        row = per_file.agg(
+            F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+            F.count(F.lit(1)).alias("nf"),
+        ).first()
+        return int(row.sx), int(row.sy), int(row.nf)
+
+    px, py, pn = total_envelope(plain_dir)
+    zx, zy, zn = total_envelope(z_dir)
+    assert pn >= 4 and zn >= 4  # both actually produced multiple files
+    # Both dimensions tighten — not just the primary sort column, which
+    # is what a plain ORDER BY x would give (ry stays ~full-domain).
+    assert zx < 0.5 * px, (zx, px)
+    assert zy < 0.5 * py, (zy, py)
