@@ -571,3 +571,48 @@ def test_zordered_write_tightens_file_stats_in_both_dims(spark, tmp_path):
     # is what a plain ORDER BY x would give (ry stays ~full-domain).
     assert zx < 0.5 * px, (zx, px)
     assert zy < 0.5 * py, (zy, py)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Layer 1 of the skew strategy (SCALE.md §3) actually fires: with a
+    90%-hot key, AQE's runtime re-plan must mark the sort-merge join
+    skew=true (splitting the oversized partition across tasks) in the
+    FINAL adaptive plan, and the result must equal the plain join.
+    Thresholds are lowered to make kilobyte-scale test data look like
+    the multi-GB partitions that trigger this in production."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 40000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("lv"),
+            F.lpad(F.lit("x"), 64, "x").alias("pad"),
+        )
+        right = spark.range(0, 2000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("rv")
+        )
+        j = left.join(right, "k").select("k", "lv", "rv")
+        got = sorted(map(tuple, j.collect()))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # Correctness: identical to the same join under default planning.
+    want = sorted(
+        map(tuple, left.join(right, "k").select("k", "lv", "rv").collect())
+    )
+    assert got == want and len(got) > 0
