@@ -70,6 +70,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    calib_pre = _cpu_calibration()
     spark = get_spark("etl_tj_bench")
 
     def force(df) -> None:
@@ -98,6 +99,13 @@ def main() -> None:
         timings[n] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # Host-speed anchor: round 3 proved the shared VM drifts (identical
+    # code measured 1.45× slower across rounds — SCALE.md §13). The fixed
+    # CPU workload runs BEFORE and AFTER the query loop so within-run
+    # drift is bounded too; query_time / cpu_calib_sec is comparable
+    # across hosts, raw seconds are not.
+    calib_post = _cpu_calibration()
+    calib = round((calib_pre + calib_post) / 2, 4)
     print(
         json.dumps(
             {
@@ -106,13 +114,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # Host-speed anchor: round 3 proved the shared VM drifts
-                # (identical code measured 1.45× slower across rounds —
-                # SCALE.md §13). This fixed CPU workload lets any two
-                # rounds' numbers be normalized: query_time /
-                # cpu_calib_sec is comparable across hosts; raw seconds
-                # are not.
-                "cpu_calib_sec": _cpu_calibration(),
+                "cpu_calib_sec": calib,
+                "cpu_calib_sec_pre": calib_pre,
+                "cpu_calib_sec_post": calib_post,
+                # total in "calibration units": raw seconds divided by
+                # the host-speed anchor — the cross-round comparable
+                # number (r3 anchor: 41.737 s / 0.0655 = 637; r4: 36.13
+                # / 0.05 = 723).
+                "calib_normalized_total": round(total / calib, 1),
             }
         )
     )

@@ -1104,75 +1104,74 @@ from etl_tj_project_spark import parity  # noqa: E402
 
 
 # The driver runs CORRECTNESS on the FIRST 50 registry entries only, in
-# iteration order — so iteration order is the coverage lever. Rounds 1+2
-# proved 71 distinct entries green; round 3 shrinks the stability core to
-# six §2 representatives (one per family: projection, join, agg, union,
-# window, rollup) and fills the other 44 slots from the 51 entries that
-# have never had a driver CORRECTNESS row. Deferred to round 4 (7): the
-# two rows-only-by-policy entries (approx_count_distinct,
-# ann_ivf_trained_topk) plus five whose shapes are near-duplicates of
-# in-window entries (bigram_top50, histogram_fixed_buckets,
-# posexplode_tokens, regexp_extract_all_numbers, embedding_int8_quantize).
+# iteration order — so iteration order is the coverage lever. Rounds 1-3
+# proved 114 distinct entries green. Round 5 is the closing rotation:
+# keep the six-entry §2 stability core, give every remaining
+# never-driver-checked entry a slot (17 oracle-backed, incl. the fixed
+# array_agg_sorted, + the 3 rows-only-by-policy sketch/ANN entries so
+# even their weaker rows-check is on the driver record), and backfill
+# the last 24 slots with the entries whose only green row is round 1 —
+# the oldest confirmations — plus TPC-H q1/q3/q6 for re-confirmation.
 DRIVER_WINDOW: list[str] = [
-    # §2 stability core (driver-green r1+r2, one per operator family)
+    # §2 stability core (driver-green every round, one per operator family)
     "p1_typed_projection",
     "j1_inner_join_fanout",
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
     "w2_running_sum",
     "rollup_agg",
-    # never-driver-checked rotation: window-function family
-    "window_lag_delta",
-    "window_ntile_quartiles",
-    "window_rank_family",
-    "window_range_frame",
-    "window_first_last",
-    "session_window_agg",
-    "sliding_window_counts",
-    "unpivot_melt",
-    # set ops + grouping surface
-    "intersect_distinct",
-    "except_distinct",
-    "grouping_sets_agg",
-    "stats_agg_by_group",
+    # never-driver-checked: fixed output shape this round
     "array_agg_sorted",
-    "argmin_join_back",
-    # remaining TPC-H shapes
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q21ish_lone_late_supplier",
-    "tpch_q22ish_idle_customers",
-    # function-family packs
-    "datetime_function_pack",
-    "string_function_pack",
-    "array_hof_pack",
-    "math_function_pack",
-    "null_semantics_pack",
-    "conditional_agg_pack",
-    "map_struct_pack",
-    "null_safe_join_agg",
-    # JSON surface
-    "json_extract_typed",
-    "json_agg_by_field",
-    # temporal / incremental pack
-    "scd2_validity_ranges",
-    "range_band_join",
-    "date_spine_gap_fill",
-    "cohort_retention",
-    "reaggregate_partials",
-    "funnel_stages",
-    # data-quality + profiling
-    "dq_expectations",
-    "profile_columns",
-    # LLM-data / embedding surface
-    "tfidf_top_terms",
-    "dedup_levenshtein_pairs",
-    "ann_lsh_recall",
-    "embedding_centroids_long",
-    "corpus_quality_filter",
-    "source_curation_stats",
-    "repetition_filter",
+    # never-driver-checked: manifest / incremental / layout pack
+    "manifest_snapshot_roundtrip",
+    "interval_containment_join",
+    "asof_join_tolerance",
+    "scd2_apply_changes",
+    "zorder_key_2d",
+    # never-driver-checked: TPC-H long tail
+    "tpch_q2ish_min_cost_supplier",
+    "tpch_q11ish_value_concentration",
+    "tpch_q16ish_supplier_cnt_by_part",
+    "tpch_q20ish_excess_stock_suppliers",
+    # never-driver-checked: text/corpus long tail
+    "embedding_int8_quantize",
+    "bigram_top50",
+    "histogram_fixed_buckets",
+    "dedup_repeated_ngram_spans",
+    "corpus_mixture_plan",
+    "posexplode_tokens",
+    "regexp_extract_all_numbers",
+    # rows-only-by-policy (no oracle SQL — driver records rows-check;
+    # value bounds live in tests/test_oracle_parity.py)
+    "approx_count_distinct",
+    "approx_percentile_profile",
+    "ann_ivf_trained_topk",
+    # backfill: every entry whose newest green row is round 1
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed_topk",
+    "dedup_embedding_cosine",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "sessionize",
+    "asof_join",
+    "semi_join_exists",
+    "anti_join_not_exists",
+    "percentile_by_group",
+    "count_distinct_by_group",
+    # headline TPC-H re-confirmation
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
 ]
 
 

@@ -274,14 +274,22 @@ def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_not_exists",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
-    doc="Left-anti join (NOT EXISTS): customers with no orders; "
-        "hash-anti on the key, NULL-safe by construction",
+    doc="Left-anti join (NOT EXISTS): customers with no URGENT orders; "
+        "hash-anti on the key, NULL-safe by construction. The predicate "
+        "is on the build side, not plain key-absence: in this testdata "
+        "every customer has orders, so the unfiltered NOT EXISTS returns "
+        "0 rows at every SF — a vacuous check (the tpch_q22ish lesson; "
+        "18 rows at sf0.001, 203 at sf0.01 with the filter)",
 )
 def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, o["o_custkey"] == c["c_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -850,21 +858,24 @@ def stats_agg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_sorted",
     """
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
            array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
-             AS statuses_csv
+             AS statuses_csv,
+           len(list(DISTINCT o_orderstatus)) AS n_statuses
     FROM orders GROUP BY o_orderpriority
     """,
     doc="collect_set/array_agg made deterministic: collection order is "
         "partition-dependent, so any collected array MUST be array_sort'd "
-        "before it is comparable or joinable; listagg = sorted concat_ws",
+        "before it is comparable or joinable; listagg = sorted concat_ws. "
+        "The result surfaces only scalar columns (CSV string + cardinality) "
+        "— raw array columns are kept internal because downstream "
+        "comparators/hashers generally can't canonicalize ndarray cells",
 )
 def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     arr = F.array_sort(F.collect_set("o_orderstatus"))
     return o.groupBy("o_orderpriority").agg(
-        arr.alias("statuses"),
         F.array_join(arr, ",").alias("statuses_csv"),
+        F.size(arr).cast("long").alias("n_statuses"),
     )
 
 
@@ -1064,15 +1075,21 @@ def embedding_centroids_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_int8_quantize",
     """
     SELECT vec_id,
-           list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER))
-             AS q8
+           array_to_string(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS INTEGER)),
+             ',') AS q8_csv,
+           CAST(list_sum(list_transform(embedding,
+             x -> abs(CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5)
+                           AS INTEGER)))) AS BIGINT) AS q8_l1
     FROM embeddings
     """,
     doc="Scalar int8 quantization of unit-range embeddings (floor(x*127 "
         "+ .5) — floor, not round, for identical tie behavior on both "
         "engines): 4x storage/shuffle reduction for the 100 TB embedding "
-        "table; dequantize is q/127.0",
+        "table; dequantize is q/127.0. Surfaced as a CSV string + L1 "
+        "checksum — scalar columns only, because raw array cells break "
+        "downstream pandas-based canonicalizers (the array_agg_sorted "
+        "lesson)",
 )
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1080,7 +1097,13 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda x: F.floor(x.cast("double") * 127 + 0.5).cast("int"),
     )
-    return e.select("vec_id", q8.alias("q8"))
+    return e.select(
+        "vec_id",
+        F.array_join(q8, ",").alias("q8_csv"),
+        F.aggregate(
+            q8, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q8_l1"),
+    )
 
 
 # =========================================================================

@@ -50,7 +50,8 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regexp_extract_all_numbers",
     r"""
     SELECT doc_id,
-           regexp_extract_all(text, '[0-9]+') AS nums,
+           coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','),
+                    '') AS nums_csv,
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
              AS n_nums,
            CASE WHEN len(regexp_extract_all(text, '[0-9]+')) > 0
@@ -60,14 +61,16 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="regexp_extract_all: every digit run per document as an ordered "
         "array (left-to-right in both engines), plus count and first "
         "match — the extraction primitive behind PII scans and numeric "
-        "claim mining",
+        "claim mining. The ordered array is surfaced as its CSV string "
+        "(scalar columns only — raw array cells break pandas-based "
+        "canonicalizers downstream)",
 )
 def regexp_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     nums = F.regexp_extract_all("text", F.lit("[0-9]+"))
     return d.select(
         "doc_id",
-        nums.alias("nums"),
+        F.array_join(nums, ",").alias("nums_csv"),
         F.size(nums).alias("n_nums"),
         F.when(F.size(nums) > 0, F.element_at(nums, 1)).alias("first_num"),
     )

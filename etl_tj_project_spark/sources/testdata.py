@@ -29,10 +29,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        from pyspark.sql import types as T
+
         df = spark.read.parquet(path)
-        # int64 nanoseconds since epoch → microsecond-precision timestamp.
-        # Integer `div` (not `/`) — float division of ~1e18 ns loses µs bits.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Parquet TIMESTAMP(NANOS) surfaced as int64 via nanosAsLong:
+            # nanoseconds since epoch → microsecond-precision timestamp.
+            # Integer `div` (not `/`) — float division of ~1e18 ns loses
+            # µs bits.
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if isinstance(ts_type, T.TimestampNTZType):
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): wall-clock
+            # preserving cast; session timezone is pinned UTC by tune().
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
