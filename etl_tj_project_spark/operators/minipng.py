@@ -14,10 +14,13 @@ never changes results:
   upscale)
 
 Scope (documented, raises ``ValueError`` outside it): 8-bit depth, color
-types 0/2/4/6 (gray, RGB, gray+alpha, RGBA), no interlace, no palette.
-Resampling for thumbnails is nearest-neighbor (deterministic and cheap;
-PIL's default is bicubic — pixel VALUES may differ between backends,
-dimensions and format never do).
+types 0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), no interlace, no
+tRNS (palette transparency). Palette images are expanded to RGB at decode
+time — exactly what PIL does on ``convert("L")``/``convert("RGB")`` from
+mode "P", so luma stays bit-identical. Resampling for thumbnails is
+nearest-neighbor (deterministic and cheap; PIL's default is bicubic —
+pixel VALUES may differ between backends, dimensions and format never
+do).
 """
 
 from __future__ import annotations
@@ -27,7 +30,9 @@ import struct
 import zlib
 
 _MAGIC = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# Channels as stored in the scanline stream (palette stores 1 index byte
+# per pixel; decode expands it to RGB afterwards).
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _chunks(data: bytes):
@@ -65,6 +70,7 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
     width = height = None
     ctype = None
     idat = bytearray()
+    plte: bytes | None = None
     for tag, payload in _chunks(data):
         if tag == b"IHDR":
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
@@ -78,10 +84,18 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
                 raise ValueError("interlaced PNG unsupported")
             if comp or filt:
                 raise ValueError("nonstandard compression/filter method")
+        elif tag == b"PLTE":
+            if len(payload) % 3 or not 3 <= len(payload) <= 768:
+                raise ValueError("bad PLTE length")
+            plte = payload
+        elif tag == b"tRNS":
+            raise ValueError("palette transparency (tRNS) unsupported")
         elif tag == b"IDAT":
             idat += payload
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     ch = _CHANNELS[ctype]
     raw = zlib.decompress(bytes(idat))
     stride = width * ch
@@ -113,6 +127,22 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
             raise ValueError(f"bad PNG filter type {ftype}")
         rows.append(line)
         prev = line
+    if ctype == 3:
+        # Expand palette indices to RGB AFTER unfiltering — PNG filters
+        # operate on the 1-byte-per-pixel index stream, not the expanded
+        # samples (PNG spec §9; expanding first would mis-unfilter).
+        n_entries = len(plte) // 3
+        rgb_rows: list[bytearray] = []
+        for line in rows:
+            out = bytearray(width * 3)
+            for x, idx in enumerate(line):
+                if idx >= n_entries:
+                    raise ValueError(
+                        f"palette index {idx} out of range ({n_entries} entries)"
+                    )
+                out[x * 3 : x * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+            rgb_rows.append(out)
+        return width, height, 3, rgb_rows
     return width, height, ch, rows
 
 

@@ -145,6 +145,77 @@ def test_png_generator_is_structurally_valid():
     assert len(raw) == (1 + 3 * 3) * 2
 
 
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def make_palette_png(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    indices: list[list[int]],
+    with_plte: bool = True,
+    with_trns: bool = False,
+) -> bytes:
+    """8-bit color-type-3 PNG: PLTE of RGB triples + index scanlines."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(row) for row in indices)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if with_plte:
+        out += _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    if with_trns:
+        out += _chunk(b"tRNS", bytes([255] * len(palette)))
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_minipng_palette_expands_to_rgb():
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    png = make_palette_png(3, 2, pal, [[0, 1, 2], [2, 1, 0]])
+    w, h, ch, rows = minipng.decode(png)
+    assert (w, h, ch) == (3, 2, 3)
+    assert bytes(rows[0]) == b"\xff\x00\x00\x00\xff\x00\x00\x00\xff"
+    assert bytes(rows[1]) == b"\x00\x00\xff\x00\xff\x00\xff\x00\x00"
+    # Luma via the palette expansion == luma of the equivalent RGB image.
+    expected = (
+        2 * _pil_luma((255, 0, 0))
+        + 2 * _pil_luma((0, 255, 0))
+        + 2 * _pil_luma((0, 0, 255))
+    ) / 6
+    assert minipng.mean_luma(png) == expected
+
+
+def test_minipng_palette_error_paths():
+    import pytest
+
+    pal = [(9, 9, 9)]
+    ok = make_palette_png(2, 1, pal, [[0, 0]])
+    assert minipng.decode(ok)[:3] == (2, 1, 3)
+    with pytest.raises(ValueError, match="missing PLTE"):
+        minipng.decode(make_palette_png(2, 1, pal, [[0, 0]], with_plte=False))
+    with pytest.raises(ValueError, match="out of range"):
+        minipng.decode(make_palette_png(2, 1, pal, [[0, 1]]))
+    with pytest.raises(ValueError, match="tRNS"):
+        minipng.decode(make_palette_png(2, 1, pal, [[0, 0]], with_trns=True))
+
+
+def test_minipng_palette_through_spark_decode(spark):
+    """The multimodal decode operator reads palette PNGs end-to-end."""
+    from etl_tj_project_spark.operators.multimodal import decode_features_real
+
+    pal = [(10, 200, 30), (0, 0, 0)]
+    png = make_palette_png(4, 4, pal, [[0, 0, 0, 0]] * 4)
+    out = {
+        r.doc_id: r
+        for r in decode_features_real(_media_df(spark, [(1, png)])).collect()
+    }
+    assert out[1].brightness == float(_pil_luma((10, 200, 30)))
+
+
 # --- property-based codec checks (hypothesis) ------------------------------
 
 from hypothesis import given, settings
@@ -224,6 +295,53 @@ def test_minipng_decodes_any_filter_sequence(w, h, channels, data):
     dw, dh, dch, drows = minipng.decode(png)
     assert (dw, dh, dch) == (w, h, channels)
     assert [bytes(r) for r in drows] == rows
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 6),
+    n_colors=st.integers(1, 8),
+    data=st.data(),
+)
+def test_minipng_palette_any_filter_sequence(w, h, n_colors, data):
+    """Palette decode under every filter type: filters apply to the
+    1-byte index stream (not the expanded RGB), and expansion matches a
+    python-side palette lookup."""
+    palette = [
+        tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+        for _ in range(n_colors)
+    ]
+    idx_rows = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, n_colors - 1), min_size=w, max_size=w
+                )
+            )
+        )
+        for _ in range(h)
+    ]
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+    idat = bytearray()
+    prev = bytes(w)
+    for raw, ftype in zip(idx_rows, filters):
+        idat.append(ftype)
+        idat += _apply_filter(ftype, raw, prev, 1)
+        prev = raw
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+        + _chunk(b"IDAT", zlib.compress(bytes(idat)))
+        + _chunk(b"IEND", b"")
+    )
+    dw, dh, dch, drows = minipng.decode(png)
+    assert (dw, dh, dch) == (w, h, 3)
+    expected = [
+        b"".join(bytes(palette[i]) for i in row) for row in idx_rows
+    ]
+    assert [bytes(r) for r in drows] == expected
 
 
 @settings(max_examples=25, deadline=None)
