@@ -48,6 +48,62 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the local-mode equivalent of
+    ``spark-submit --py-files``).
+
+    Python workers do NOT inherit the driver's ``sys.path`` mutations: a
+    harness that does ``sys.path.insert(0, repo)`` from another cwd can
+    plan queries fine yet crash at worker unpickle time on any closure
+    that references a module-level symbol of this package
+    (``ModuleNotFoundError: etl_tj_project_spark`` inside
+    ``cloudpickle.loads``). ``addPyFile`` is the supported fix — workers
+    put SparkFiles on ``sys.path`` before unpickling — and on a real
+    cluster it is exactly how this code would reach executors anyway.
+    """
+    marker = "spark.etl_tj_project_spark.pyfiles.shipped"
+    try:
+        if spark.conf.get(marker, None):
+            return
+    except Exception:
+        pass
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zip_path = os.path.join(
+            tempfile.gettempdir(), "etl_tj_project_spark_pyfiles.zip"
+        )
+        src_mtime = max(
+            os.path.getmtime(os.path.join(root, fn))
+            for root, _dirs, files in os.walk(pkg_dir)
+            if "__pycache__" not in root
+            for fn in files
+            if fn.endswith(".py")
+        )
+        # Rebuild when any source file is newer than the zip — a stale
+        # shipped copy would otherwise shadow fresh code on the workers.
+        if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
+            tmp = zip_path + f".tmp{os.getpid()}"
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    if "__pycache__" in root:
+                        continue
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                            zf.write(full, rel)
+            os.replace(tmp, zip_path)  # atomic: concurrent sessions race safely
+        spark.sparkContext.addPyFile(zip_path)
+        spark.conf.set(marker, "true")
+    except Exception:
+        # Best-effort: in the common layouts (cwd = repo root, or PYTHONPATH
+        # set) workers resolve the package without shipping.
+        pass
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent)."""
     for k, v in RUNTIME_CONFS.items():
@@ -57,6 +113,7 @@ def tune(spark: SparkSession) -> SparkSession:
             # A conf may be static in some deployments; never fail the query
             # path over tuning.
             pass
+    _ship_package(spark)
     return spark
 
 
