@@ -1100,6 +1100,14 @@ from etl_tj_project_spark import harness_llmdata  # noqa: E402,F401
 # map/struct surface.
 from etl_tj_project_spark import harness_fnpacks3  # noqa: E402,F401
 
+# LLM-data analytics pack 3: adaptive stopword fraction, unigram
+# commonness, length percentile banding, quantized norm profiling.
+from etl_tj_project_spark import harness_llmdata2  # noqa: E402,F401
+
+# Function packs 4: bitwise aggregates, median/IQR, deterministic mode,
+# bounded rows-frame moving aggregates.
+from etl_tj_project_spark import harness_fnpacks4  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 

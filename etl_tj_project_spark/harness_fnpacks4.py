@@ -1,0 +1,178 @@
+"""Function-family pack 4: bitwise aggregates, exact median/IQR,
+deterministic mode, and BOUNDED rows-frame moving aggregates.
+
+The gap this pack closes (audit of packs 1-3): every windowed aggregate
+registered so far uses an UNBOUNDED PRECEDING frame (running sums); the
+bounded sliding frame — the shape behind moving averages and rolling
+health metrics — exercises a different executor path (Spark keeps a
+sliding frame buffer; DuckDB uses segment trees), so FP-order bugs hide
+here unless sums are exact. All sliding sums therefore run in
+DECIMAL(18,2) (exact, order-independent) with ratios via IEEE division.
+
+Mode is computed MANUALLY (count + row_number with a value tiebreak) in
+both engines: native ``mode()`` leaves tie order implementation-defined
+in both Spark and DuckDB, which is exactly the nondeterminism the parity
+gate exists to catch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from etl_tj_project_spark.harness import register
+from etl_tj_project_spark.sources.testdata import load_table
+
+AMOUNT = DecimalType(18, 2)
+
+
+@register(
+    "bitwise_agg_pack",
+    """
+    SELECT l_linestatus,
+           CAST(bit_and(l_partkey) AS BIGINT) AS pk_and,
+           CAST(bit_or(l_partkey)  AS BIGINT) AS pk_or,
+           CAST(bit_xor(l_partkey) AS BIGINT) AS pk_xor,
+           CAST(bit_xor(l_orderkey * 2654435761) AS BIGINT) AS ok_mix_xor
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Bitwise aggregates (bit_and/bit_or/bit_xor): order-independent "
+        "by algebra, so they partial-aggregate map-side for free. The "
+        "xor-of-multiplied-keys column is the classic order-insensitive "
+        "set checksum used to verify replication/backfills without "
+        "sorting — a useful primitive at 100 TB where sorting to "
+        "compare is unaffordable",
+)
+def bitwise_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bit_and("l_partkey").cast("long").alias("pk_and"),
+        F.bit_or("l_partkey").cast("long").alias("pk_or"),
+        F.bit_xor("l_partkey").cast("long").alias("pk_xor"),
+        F.bit_xor(F.col("l_orderkey") * F.lit(2654435761)).cast("long").alias(
+            "ok_mix_xor"
+        ),
+    )
+
+
+@register(
+    "median_iqr_pack",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6)  AS qty_median,
+           round(quantile_cont(l_quantity, 0.25), 6) AS qty_q1,
+           round(quantile_cont(l_quantity, 0.75), 6) AS qty_q3,
+           round(quantile_cont(l_quantity, 0.75)
+                 - quantile_cont(l_quantity, 0.25), 6) AS qty_iqr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact median + interquartile range per group (the robust "
+        "dispersion profile dq checks use where stddev is outlier-"
+        "fragile). Spark `percentile` == DuckDB `quantile_cont` (linear "
+        "interpolation on the sorted set). Exact percentiles sort "
+        "per-group; the 100 TB path swaps in approx_percentile with "
+        "bounded error (see approx_percentile_profile) — this entry is "
+        "the exactness anchor the approximation is measured against",
+)
+def median_iqr_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = lambda p: F.percentile("l_quantity", F.lit(p))  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        F.round(q(0.5), 6).alias("qty_median"),
+        F.round(q(0.25), 6).alias("qty_q1"),
+        F.round(q(0.75), 6).alias("qty_q3"),
+        F.round(q(0.75) - q(0.25), 6).alias("qty_iqr"),
+    )
+
+
+@register(
+    "mode_top1_per_group",
+    """
+    SELECT o_orderpriority, o_orderstatus AS mode_status, cnt
+    FROM (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ) t WHERE rn = 1
+    """,
+    doc="Deterministic mode per group: count + row_number with a value "
+        "tiebreak, NOT native mode() — both engines leave mode()'s tie "
+        "order implementation-defined, the exact nondeterminism the "
+        "parity gate exists to catch. Plan: one (group, value) shuffle "
+        "of count partials, then a window over the tiny distinct set",
+)
+def mode_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), "o_orderstatus"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "moving_agg_rows_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(n_in_frame AS BIGINT) AS n_in_frame,
+           CAST(sum_4 AS DECIMAL(18,2)) AS sum_4,
+           CAST(sum_4 AS DOUBLE) / n_in_frame AS avg_4,
+           CAST(min_4 AS DECIMAL(18,2)) AS min_4,
+           CAST(max_4 AS DECIMAL(18,2)) AS max_4
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             COUNT(*) OVER w AS n_in_frame,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS sum_4,
+             MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS min_4,
+             MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS max_4
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ) t
+    """,
+    doc="BOUNDED sliding rows frame (moving sum/avg/min/max over the "
+        "last 4 orders per customer) — every other registered window "
+        "uses an unbounded running frame; the bounded frame exercises "
+        "the sliding-buffer executor path (Spark) vs segment trees "
+        "(DuckDB), where FP addition order differs — hence DECIMAL "
+        "sums (exact, order-free) and the avg as BIGINT-count IEEE "
+        "division. One custkey window shuffle, frame state is O(4)",
+)
+def moving_agg_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    amt = F.col("o_totalprice").cast(AMOUNT)
+    framed = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+        F.sum(amt).over(w).alias("sum_4"),
+        F.min(amt).over(w).alias("min_4"),
+        F.max(amt).over(w).alias("max_4"),
+    )
+    return framed.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("n_in_frame").cast("long").alias("n_in_frame"),
+        F.col("sum_4").cast(AMOUNT).alias("sum_4"),
+        (F.col("sum_4").cast("double") / F.col("n_in_frame")).alias("avg_4"),
+        F.col("min_4").cast(AMOUNT).alias("min_4"),
+        F.col("max_4").cast(AMOUNT).alias("max_4"),
+    )

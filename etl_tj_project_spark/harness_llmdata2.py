@@ -1,0 +1,246 @@
+"""LLM-training-data analytics pack 3: corpus-adaptive stopword
+fraction, unigram-commonness (fluency-proxy) scoring, per-source length
+percentile banding, and quantized-embedding norm profiling.
+
+These extend the curation surface (harness_llmdata / harness_curation)
+with the remaining per-document quality signals a web-scale pipeline
+computes before sampling: signals derived from the corpus ITSELF
+(adaptive stopword list, corpus term frequencies) rather than static
+lists, plus the embedding-table health profile an ANN index build runs
+first.
+
+Cross-engine determinism rules (parity.py, round-1 lessons):
+* every ratio is BIGINT/BIGINT through IEEE division (correctly
+  rounded, bit-identical on both engines) — no libm, no double sums;
+* norm profiling runs on int8-QUANTIZED vectors so every sum is exact
+  integer arithmetic (the raw-float variant would be order-dependent);
+* every top-k has a deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.harness import register
+from etl_tj_project_spark.sources.testdata import load_table
+
+# Shared tokenization — identical statement in both engines (same as
+# harness_llmdata._TOKENS_SQL; duplicated here because the SQL string is
+# interpolated into several oracles below).
+_TOK_SQL = r"""
+  SELECT doc_id,
+         unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(lower(text)), '\s+') END)
+           AS term
+  FROM documents
+"""
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.trim("text") == "", F.array()).otherwise(toks)
+        ).alias("term"),
+    )
+
+
+@register(
+    "text_corpus_stopword_fraction",
+    f"""
+    WITH tok AS ({_TOK_SQL}),
+    top20 AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+        ORDER BY cnt DESC, term LIMIT 20
+      ) t
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             COUNT(*) FILTER (WHERE term IN (SELECT term FROM top20))
+               AS n_stop
+      FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_stop, 0) AS BIGINT) AS n_stop,
+           CASE WHEN p.n_tokens > 0
+                THEN CAST(p.n_stop AS DOUBLE) / p.n_tokens END AS stop_frac
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+    doc="Corpus-ADAPTIVE stopword fraction (vs the static-list "
+        "stopword_ratio in corpus_quality_filter): the stopword list is "
+        "the corpus's own top-20 terms (count desc, term tiebreak), so "
+        "the signal transfers to any language mix without curated lists. "
+        "Plan at 100 TB: one term shuffle builds the vocabulary, top-20 "
+        "is a TakeOrdered collapse broadcast back to the token stream, "
+        "one doc_id shuffle aggregates — the fraction is BIGINT/BIGINT "
+        "IEEE division",
+)
+def text_corpus_stopword_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    top20 = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(20)
+        .select("term")
+    )
+    # The 20-row stopword table broadcasts; tagging each token with a
+    # left join (vs a semi-join) lets ONE doc_id aggregation produce
+    # both counts.
+    tagged = tok.join(
+        F.broadcast(top20.withColumn("__stop", F.lit(1))), "term", "left"
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("__stop").alias("n_stop"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_stop", F.lit(0)).cast("long").alias("n_stop"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_stop").cast("double") / F.col("n_tokens"),
+            ).alias("stop_frac"),
+        )
+    )
+
+
+@register(
+    "text_unigram_commonness",
+    f"""
+    WITH tok AS ({_TOK_SQL}),
+    vocab AS (
+      SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+    ),
+    per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             SUM(v.cnt) AS sum_freq
+      FROM tok t JOIN vocab v USING (term)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_freq AS BIGINT) AS sum_freq,
+           CAST(sum_freq AS DOUBLE) / n_tokens AS mean_term_freq
+    FROM per_doc
+    """,
+    doc="Unigram-commonness score — mean corpus frequency of a doc's "
+        "tokens, the cheapest fluency/perplexity proxy (rare-garble docs "
+        "score low, boilerplate scores high; used as a band filter in "
+        "web curation). Plan: vocabulary via one term shuffle, token->"
+        "vocab equi-join (vocab << corpus; AQE broadcasts when it fits, "
+        "shuffle-join when a 100 TB vocab doesn't), one doc_id shuffle. "
+        "BIGINT sums exact, final ratio IEEE division",
+)
+def text_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        tok.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_freq"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("sum_freq").cast("long").alias("sum_freq"),
+        (F.col("sum_freq").cast("double") / F.col("n_tokens")).alias(
+            "mean_term_freq"
+        ),
+    )
+
+
+@register(
+    "doc_length_percentile_band",
+    """
+    SELECT doc_id, source, n_chars, pr,
+           pr >= 0.05 AND pr <= 0.95 AS keep
+    FROM (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars) AS pr
+      FROM documents
+    ) t
+    """,
+    doc="Per-source document-length percentile banding: drop the "
+        "shortest/longest 5% WITHIN each source (a global cut would let "
+        "one long-form source swallow another's whole budget). "
+        "percent_rank is (rank-1)/(n-1) — integer-ratio IEEE division, "
+        "bit-identical cross-engine; ties share a rank so no tiebreak "
+        "is needed for determinism. One source-keyed window shuffle; "
+        "at 100 TB each source partition sorts independently",
+)
+def doc_length_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    pr = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id", "source", "n_chars", pr.alias("pr")
+    ).withColumn("keep", (F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+
+
+@register(
+    "embedding_q8_norm_profile",
+    """
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))
+               AS q8
+      FROM embeddings
+    ), per_vec AS (
+      SELECT label,
+             CAST(list_sum(list_transform(q8, x -> abs(x))) AS BIGINT)
+               AS l1,
+             CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT)
+               AS l2sq
+      FROM q
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(l1) AS BIGINT) AS sum_l1,
+           CAST(SUM(l1) AS DOUBLE) / COUNT(*) AS avg_l1,
+           CAST(MIN(l2sq) AS BIGINT) AS min_l2sq,
+           CAST(MAX(l2sq) AS BIGINT) AS max_l2sq,
+           CAST(SUM(l2sq) AS DOUBLE) / COUNT(*) AS avg_l2sq
+    FROM per_vec GROUP BY label
+    """,
+    doc="Embedding-table norm profile per label over int8-QUANTIZED "
+        "vectors (the audit an ANN index build runs first: zero-norm / "
+        "outlier-norm vectors poison IVF training). Quantizing first "
+        "(same floor(x*127+.5) as embedding_int8_quantize) makes every "
+        "sum exact integer arithmetic — the raw-float variant would be "
+        "FP-order-dependent across partitions. Per-row work is in-row "
+        "engine expressions; one label shuffle of integer partials",
+)
+def embedding_q8_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127 + 0.5).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    per_vec = e.select(
+        "label",
+        F.aggregate(q8, zero, lambda acc, x: acc + F.abs(x)).alias("l1"),
+        F.aggregate(q8, zero, lambda acc, x: acc + x * x).alias("l2sq"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("l1").cast("long").alias("sum_l1"),
+        (F.sum("l1").cast("double") / F.count(F.lit(1))).alias("avg_l1"),
+        F.min("l2sq").cast("long").alias("min_l2sq"),
+        F.max("l2sq").cast("long").alias("max_l2sq"),
+        (F.sum("l2sq").cast("double") / F.count(F.lit(1))).alias("avg_l2sq"),
+    )
