@@ -346,6 +346,35 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_trained_topk",
+    None,  # rows-only for the same reason as ann_ivf_trained_topk:
+    # codebooks come from Lloyd means (shuffle-order-dependent last
+    # ulp), so the ADC candidate ORDER is value- but not bitwise-
+    # reproducible. The recall floor vs exact brute force is pinned in
+    # tests/test_oracle_parity.py.
+    doc="Product-quantization ANN (operators/similarity.train_pq / "
+        "pq_topk): m=8 subspace codebooks trained JOINTLY (one "
+        "(subspace,codeword,dim) shuffle per Lloyd iteration, constant "
+        "driver traffic), ADC scan via a per-query lookup table "
+        "computed once on the broadcast side (per-row work = m adds — "
+        "the 100 TB scan reads m-byte codes, not dim floats), "
+        "k*oversample candidates reranked by exact cosine",
+)
+def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = sim.train_pq(e, m=8, ksub=16, iters=3)
+    q = e.filter(F.col("vec_id") == 0)
+    top = sim.pq_topk(e, q, k=10, codebooks=books, oversample=8)
+    return top.select(
+        "vec_id",
+        F.round("approx_l2sq", 6).alias("approx_l2sq"),
+        F.round("cosine", 9).alias("cosine"),
+    )
+
+
+@register(
     "dq_expectations",
     """
     SELECT 'orders.o_custkey.not_null' AS rule,

@@ -384,3 +384,213 @@ def train_kmeans(
         if moved < tol:
             break
     return cents
+
+
+# --- PQ (product quantization) ANN ----------------------------------------
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, accumulated in array order (JVM-side)."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_codes(vec: Column, codebooks_col: Column, dsub: int) -> Column:
+    """array<int> of length m: per subspace, the id of the L2-nearest
+    codeword. One transform lambda over the 3-D codebook literal/column
+    (array<m> of array<ksub> of array<dsub>) — expression size is
+    constant in m and ksub (the per-centroid unrolled form would make
+    Catalyst analysis the dominant cost; see _planes_col). array_min
+    over struct(dist, cell) breaks ties toward the smaller codeword id.
+    """
+    return F.transform(
+        codebooks_col,
+        lambda book, j: F.array_min(
+            F.transform(
+                book,
+                lambda c, i: F.struct(
+                    _l2sq(F.slice(vec, j * dsub + 1, dsub), c).alias("d"),
+                    i.alias("cell"),
+                ),
+            )
+        ).getField("cell"),
+    )
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-4,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector is split into
+    ``m`` contiguous subspaces and each gets its own ``ksub``-codeword
+    L2 k-means codebook. Returns ``codebooks[j][i] = centroid i of
+    subspace j`` (list of m lists of ksub vectors of dim/m doubles).
+
+    All m subspaces train JOINTLY in one Lloyd loop: per iteration ONE
+    scan assigns every row its m nearest codewords (pure column
+    expression, no UDF) and ONE (subspace, codeword, dim) shuffle of
+    map-side-combined partials computes every codebook's means — cost
+    per iteration is independent of m (the exploded row count is
+    m * dsub = dim per vector, the same as full-vector k-means).
+    Driver traffic is m * ksub * dsub doubles per iteration — constant
+    in table size. Centroids enter via a broadcast one-row table so
+    every iteration submits the IDENTICAL plan (codegen cache hit —
+    the train_kmeans lesson). Deterministic init: subspace j seeds from
+    the first ksub vectors by id, so retrains reproduce. ``iters`` is a
+    cap with a movement-threshold early exit like train_kmeans.
+    """
+    first = df.orderBy(id_col).select(vec_col).limit(ksub).collect()
+    if len(first) < ksub:
+        raise ValueError(f"need at least ksub={ksub} vectors, found {len(first)}")
+    dim = len(first[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = [
+        [[float(x) for x in r[0][j * dsub:(j + 1) * dsub]] for r in first]
+        for j in range(m)
+    ]
+
+    spark = df.sparkSession
+    for _ in range(iters):
+        books_df = spark.createDataFrame(
+            [(books,)], schema="__cb array<array<array<double>>>"
+        )
+        assigned = df.crossJoin(F.broadcast(books_df)).select(
+            _pq_codes(F.col(vec_col), F.col("__cb"), dsub).alias("__codes"),
+            F.col(vec_col).alias("__v"),
+        )
+        # (subspace, codeword, dim_within_subspace) partials: explode the
+        # full vector ONCE; subspace = dim // dsub, no second explode.
+        longf = assigned.select(
+            "__codes", F.posexplode("__v").alias("__pos", "__val")
+        ).select(
+            (F.col("__pos") / dsub).cast("int").alias("__j"),
+            F.element_at(
+                F.col("__codes"), (F.col("__pos") / dsub).cast("int") + 1
+            ).alias("__code"),
+            (F.col("__pos") % dsub).alias("__dim"),
+            F.col("__val").cast("double").alias("__val"),
+        )
+        means = (
+            longf.groupBy("__j", "__code", "__dim")
+            .agg(F.avg("__val").alias("__m"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_key.setdefault((r["__j"], r["__code"]), {})[r["__dim"]] = r["__m"]
+        new_books = [
+            [
+                [by_key[(j, c)][d] for d in sorted(by_key[(j, c)])]
+                if (j, c) in by_key
+                else books[j][c]
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+        moved = max(
+            (
+                abs(a - b)
+                for ob, nb in zip(books, new_books)
+                for oc, nc in zip(ob, nb)
+                for a, b in zip(oc, nc)
+            ),
+            default=0.0,
+        )
+        books = new_books
+        if moved < tol:
+            break
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    iters: int = 5,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact rerank.
+
+    Scan path (the point of PQ at 100 TB: the scan touches m bytes of
+    code per vector, not dim floats — at scale the codes are
+    precomputed into a ``array<tinyint>`` column ~dim*4/m× smaller than
+    the embeddings, and this operator's encode step becomes a column
+    read): every row's m codewords are looked up in the query's
+    asymmetric-distance table (ADC LUT: ||q_j - c_ji||² for all m*ksub
+    codewords, computed ONCE on the broadcast one-row query side), so
+    per-row work is m adds. The ``k * oversample`` best ADC candidates
+    (TakeOrderedAndProject — per-partition heaps, no global sort) are
+    reranked by EXACT cosine; ties break by id. Returns
+    (id, approx_l2sq, cosine) — scalar columns only.
+    """
+    if codebooks is None:
+        codebooks = train_pq(
+            df, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    dsub = len(codebooks[0][0])
+    books_lit = F.array(*[
+        F.array(*[_plane_col(c) for c in book]) for book in codebooks
+    ])
+    # Query side: the ADC lookup table, evaluated once per query row
+    # (broadcast single-row build side), not per scanned row.
+    lut = F.transform(
+        books_lit,
+        lambda book, j: F.transform(
+            book,
+            lambda c: _l2sq(
+                F.slice(F.col(qvec_col), j * dsub + 1, dsub), c
+            ),
+        ),
+    )
+    q = F.broadcast(
+        query_vec.select(
+            F.col(qvec_col).alias("__qv"), lut.alias("__lut")
+        )
+    )
+    encoded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _pq_codes(F.col(vec_col), books_lit, dsub).alias("__codes"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__codes"),
+            F.col("__lut"),
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cands = (
+        encoded.crossJoin(q)
+        .select(
+            F.col(id_col), F.col(vec_col), F.col("__qv"),
+            adc.alias("approx_l2sq"),
+        )
+        .orderBy(F.col("approx_l2sq"), F.col(id_col))
+        .limit(k * oversample)
+    )
+    return (
+        cands.select(
+            F.col(id_col),
+            "approx_l2sq",
+            cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -109,6 +109,30 @@ def test_trained_ivf_recall_floor(spark):
     assert len(trained_ids & exact_ids) / 10 >= 0.8
 
 
+def test_pq_recall_floor(spark):
+    """PQ-ADC top-10 with 4x oversample + exact rerank must keep recall
+    >= 0.8 against exact brute-force cosine top-10 (the embeddings are
+    planted-cluster data — see the kmeans recovery test — so a correct
+    PQ keeps most true neighbors in the 40-candidate ADC set; an
+    encode/LUT indexing bug drops nearly all of them)."""
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark.operators import similarity as sim
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    exact_ids = {r.vec_id for r in sim.brute_force_topk(e, q, k=10).collect()}
+    pq_ids = {
+        r.vec_id
+        for r in harness.REGISTRY["ann_pq_trained_topk"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    assert len(exact_ids) == 10
+    assert len(pq_ids & exact_ids) / 10 >= 0.8
+
+
 def test_approx_percentile_rank_error_bounded(spark):
     """approx_percentile(accuracy=1e4) guarantees rank error <= n/1e4;
     assert each estimate's true rank is within that bound (+1 for
