@@ -14,13 +14,17 @@ never changes results:
   upscale)
 
 Scope (documented, raises ``ValueError`` outside it): 8-bit depth, color
-types 0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), no interlace, no
-tRNS (palette transparency). Palette images are expanded to RGB at decode
-time — exactly what PIL does on ``convert("L")``/``convert("RGB")`` from
-mode "P", so luma stays bit-identical. Resampling for thumbnails is
-nearest-neighbor (deterministic and cheap; PIL's default is bicubic —
-pixel VALUES may differ between backends, dimensions and format never
-do).
+types 0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), Adam7 interlace
+supported, no tRNS (palette transparency). Palette images are expanded
+to RGB at decode time — exactly what PIL does on
+``convert("L")``/``convert("RGB")`` from mode "P", so luma stays
+bit-identical. Interlaced images deinterlace to the same pixel grid PIL
+produces (each Adam7 pass is an independently-filtered sub-image whose
+samples scatter back by the spec §8.2 offsets/steps; filters — and for
+palette images the index stream — apply per pass, before expansion).
+Resampling for thumbnails is nearest-neighbor (deterministic and cheap;
+PIL's default is bicubic — pixel VALUES may differ between backends,
+dimensions and format never do).
 """
 
 from __future__ import annotations
@@ -52,6 +56,30 @@ def _chunks(data: bytes):
     raise ValueError("PNG ended without IEND")
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, spec §8.2.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _pass_dims(width: int, height: int) -> list[tuple[int, int]]:
+    """(pass_width, pass_height) for each Adam7 pass; a 0-sized pass
+    contributes no scanlines at all (not even filter bytes)."""
+    return [
+        (
+            (width - x0 + dx - 1) // dx if width > x0 else 0,
+            (height - y0 + dy - 1) // dy if height > y0 else 0,
+        )
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -62,51 +90,25 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
-    """→ (width, height, channels, rows of unfiltered samples).
-
-    Each row is ``width * channels`` bytes, top to bottom.
-    """
-    width = height = None
-    ctype = None
-    idat = bytearray()
-    plte: bytes | None = None
-    for tag, payload in _chunks(data):
-        if tag == b"IHDR":
-            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth} (only 8)")
-            if ctype not in _CHANNELS:
-                raise ValueError(f"unsupported color type {ctype}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
-            if comp or filt:
-                raise ValueError("nonstandard compression/filter method")
-        elif tag == b"PLTE":
-            if len(payload) % 3 or not 3 <= len(payload) <= 768:
-                raise ValueError("bad PLTE length")
-            plte = payload
-        elif tag == b"tRNS":
-            raise ValueError("palette transparency (tRNS) unsupported")
-        elif tag == b"IDAT":
-            idat += payload
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    if ctype == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE chunk")
-    ch = _CHANNELS[ctype]
-    raw = zlib.decompress(bytes(idat))
+def _unfilter_pass(
+    raw: bytes, pos: int, width: int, height: int, ch: int
+) -> tuple[list[bytearray], int]:
+    """Unfilter one filtered sub-image (``height`` scanlines of
+    ``width * ch`` samples each, every line led by its filter byte)
+    starting at ``pos`` in ``raw``. → (rows, position after the pass).
+    The previous-row reference resets to zeros at the pass boundary —
+    each Adam7 pass (and the whole image when not interlaced) filters
+    independently."""
     stride = width * ch
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG pixel data length mismatch")
     rows: list[bytearray] = []
     prev = bytearray(stride)
-    pos = 0
     for _ in range(height):
+        if pos >= len(raw):
+            raise ValueError("PNG pixel data length mismatch")
         ftype = raw[pos]
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        if len(line) != stride:
+            raise ValueError("PNG pixel data length mismatch")
         pos += 1 + stride
         if ftype == 1:  # Sub
             for i in range(ch, stride):
@@ -127,6 +129,70 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
             raise ValueError(f"bad PNG filter type {ftype}")
         rows.append(line)
         prev = line
+    return rows, pos
+
+
+def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
+    """→ (width, height, channels, rows of unfiltered samples).
+
+    Each row is ``width * channels`` bytes, top to bottom.
+    """
+    width = height = None
+    ctype = None
+    interlace = 0
+    idat = bytearray()
+    plte: bytes | None = None
+    for tag, payload in _chunks(data):
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth} (only 8)")
+            if ctype not in _CHANNELS:
+                raise ValueError(f"unsupported color type {ctype}")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
+            if comp or filt:
+                raise ValueError("nonstandard compression/filter method")
+        elif tag == b"PLTE":
+            if len(payload) % 3 or not 3 <= len(payload) <= 768:
+                raise ValueError("bad PLTE length")
+            plte = payload
+        elif tag == b"tRNS":
+            raise ValueError("palette transparency (tRNS) unsupported")
+        elif tag == b"IDAT":
+            idat += payload
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    ch = _CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    if interlace:
+        # Adam7: seven independently-filtered sub-images; scatter each
+        # pass's samples back to the full grid by the spec offsets.
+        dims = _pass_dims(width, height)
+        expect = sum((pw * ch + 1) * ph for pw, ph in dims if pw and ph)
+        if len(raw) != expect:
+            raise ValueError("PNG pixel data length mismatch")
+        rows = [bytearray(width * ch) for _ in range(height)]
+        pos = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
+            if not pw or not ph:
+                continue
+            pass_rows, pos = _unfilter_pass(raw, pos, pw, ph, ch)
+            for py, line in enumerate(pass_rows):
+                y = y0 + py * dy
+                out = rows[y]
+                for px in range(pw):
+                    x = x0 + px * dx
+                    out[x * ch : (x + 1) * ch] = line[px * ch : (px + 1) * ch]
+    else:
+        stride = width * ch
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG pixel data length mismatch")
+        rows, _ = _unfilter_pass(raw, 0, width, height, ch)
     if ctype == 3:
         # Expand palette indices to RGB AFTER unfiltering — PNG filters
         # operate on the 1-byte-per-pixel index stream, not the expanded

@@ -355,3 +355,131 @@ def test_minipng_thumbnail_size_invariants(w, h, m):
         assert (tw, th) == (w, h)
     else:
         assert max(tw, th) <= m
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlace: a test-side forward interlacer (extract passes, filter
+# each independently) exercises the deinterlacing scatter path.
+# ---------------------------------------------------------------------------
+
+def _adam7_idat(
+    rows: list[bytes], w: int, h: int, ch: int, draw_filter
+) -> bytes:
+    """Forward-interlace a full pixel grid into an Adam7 IDAT stream:
+    per pass, gather the sub-image, filter each line (filter type chosen
+    by draw_filter()) against the previous line OF THE SAME PASS."""
+    from etl_tj_project_spark.operators.minipng import _ADAM7, _pass_dims
+
+    idat = bytearray()
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _pass_dims(w, h)):
+        if not pw or not ph:
+            continue
+        prev = bytes(pw * ch)
+        for py in range(ph):
+            y = y0 + py * dy
+            line = b"".join(
+                rows[y][(x0 + px * dx) * ch : (x0 + px * dx + 1) * ch]
+                for px in range(pw)
+            )
+            ftype = draw_filter()
+            idat.append(ftype)
+            idat += _apply_filter(ftype, line, prev, ch)
+            prev = line
+    return bytes(idat)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 11),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_minipng_adam7_roundtrip(w, h, channels, data):
+    """decode(adam7_interlace(pixels)) == pixels for every color type,
+    image shape (including shapes where whole passes are empty: w or
+    h < 5 skips passes), and per-line filter choice."""
+    rows = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * channels,
+                    max_size=w * channels,
+                )
+            )
+        )
+        for _ in range(h)
+    ]
+    idat = _adam7_idat(
+        rows, w, h, channels, lambda: data.draw(st.integers(0, 4))
+    )
+    ctype = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(idat))
+        + _chunk(b"IEND", b"")
+    )
+    dw, dh, dch, drows = minipng.decode(png)
+    assert (dw, dh, dch) == (w, h, channels)
+    assert [bytes(r) for r in drows] == rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 9),
+    n_colors=st.integers(1, 8),
+    data=st.data(),
+)
+def test_minipng_adam7_palette(w, h, n_colors, data):
+    """Interlaced palette PNGs: the Adam7 passes carry the 1-byte index
+    stream; expansion to RGB happens after deinterlacing and matches a
+    python-side palette lookup."""
+    palette = [
+        tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+        for _ in range(n_colors)
+    ]
+    idx_rows = [
+        bytes(
+            data.draw(
+                st.lists(st.integers(0, n_colors - 1), min_size=w, max_size=w)
+            )
+        )
+        for _ in range(h)
+    ]
+    idat = _adam7_idat(
+        idx_rows, w, h, 1, lambda: data.draw(st.integers(0, 4))
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1))
+        + _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+        + _chunk(b"IDAT", zlib.compress(idat))
+        + _chunk(b"IEND", b"")
+    )
+    dw, dh, dch, drows = minipng.decode(png)
+    assert (dw, dh, dch) == (w, h, 3)
+    expected = [
+        b"".join(bytes(palette[i]) for i in row) for row in idx_rows
+    ]
+    assert [bytes(r) for r in drows] == expected
+
+
+def test_minipng_adam7_truncated_raises():
+    """An interlaced PNG whose IDAT is short one pass must raise, not
+    return a half-scattered grid."""
+    rows = [bytes(range(16)) for _ in range(8)]  # 16x8 gray... w=16
+    idat = _adam7_idat(rows, 16, 8, 1, lambda: 0)
+    short = zlib.compress(idat[: len(idat) - 5])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 8, 8, 0, 0, 0, 1))
+        + _chunk(b"IDAT", short)
+        + _chunk(b"IEND", b"")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minipng.decode(png)
