@@ -451,19 +451,25 @@ def connected_components(
     (greedy keep-the-smallest-id dedup falls out of it directly).
 
     Iterative min-label propagation with pointer-doubling: each round
-    every node adopts the smallest label among itself and its neighbors
-    (one hop), then shortcuts ``lab(n) := lab(lab(n))`` — labels are
-    node ids and ``lab(x) <= x``, so the shortcut halves chain depth
-    every round and convergence is O(log diameter) rounds, not
-    O(diameter) (an LSH graph over boilerplate-heavy corpora can chain
-    hundreds of hops; plain propagation measurably crawled there).
-    Each round is two keyed shuffles of the (still tiny) label table —
-    the fact-scale work (signature + candidate generation) happened
-    upstream. The convergence probe exploits monotonicity: per-node
-    labels never increase, so ``sum(lab)`` is unchanged iff NO label
-    changed — one scan-and-aggregate of the checkpointed label table
-    (no join against the previous round's labels, no extra shuffle;
-    the join+count probe this replaced cost two shuffles per round).
+    every node adopts the smallest label in its CLOSED neighborhood,
+    then shortcuts ``lab(n) := lab(lab(n))`` — labels are node ids and
+    ``lab(x) <= x``, so the shortcut halves chain depth every round and
+    convergence is O(log diameter) rounds, not O(diameter) (an LSH
+    graph over boilerplate-heavy corpora can chain hundreds of hops;
+    plain propagation measurably crawled there). The closed
+    neighborhood comes from self-loop edges added ONCE up front, so a
+    round is join + groupBy-min — two shuffles, where the
+    neighbors-then-least formulation this replaced needed a third
+    (measured at sf0.1: ~25% of the operator's wall clock; iteration
+    rounds at small scale are stage-barrier-bound, so shuffles per
+    round ARE the wall clock). ONE doubling hop per round: a second
+    hop measured round-count-neutral on the LSH graph and its extra
+    self-join cost ~2 s/run — more hops only pay on graphs whose
+    remaining depth per round exceeds 2^hops. The convergence probe
+    exploits monotonicity: per-node labels never increase, so
+    ``sum(lab)`` is unchanged iff NO label changed — one
+    scan-and-aggregate of the checkpointed label table (no join
+    against the previous round's labels, no extra shuffle).
 
     Labels are checkpointed to truncate lineage (iterative plans
     otherwise grow exponentially in Catalyst).
@@ -484,10 +490,12 @@ def connected_components(
             )
         ).alias("__e")
     ).select("__e.n", "__e.m")
-    sym = _persist_once(sym)
-    labels = _persist_once(
-        sym.select("n").distinct().withColumn("lab", F.col("n"))
-    )
+    nodes = _persist_once(sym.select("n").distinct())
+    # Self-loops fold "own label" into the neighborhood aggregate, so
+    # each round's closed-neighborhood minimum is ONE join + groupBy
+    # (no separate least(own, neighbor_min) join).
+    withself = _persist_once(sym.union(nodes.select("n", F.col("n").alias("m"))))
+    labels = _persist_once(nodes.withColumn("lab", F.col("n")))
 
     # Seed the monotone probe with the initial label sum (one aggregate
     # over the persisted init table) so a round that changes nothing is
@@ -495,38 +503,21 @@ def connected_components(
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0] or 0
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, on="n")
-            .groupBy(F.col("m").alias("n"))
-            .agg(F.min("lab").alias("nmin"))
-        )
-        cand = (
-            labels.join(neighbor_min, on="n", how="left")
-            .select(
-                "n",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("nmin"), F.col("lab"))
-                ).alias("lab"),
-            )
+        new_labels = (
+            withself.join(labels.withColumnRenamed("n", "m"), on="m")
+            .groupBy("n")
+            .agg(F.min("lab").alias("lab"))
         )
         # Pointer doubling: follow each node's label one more hop
         # (labels ARE node ids, and every label value appears as a node
-        # in cand, so the lookup is a self-join on the label). lab(x)<=x
-        # guarantees the hop never increases a label. TWO hops per
-        # round: each hop divides remaining chain depth by 2, so two
-        # shortcuts make it depth/4 per round — one extra self-join of
-        # the (tiny relative to the fact) label table buys several
-        # whole rounds on chain-heavy LSH graphs (measured at sf0.1:
-        # 8 rounds -> 5, where the trailing rounds moved single labels
-        # down a deep chain).
-        new_labels = cand
-        for _hop in range(2):
-            parent = new_labels.select(
-                F.col("n").alias("lab"), F.col("lab").alias("lab2")
-            )
-            new_labels = new_labels.join(parent, on="lab", how="left").select(
-                "n", F.coalesce(F.col("lab2"), F.col("lab")).alias("lab")
-            )
+        # in new_labels, so the lookup is a self-join on the label).
+        # lab(x) <= x guarantees the hop never increases a label.
+        parent = new_labels.select(
+            F.col("n").alias("lab"), F.col("lab").alias("lab2")
+        )
+        new_labels = new_labels.join(parent, on="lab", how="left").select(
+            "n", F.coalesce(F.col("lab2"), F.col("lab")).alias("lab")
+        )
         # localCheckpoint truncates the growing lineage (localCheckpoint
         # persists its RDD itself — an extra .persist() here would leave
         # one orphaned cache entry per iteration). eager=False so the
@@ -545,7 +536,8 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
-    sym.unpersist()
+    withself.unpersist()
+    nodes.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
