@@ -176,3 +176,55 @@ def moving_agg_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_4").cast(AMOUNT).alias("min_4"),
         F.col("max_4").cast(AMOUNT).alias("max_4"),
     )
+
+
+@register(
+    "running_distinct_count",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(is_first) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS is_first
+      FROM events
+    ) t
+    """,
+    doc="COUNT(DISTINCT) OVER a running window — which neither engine "
+        "supports natively — via the standard rewrite: flag each "
+        "(user, event_type)'s FIRST occurrence with row_number, then "
+        "running-SUM the flags. Two window passes over the same "
+        "user-keyed shuffle (Catalyst reuses the exchange when the "
+        "partition key matches); integer flags, so cross-engine exact. "
+        "The 100 TB property: state per row is one bit, vs the naive "
+        "per-frame set materialization that is quadratic in frame size",
+)
+def running_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first").over(w_run).cast("long").alias(
+            "distinct_types_so_far"
+        ),
+    )
