@@ -64,6 +64,13 @@ HEADLINE = [
     "json_agg_by_field",
     "stream_window_agg",
     "skewed_window_two_phase",
+    # Round-5 additions: the third iterative ANN path (PQ — trained
+    # codebooks + ADC scan + rerank, the heaviest new plan), one
+    # corpus-derived text signal (two token shuffles + broadcast), and
+    # the bounded sliding window frame.
+    "ann_pq_trained_topk",
+    "text_corpus_stopword_fraction",
+    "moving_agg_rows_frame",
 ]
 
 

@@ -1166,12 +1166,12 @@ DRIVER_WINDOW: list[str] = [
     "mode_top1_per_group",
     "moving_agg_rows_frame",
     "running_distinct_count",
+    "dedup_incremental_lsh_candidates",
     # backfill: oldest (round-1-only) confirmations
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_connected_components",
-    "dedup_simhash",
     "ann_brute_force_topk",
     "ann_lsh_bucketed_topk",
     "dedup_embedding_cosine",

@@ -244,3 +244,45 @@ def embedding_q8_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l2sq").cast("long").alias("max_l2sq"),
         (F.sum("l2sq").cast("double") / F.count(F.lit(1))).alias("avg_l2sq"),
     )
+
+
+def _incremental_lsh_oracle() -> str:
+    from etl_tj_project_spark.operators import dedup as _dd
+
+    bands_sql = _dd.minhash_bands_sql(
+        "documents", "doc_id", "text", num_hashes=8, bands=4
+    )
+    return f"""
+    WITH b AS ({bands_sql})
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM b a JOIN b c ON a.band = c.band AND a.h = c.h
+                     AND a.doc_id < c.doc_id
+    WHERE a.doc_id >= 400 OR c.doc_id >= 400
+    """
+
+
+@register(
+    "dedup_incremental_lsh_candidates",
+    _incremental_lsh_oracle(),
+    doc="Incremental near-dup candidates: dedup a DELTA (doc_id >= 400 "
+        "stands in for today's arrivals) against the whole corpus "
+        "without recomputing the full band self-join — only the delta's "
+        "signatures are computed and joined against the PREBUILT base "
+        "band index plus its own bands "
+        "(operators/dedup.incremental_lsh_candidates). At 100 TB the "
+        "base index is a stored table bucketed by (band, h), so the "
+        "daily probe shuffles O(delta), not O(corpus). Oracle: the "
+        "full self-join restricted to pairs touching the delta — "
+        "proving incremental == recompute, the same invariant as "
+        "scd2_apply_changes",
+)
+def dedup_incremental_lsh_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_tj_project_spark.operators import dedup as _dd
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 400)
+    delta = d.filter(F.col("doc_id") >= 400)
+    base_bands = _dd.minhash_bands(base, "doc_id", "text", 8, 4)
+    return _dd.incremental_lsh_candidates(base_bands, delta, "doc_id", "text")

@@ -221,6 +221,54 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_lsh_candidates(
+    base_bands: DataFrame,
+    delta_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs INVOLVING the delta only: the daily
+    incremental form of :func:`lsh_candidate_pairs`.
+
+    A production corpus dedups each day's arrivals against the whole
+    corpus; recomputing the full band self-join daily is O(corpus)
+    work for an O(delta)-sized question. Here only the delta's
+    signatures are computed (day-sized scan), and the join probes
+    ``base_bands`` — the PREBUILT (id, band, h) index table the initial
+    load wrote out (at warehouse scale: bucketed/partitioned by
+    (band, h), so this join co-locates without shuffling the base).
+    Delta-internal duplicates are caught by including the delta's own
+    bands in the probe side. Output is canonical (doc_a < doc_b,
+    distinct) pairs where at least one side is a delta doc — feed it to
+    :func:`jaccard_for_pairs` exactly like the full-corpus pairs.
+    """
+    delta_bands = minhash_bands(
+        delta_df, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    delta_bands = _persist_once(delta_bands)
+    probe = base_bands.select(id_col, "band", "h").unionByName(
+        delta_bands.select(id_col, "band", "h")
+    )
+    left = delta_bands.select(
+        F.col(id_col).alias("doc_a"), F.col("band"), F.col("h")
+    )
+    right = probe.select(
+        F.col(id_col).alias("doc_b"), F.col("band"), F.col("h")
+    )
+    return (
+        left.join(right, on=["band", "h"], how="inner")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_bands_sql(
     table: str,
     id_col: str,
