@@ -199,3 +199,50 @@ def dedup_stream(
     return events.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
         id_cols or ["event_id"]
     )
+
+
+DISTINCT_STATE_SCHEMA = "types_csv STRING"
+DISTINCT_OUTPUT_SCHEMA = "user_id BIGINT, distinct_types BIGINT"
+
+
+def _update_user_distinct(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    seen = set()
+    if state.exists:
+        (csv,) = state.get
+        if csv:
+            seen.update(csv.split(","))
+    for pdf in pdfs:
+        seen.update(str(v) for v in pdf["event_type"].dropna().unique())
+    state.update((",".join(sorted(seen)),))
+    yield pd.DataFrame({"user_id": [key[0]], "distinct_types": [len(seen)]})
+
+
+def user_distinct_types_stream(events: DataFrame) -> DataFrame:
+    """Per-user running COUNT(DISTINCT event_type) across micro-batches —
+    the streaming twin of the batch `running_distinct_count` rewrite
+    (harness_fnpacks4) collapsed to its final per-user value.
+
+    State per user is the SET of seen types, stored as a sorted CSV
+    string — O(|type domain|) per key, fine for enum-like domains
+    (event_type here has a handful of values). For unbounded value
+    domains the state must become a sketch (HLL / KMV) instead of a
+    set: same operator shape, bounded state, approximate count — that
+    is the 10^9-key scale path, and the batch approx_count_distinct
+    entry pins the sketch's error envelope.
+
+    Output mode: update (one refreshed row per touched user per batch).
+    A single availableNow pass over a static source equals
+    ``groupBy(user_id).agg(count_distinct(event_type))`` exactly
+    (tests/test_streaming.py).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_distinct,
+        outputStructType=DISTINCT_OUTPUT_SCHEMA,
+        stateStructType=DISTINCT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -80,6 +80,35 @@ def test_stateful_totals_match_batch_groupby(spark, events_dir):
     assert got == want
 
 
+def test_stateful_distinct_types_match_batch(spark, events_dir):
+    """Streaming per-user COUNT(DISTINCT event_type) (set-in-state) must
+    equal the batch count_distinct after one availableNow pass — the
+    stream twin of the running_distinct_count window rewrite."""
+    from etl_tj_project_spark.streaming.stateful import user_distinct_types_stream
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(events_dir).schema)
+        .load(events_dir)
+    )
+    _run_to_memory(
+        user_distinct_types_stream(stream), "user_distinct", "update"
+    )
+    # update mode: the LAST row per user is the final running value.
+    got = {
+        r.user_id: r.distinct_types
+        for r in spark.table("user_distinct").collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_transform_with_state_matches_legacy_and_batch(spark, events_dir):
     """The Spark 4 StatefulProcessor path must produce the same final
     per-user totals as both the legacy GroupState operator and the plain
