@@ -34,7 +34,8 @@ AMOUNT = DecimalType(18, 2)
            CAST(bit_and(l_partkey) AS BIGINT) AS pk_and,
            CAST(bit_or(l_partkey)  AS BIGINT) AS pk_or,
            CAST(bit_xor(l_partkey) AS BIGINT) AS pk_xor,
-           CAST(bit_xor(l_orderkey * 2654435761) AS BIGINT) AS ok_mix_xor
+           CAST(bit_xor((l_orderkey % 1000000007) * 2654435761) AS BIGINT)
+             AS ok_mix_xor
     FROM lineitem GROUP BY l_linestatus
     """,
     doc="Bitwise aggregates (bit_and/bit_or/bit_xor): order-independent "
@@ -42,7 +43,12 @@ AMOUNT = DecimalType(18, 2)
         "xor-of-multiplied-keys column is the classic order-insensitive "
         "set checksum used to verify replication/backfills without "
         "sorting — a useful primitive at 100 TB where sorting to "
-        "compare is unaffordable",
+        "compare is unaffordable. The key is reduced mod 1e9+7 BEFORE "
+        "the Knuth-constant multiply so the product stays under 2^63 "
+        "for ANY key magnitude — the unreduced form overflows BIGINT "
+        "(an ANSI-mode error, a silent wrap elsewhere) once orderkeys "
+        "pass ~3.5e9, i.e. exactly at the scale this checksum exists "
+        "for",
 )
 def bitwise_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -50,9 +56,9 @@ def bitwise_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_and("l_partkey").cast("long").alias("pk_and"),
         F.bit_or("l_partkey").cast("long").alias("pk_or"),
         F.bit_xor("l_partkey").cast("long").alias("pk_xor"),
-        F.bit_xor(F.col("l_orderkey") * F.lit(2654435761)).cast("long").alias(
-            "ok_mix_xor"
-        ),
+        F.bit_xor(
+            (F.col("l_orderkey") % F.lit(1000000007)) * F.lit(2654435761)
+        ).cast("long").alias("ok_mix_xor"),
     )
 
 
