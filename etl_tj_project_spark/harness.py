@@ -1167,13 +1167,13 @@ DRIVER_WINDOW: list[str] = [
     "moving_agg_rows_frame",
     "running_distinct_count",
     "dedup_incremental_lsh_candidates",
+    "approx_distinct_kmv",
     # backfill: oldest (round-1-only) confirmations
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "ann_brute_force_topk",
-    "ann_lsh_bucketed_topk",
     "dedup_embedding_cosine",
     "multimodal_decode",
     "multimodal_resize",

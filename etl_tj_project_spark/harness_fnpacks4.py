@@ -234,3 +234,64 @@ def running_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_types_so_far"
         ),
     )
+
+
+@register(
+    "approx_distinct_kmv",
+    """
+    WITH h AS (
+      SELECT DISTINCT l_linestatus,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM lineitem
+    ), ranked AS (
+      SELECT l_linestatus, hv,
+             row_number() OVER (PARTITION BY l_linestatus ORDER BY hv) AS rk,
+             COUNT(*) OVER (PARTITION BY l_linestatus) AS n_distinct_hashes
+      FROM h
+    )
+    SELECT l_linestatus,
+           CAST(n_distinct_hashes AS BIGINT) AS n_distinct_hashes,
+           CAST(hv AS BIGINT) AS kth_hash,
+           CASE WHEN n_distinct_hashes >= 64
+                THEN CAST(63 * 4294967296.0 / hv AS DOUBLE)
+                ELSE CAST(n_distinct_hashes AS DOUBLE) END AS est_distinct
+    FROM ranked WHERE rk = least(64, n_distinct_hashes)
+    """,
+    doc="K-minimum-values distinct sketch (k=64) over md5 — unlike HLL "
+        "(whose register layout is engine-private, hence the rows-only "
+        "approx_count_distinct), KMV on a portable hash is "
+        "DETERMINISTIC: both engines compute identical sketches, so "
+        "this sketch entry carries a full oracle hash check. Estimator "
+        "(k-1)/u_k with u_k = k-th smallest hash normalized by 2^32; "
+        "below k distinct values the sketch IS the exact count. The "
+        "sketch is mergeable (union = k smallest of the union), which "
+        "is what makes it a partial-aggregatable distinct count at "
+        "100 TB and a bounded state for streaming distinct",
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    hv = F.conv(
+        F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = li.select("l_linestatus", hv.alias("hv")).distinct()
+    w_rank = Window.partitionBy("l_linestatus").orderBy("hv")
+    w_all = Window.partitionBy("l_linestatus")
+    ranked = h.select(
+        "l_linestatus",
+        "hv",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_distinct_hashes"),
+    )
+    k = F.least(F.lit(64), F.col("n_distinct_hashes"))
+    return ranked.filter(F.col("rk") == k).select(
+        "l_linestatus",
+        F.col("n_distinct_hashes").cast("long").alias("n_distinct_hashes"),
+        F.col("hv").cast("long").alias("kth_hash"),
+        F.when(
+            F.col("n_distinct_hashes") >= 64,
+            (F.lit(63) * F.lit(4294967296.0) / F.col("hv")).cast("double"),
+        )
+        .otherwise(F.col("n_distinct_hashes").cast("double"))
+        .alias("est_distinct"),
+    )

@@ -109,6 +109,35 @@ def test_trained_ivf_recall_floor(spark):
     assert len(trained_ids & exact_ids) / 10 >= 0.8
 
 
+def test_kmv_estimate_within_30pct_of_exact(spark):
+    """The KMV (k=64) estimate must land within ±30% of the exact
+    distinct count per group (theoretical relative stderr is
+    1/sqrt(k-2) ~= 12.7%; 30% leaves two-sigma-plus headroom without
+    accepting a wrong-shape estimate). Unlike HLL this sketch is
+    oracle-hash-checked too — this test pins VALUE quality, the hash
+    pins determinism."""
+    est = {
+        r.l_linestatus: r.est_distinct
+        for r in harness.REGISTRY["approx_distinct_kmv"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r.l_linestatus: r.n
+        for r in li.groupBy("l_linestatus")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact) and exact
+    for grp, n in exact.items():
+        assert abs(est[grp] - n) <= 0.30 * n, (grp, est[grp], n)
+
+
 def test_pq_recall_floor(spark):
     """PQ-ADC top-10 with 4x oversample + exact rerank must keep recall
     >= 0.8 against exact brute-force cosine top-10 (the embeddings are
