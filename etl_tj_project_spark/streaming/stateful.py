@@ -246,3 +246,69 @@ def user_distinct_types_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_STATE_SCHEMA = "hashes_csv STRING"
+KMV_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_hashes BIGINT, est_distinct_props DOUBLE"
+)
+_KMV_K = 16
+
+
+def _kmv_hash(value: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(value.encode()).hexdigest()[:8], 16)
+
+
+def _update_user_kmv(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    hashes: set[int] = set()
+    if state.exists:
+        (csv,) = state.get
+        if csv:
+            hashes.update(int(x) for x in csv.split(","))
+    for pdf in pdfs:
+        hashes.update(
+            _kmv_hash(str(v)) for v in pdf["props"].dropna().unique()
+        )
+    smallest = sorted(hashes)[:_KMV_K]
+    state.update((",".join(str(x) for x in smallest),))
+    n = len(smallest)
+    if n >= _KMV_K:
+        est = (_KMV_K - 1) * 4294967296.0 / smallest[-1]
+    else:
+        est = float(n)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_hashes": [n],
+            "est_distinct_props": [est],
+        }
+    )
+
+
+def user_distinct_props_kmv_stream(events: DataFrame) -> DataFrame:
+    """Per-user APPROXIMATE distinct props via a K-minimum-values sketch
+    carried in state — the bounded-state path
+    :func:`user_distinct_types_stream`'s docstring promises for
+    unbounded value domains: state is at most k=16 hash values per user
+    no matter how many distinct values stream past.
+
+    KMV on md5 is deterministic AND order/batching-insensitive (the k
+    smallest of a union do not depend on arrival order), so after one
+    availableNow pass the streamed estimate equals the batch-computed
+    KMV estimate EXACTLY — an equality test, not a tolerance test
+    (tests/test_streaming.py). The batch twin of the estimator itself
+    is the oracle-hash-checked `approx_distinct_kmv` registry entry.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_kmv,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -109,6 +109,56 @@ def test_stateful_distinct_types_match_batch(spark, events_dir):
     assert got == want
 
 
+def test_stateful_kmv_sketch_equals_batch_sketch(spark, events_dir):
+    """The KMV-in-state streaming distinct must equal a batch-computed
+    KMV sketch EXACTLY (md5 is deterministic and the k-smallest of a
+    union are arrival-order-insensitive) — equality, not tolerance."""
+    import hashlib
+
+    from etl_tj_project_spark.streaming.stateful import (
+        _KMV_K,
+        user_distinct_props_kmv_stream,
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(events_dir).schema)
+        .load(events_dir)
+    )
+    _run_to_memory(
+        user_distinct_props_kmv_stream(stream), "user_kmv", "update"
+    )
+    got = {
+        r.user_id: (r.n_hashes, round(r.est_distinct_props, 6))
+        for r in spark.table("user_kmv").collect()
+    }
+
+    rows = (
+        spark.read.parquet(events_dir)
+        .select("user_id", "props")
+        .filter(F.col("props").isNotNull())
+        .distinct()
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        h = int(hashlib.md5(str(r.props).encode()).hexdigest()[:8], 16)
+        by_user.setdefault(r.user_id, set()).add(h)
+    want = {}
+    for uid, hs in by_user.items():
+        smallest = sorted(hs)[:_KMV_K]
+        n = len(smallest)
+        est = (
+            (_KMV_K - 1) * 4294967296.0 / smallest[-1]
+            if n >= _KMV_K
+            else float(n)
+        )
+        want[uid] = (n, round(est, 6))
+    assert got == want
+    # and the sketch actually estimates: at least one user saturates k
+    assert any(n == _KMV_K for n, _ in got.values())
+
+
 def test_transform_with_state_matches_legacy_and_batch(spark, events_dir):
     """The Spark 4 StatefulProcessor path must produce the same final
     per-user totals as both the legacy GroupState operator and the plain
