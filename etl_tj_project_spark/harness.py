@@ -1168,13 +1168,13 @@ DRIVER_WINDOW: list[str] = [
     "running_distinct_count",
     "dedup_incremental_lsh_candidates",
     "approx_distinct_kmv",
+    "graph_degree_distribution",
+    "graph_triangle_count",
     # backfill: oldest (round-1-only) confirmations
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_connected_components",
-    "ann_brute_force_topk",
-    "dedup_embedding_cosine",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -286,3 +286,141 @@ def dedup_incremental_lsh_candidates(
     delta = d.filter(F.col("doc_id") >= 400)
     base_bands = _dd.minhash_bands(base, "doc_id", "text", 8, 4)
     return _dd.incremental_lsh_candidates(base_bands, delta, "doc_id", "text")
+
+
+def _lsh_pairs_sql() -> str:
+    from etl_tj_project_spark.operators import dedup as _dd
+
+    bands_sql = _dd.minhash_bands_sql(
+        "documents", "doc_id", "text", num_hashes=8, bands=4
+    )
+    return f"""
+      WITH b AS ({bands_sql})
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM b a JOIN b c ON a.band = c.band AND a.h = c.h
+                       AND a.doc_id < c.doc_id
+    """
+
+
+@register(
+    "graph_degree_distribution",
+    f"""
+    WITH pairs AS ({_lsh_pairs_sql()}),
+    deg AS (
+      SELECT n, COUNT(*) AS degree FROM (
+        SELECT doc_a AS n FROM pairs
+        UNION ALL
+        SELECT doc_b AS n FROM pairs
+      ) all_ends GROUP BY n
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the near-dup candidate graph — the "
+        "profile a dedup pipeline inspects before clustering (a heavy "
+        "tail means boilerplate hubs that will chain unrelated docs "
+        "through connected components; the standard mitigation is "
+        "dropping super-node buckets). Two shuffles over id-sized "
+        "tables; the LSH candidate generation upstream is the fact-"
+        "scale work",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators import dedup as _dd
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _dd.lsh_candidate_pairs(d, "doc_id", "text", 8, 4)
+    ends = pairs.select(F.col("doc_a").alias("n")).unionAll(
+        pairs.select(F.col("doc_b").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH pairs AS ({_lsh_pairs_sql()}),
+    deg AS (
+      SELECT n, COUNT(*) AS degree FROM (
+        SELECT doc_a AS n FROM pairs
+        UNION ALL
+        SELECT doc_b AS n FROM pairs
+      ) all_ends GROUP BY n
+    ),
+    oriented AS (
+      SELECT CASE WHEN (da.degree, p.doc_a) < (db.degree, p.doc_b)
+                  THEN p.doc_a ELSE p.doc_b END AS u,
+             CASE WHEN (da.degree, p.doc_a) < (db.degree, p.doc_b)
+                  THEN p.doc_b ELSE p.doc_a END AS v
+      FROM pairs p
+      JOIN deg da ON da.n = p.doc_a
+      JOIN deg db ON db.n = p.doc_b
+    ),
+    wedges AS (
+      SELECT e1.v AS a, e2.v AS b
+      FROM oriented e1 JOIN oriented e2
+        ON e1.u = e2.u AND (e1.v < e2.v)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT 1 FROM wedges w
+      WHERE EXISTS (
+        SELECT 1 FROM pairs p
+        WHERE (p.doc_a = least(w.a, w.b) AND p.doc_b = greatest(w.a, w.b))
+      )
+    ) t
+    """,
+    doc="Triangle count of the candidate graph via DEGREE-ORIENTED "
+        "wedge counting (each edge points low->high (degree, id); "
+        "wedges form only at each edge's lower endpoint, then a "
+        "semi-join against the edge set closes them) — the standard "
+        "MapReduce formulation that bounds per-node wedge fan-out by "
+        "O(sqrt(|E|)) instead of degree^2, which is what makes it "
+        "runnable on a graph with boilerplate hub nodes at corpus "
+        "scale. Triangle density tells a dedup pipeline whether near-"
+        "dup groups are cliquish (true template families) or chains "
+        "(transitive false merges)",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators import dedup as _dd
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _dd.lsh_candidate_pairs(d, "doc_id", "text", 8, 4)
+    from etl_tj_project_spark.operators.dedup import _persist_once
+
+    pairs = _persist_once(pairs)
+    ends = pairs.select(F.col("doc_a").alias("n")).unionAll(
+        pairs.select(F.col("doc_b").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+    p = (
+        pairs.join(deg.withColumnRenamed("n", "doc_a"), "doc_a")
+        .withColumnRenamed("degree", "deg_a")
+        .join(
+            deg.withColumnRenamed("n", "doc_b").withColumnRenamed(
+                "degree", "deg_b"
+            ),
+            "doc_b",
+        )
+    )
+    low_is_a = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = p.select(
+        F.when(low_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+        F.when(low_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("a"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("b"))
+    wedges = e1.join(e2, "u").filter(F.col("a") < F.col("b"))
+    closing = pairs.select(
+        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb")
+    )
+    closed = wedges.join(
+        closing,
+        (F.least("a", "b") == F.col("ca"))
+        & (F.greatest("a", "b") == F.col("cb")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

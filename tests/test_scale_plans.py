@@ -616,3 +616,50 @@ def test_aqe_splits_skewed_join_partitions(spark):
         map(tuple, left.join(right, "k").select("k", "lv", "rv").collect())
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operator plan invariants
+# ---------------------------------------------------------------------------
+
+def test_pq_candidates_use_take_ordered(spark):
+    """The PQ-ADC candidate stage must be TakeOrderedAndProject
+    (per-partition heaps of k*oversample), never a global sort of the
+    scored scan."""
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark.operators import similarity as sim
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    books = sim.train_pq(e, m=8, ksub=16, iters=1)
+    top = sim.pq_topk(e, q, k=10, codebooks=books, oversample=4)
+    plan = _plan(top)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan, (
+        "PQ candidate selection fell back to a global sort"
+    )
+
+
+def test_corpus_stopword_top20_is_broadcast(spark):
+    """The adaptive stopword list (top-20 terms) must reach the token
+    stream as a broadcast, not a shuffle join."""
+    from etl_tj_project_spark import harness
+
+    plan = _plan(
+        harness.REGISTRY["text_corpus_stopword_fraction"].spark(
+            spark, SF_SMOKE
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_sketch_stays_in_jvm(spark):
+    """The KMV sketch is pure engine expressions — no Python stage in
+    the plan (the sketch must run inside codegen at 100 TB)."""
+    from etl_tj_project_spark import harness
+
+    plan = _plan(harness.REGISTRY["approx_distinct_kmv"].spark(spark, SF_SMOKE))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
