@@ -100,7 +100,13 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     whole signature stage on one task (measured: 32× slower at sf0.1).
     At lake scale inputs already have thousands of splits and this is a
     no-op — the repartition only fires when the input is under-split.
+
+    Streaming DataFrames pass through untouched: ``df.rdd`` is illegal
+    on a stream (it would need an eager execution), and micro-batch
+    split sizing is the source's job (maxFilesPerTrigger etc.).
     """
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

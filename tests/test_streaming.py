@@ -159,6 +159,59 @@ def test_stateful_kmv_sketch_equals_batch_sketch(spark, events_dir):
     assert any(n == _KMV_K for n, _ in got.values())
 
 
+def test_stream_lsh_collisions_match_batch(spark, tmp_path):
+    """Streaming docs banded on the fly and probed against the static
+    base band index must find exactly the batch-computed delta-vs-base
+    collision set after an availableNow pass (pairs deduped — the
+    stream is deliberately state-free and may emit a pair once per
+    colliding band)."""
+    from etl_tj_project_spark.operators.dedup import minhash_bands
+    from etl_tj_project_spark.sources.testdata import load_table
+    from etl_tj_project_spark.streaming.lsh_stream import stream_lsh_collisions
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    delta_dir = str(tmp_path / "delta_docs")
+    delta.write.parquet(delta_dir)
+    base_bands = minhash_bands(base, "doc_id", "text", 8, 4)
+
+    doc_stream = (
+        spark.readStream.format("parquet")
+        .schema(delta.schema)
+        .load(delta_dir)
+    )
+    _run_to_memory(
+        stream_lsh_collisions(doc_stream, base_bands),
+        "lsh_collisions",
+        "append",
+    )
+    got = {
+        (r.new_doc, r.base_doc)
+        for r in spark.table("lsh_collisions").collect()
+    }
+
+    delta_bands = minhash_bands(
+        spark.read.parquet(delta_dir), "doc_id", "text", 8, 4
+    )
+    want = {
+        (r.new_doc, r.base_doc)
+        for r in delta_bands.select(
+            F.col("doc_id").alias("new_doc"), "band", "h"
+        )
+        .join(
+            base_bands.select(F.col("doc_id").alias("base_doc"), "band", "h"),
+            on=["band", "h"],
+        )
+        .filter(F.col("new_doc") != F.col("base_doc"))
+        .select("new_doc", "base_doc")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_transform_with_state_matches_legacy_and_batch(spark, events_dir):
     """The Spark 4 StatefulProcessor path must produce the same final
     per-user totals as both the legacy GroupState operator and the plain
