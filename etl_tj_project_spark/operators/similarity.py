@@ -594,3 +594,28 @@ def pq_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """(id, pq_code array<int>) — the stored-codes form of the index.
+
+    Production PQ writes this ONCE at ingest (dim*4 bytes -> m small
+    ints per vector) and the ANN scan then reads codes instead of
+    embeddings; :func:`pq_topk` encodes on the fly only because the
+    registry entry must be self-contained. Encoding is a pure column
+    expression (one transform over the 3-D codebook literal), so the
+    write is a fully parallel projection.
+    """
+    dsub = len(codebooks[0][0])
+    books_lit = F.array(*[
+        F.array(*[_plane_col(c) for c in book]) for book in codebooks
+    ])
+    return df.select(
+        F.col(id_col), _pq_codes(F.col(vec_col), books_lit, dsub).alias(code_col)
+    )

@@ -663,3 +663,74 @@ def test_kmv_sketch_stays_in_jvm(spark):
     plan = _plan(harness.REGISTRY["approx_distinct_kmv"].spark(spark, SF_SMOKE))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_pq_stored_codes_equal_on_the_fly(spark, tmp_path):
+    """Writing pq_encode codes to parquet and ADC-ranking from the
+    STORED codes must equal pq_topk's on-the-fly encode — the
+    encode-once / scan-codes contract production PQ relies on."""
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark.operators import similarity as sim
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    books = sim.train_pq(e, m=8, ksub=16, iters=1)
+    codes_dir = str(tmp_path / "pq_codes")
+    sim.pq_encode(e, books).write.parquet(codes_dir)
+    stored = spark.read.parquet(codes_dir)
+    # on-the-fly reference
+    q = e.filter(F.col("vec_id") == 0)
+    want = [
+        (r.vec_id, round(r.approx_l2sq, 9))
+        for r in sim.pq_topk(
+            e, q, k=10, codebooks=books, oversample=4
+        ).collect()
+    ]
+    # stored-codes ADC: join codes back to vectors only for the rerank
+    dsub = len(books[0][0])
+    books_lit = F.array(*[
+        F.array(*[sim._plane_col(c) for c in book]) for book in books
+    ])
+    lut = F.transform(
+        books_lit,
+        lambda book, j: F.transform(
+            book,
+            lambda c: sim._l2sq(
+                F.slice(F.col("__qv"), j * dsub + 1, dsub), c
+            ),
+        ),
+    )
+    qside = F.broadcast(
+        q.select(F.col("embedding").alias("__qv")).select(
+            "__qv", lut.alias("__lut")
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"), F.col("__lut"),
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cands = (
+        stored.crossJoin(qside)
+        .select("vec_id", adc.alias("approx_l2sq"), "__qv")
+        .orderBy(F.col("approx_l2sq"), F.col("vec_id"))
+        .limit(40)
+    )
+    got_full = (
+        cands.join(e, "vec_id")
+        .select(
+            "vec_id", "approx_l2sq",
+            sim.cosine_similarity(F.col("embedding"), F.col("__qv")).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    got = [(r.vec_id, round(r.approx_l2sq, 9)) for r in got_full]
+    assert got == want
