@@ -1170,8 +1170,8 @@ DRIVER_WINDOW: list[str] = [
     "approx_distinct_kmv",
     "graph_degree_distribution",
     "graph_triangle_count",
+    "dedup_semantic_semdedup",
     # backfill: oldest (round-1-only) confirmations
-    "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_connected_components",

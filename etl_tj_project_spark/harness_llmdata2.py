@@ -424,3 +424,94 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def _semdedup_oracle() -> str:
+    dot = (
+        lambda a, b: f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    cos = lambda a, b: (  # noqa: E731
+        f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+    )
+    return f"""
+    WITH c AS (SELECT vec_id AS cell, embedding AS cvec
+               FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cell FROM c
+              ORDER BY {cos('e.embedding', 'c.cvec')} DESC, c.cell DESC
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+       AND {cos('a.embedding', 'b.embedding')} >= 0.35
+    )
+    SELECT a.vec_id, a.cell,
+           a.vec_id IN (SELECT vec_id FROM drops) AS dropped
+    FROM assigned a
+    """
+
+
+@register(
+    "dedup_semantic_semdedup",
+    _semdedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023): cluster the embedding table, "
+        "then drop all but the smallest-id member of any within-cluster "
+        "pair above a cosine threshold — semantic dedup that catches "
+        "paraphrases exact/MinHash dedup cannot. The cluster restriction "
+        "is what makes it tractable: candidate pairs are within-cell "
+        "only (cells ~ corpus/k), never all-pairs. Deterministic "
+        "centroids (first 8 vectors; trained k-means swaps in without "
+        "changing the plan — same substitution as ann_ivf_topk vs "
+        "ann_ivf_trained_topk) keep the entry oracle-hash-checkable. "
+        "Threshold 0.35 is matched to the synthetic embedding "
+        "distribution (max pairwise cosine ~0.45) so the drop rule "
+        "provably fires; production text embeddings use ~0.95",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.functions.vectors import cosine_similarity
+    from etl_tj_project_spark.operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r[1]]
+        for r in sorted(
+            e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+            key=lambda r: r[0],
+        )
+    ]
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        sim._cell_expr(F.col("embedding"), cents).alias("cell"),
+    )
+    from etl_tj_project_spark.operators.dedup import _persist_once
+
+    assigned = _persist_once(assigned)
+    a = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("emb_a"), F.col("emb_b")) >= 0.35)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(drops, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce("__dropped", F.lit(False)).alias("dropped"),
+    )
