@@ -1171,8 +1171,9 @@ DRIVER_WINDOW: list[str] = [
     "graph_degree_distribution",
     "graph_triangle_count",
     "dedup_semantic_semdedup",
+    "full_outer_reconcile",
+    "not_in_null_semantics",
     # backfill: oldest (round-1-only) confirmations
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "multimodal_decode",
@@ -1181,7 +1182,6 @@ DRIVER_WINDOW: list[str] = [
     # headline TPC-H re-confirmation
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
 ]
 
 

@@ -295,3 +295,97 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n_distinct_hashes").cast("double"))
         .alias("est_distinct"),
     )
+
+
+@register(
+    "full_outer_reconcile",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS order_cnt
+      FROM orders GROUP BY 1
+    ), l AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             COUNT(*) AS line_cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(o.day, l.day) AS day,
+           CAST(coalesce(o.order_cnt, 0) AS BIGINT) AS order_cnt,
+           CAST(coalesce(l.line_cnt, 0) AS BIGINT) AS line_cnt,
+           CASE WHEN o.day IS NULL THEN 'ship_only'
+                WHEN l.day IS NULL THEN 'order_only'
+                ELSE 'both' END AS presence
+    FROM o FULL OUTER JOIN l ON l.day = o.day
+    """,
+    doc="FULL OUTER reconciliation — the two-system audit shape "
+        "(orders-by-day vs shipments-by-day, which days exist on only "
+        "one side) and the one outer-join variant no other registered "
+        "query exercises. Both inputs pre-aggregate to day grain "
+        "BEFORE the join, so the full-outer shuffle moves day-sized "
+        "tables, not facts — at 100 TB that ordering is the difference "
+        "between a KB-scale join and a fact-scale one",
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("line_cnt"))
+    )
+    j = o.join(li, "day", "full_outer")
+    return j.select(
+        "day",
+        F.coalesce("order_cnt", F.lit(0)).cast("long").alias("order_cnt"),
+        F.coalesce("line_cnt", F.lit(0)).cast("long").alias("line_cnt"),
+        F.when(F.col("order_cnt").isNull(), "ship_only")
+        .when(F.col("line_cnt").isNull(), "order_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+@register(
+    "not_in_null_semantics",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_nationkey NOT IN
+         (SELECT nullif(n_nationkey, 3) FROM nation)) AS cnt_with_null,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_nationkey NOT IN
+         (SELECT nullif(n_nationkey, 3) FROM nation
+          WHERE nullif(n_nationkey, 3) IS NOT NULL)) AS cnt_null_filtered
+    """,
+    doc="NOT IN three-valued-logic trap, pinned cross-engine: when the "
+        "subquery list contains a NULL, `x NOT IN (...)` is never TRUE "
+        "(x <> NULL is UNKNOWN), so cnt_with_null is 0 no matter the "
+        "data — the single most common silent-wrong-answer migration "
+        "bug from engines/code that treated NOT IN as an anti-join. "
+        "The null-filtered twin column shows the intended count. "
+        "Spark plans the null-aware case as a special anti join "
+        "(NAAJ); writing the filter explicitly is what keeps the plan "
+        "a plain broadcast anti join at scale",
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    c.createOrReplaceTempView("__niv_customer")
+    n.createOrReplaceTempView("__niv_nation")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM __niv_customer
+           WHERE c_nationkey NOT IN
+             (SELECT nullif(n_nationkey, 3) FROM __niv_nation))
+            AS cnt_with_null,
+          (SELECT COUNT(*) FROM __niv_customer
+           WHERE c_nationkey NOT IN
+             (SELECT nullif(n_nationkey, 3) FROM __niv_nation
+              WHERE nullif(n_nationkey, 3) IS NOT NULL))
+            AS cnt_null_filtered
+        """
+    )
