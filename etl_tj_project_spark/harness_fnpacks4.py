@@ -389,3 +389,31 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS cnt_null_filtered
         """
     )
+
+
+@register(
+    "variant_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 = 0
+                AS BOOLEAN) AS k_decade
+    FROM events
+    """,
+    doc="Semi-structured access through Spark 4's VARIANT type "
+        "(parse_json -> variant_get) rather than per-query string "
+        "parsing — VARIANT parses once into a binary form that "
+        "downstream accesses reuse, the engine-native answer to "
+        "schema-on-read JSON at scale (the json_extract_typed entry is "
+        "the classic get_json_object twin of the same access). Typed "
+        "extraction (`$.k` as int) casts inside the variant reader",
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return e.select(
+        "event_id",
+        k.alias("k_int"),
+        (k % 10 == 0).alias("k_decade"),
+    )
