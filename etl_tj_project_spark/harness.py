@@ -1173,12 +1173,12 @@ DRIVER_WINDOW: list[str] = [
     "dedup_semantic_semdedup",
     "full_outer_reconcile",
     "not_in_null_semantics",
+    "variant_json_extract",
     # backfill: oldest (round-1-only) confirmations
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "multimodal_decode",
     "multimodal_resize",
-    "multimodal_frame_sample",
     # headline TPC-H re-confirmation
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
