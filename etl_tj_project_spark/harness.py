@@ -1174,13 +1174,13 @@ DRIVER_WINDOW: list[str] = [
     "full_outer_reconcile",
     "not_in_null_semantics",
     "variant_json_extract",
+    "try_arithmetic_pack",
+    "yoy_growth_accounts",
     # backfill: oldest (round-1-only) confirmations
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "multimodal_decode",
-    "multimodal_resize",
     # headline TPC-H re-confirmation
-    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
 ]
 

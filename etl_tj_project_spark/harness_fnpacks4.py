@@ -417,3 +417,108 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_int"),
         (k % 10 == 0).alias("k_decade"),
     )
+
+
+@register(
+    "try_arithmetic_pack",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE CAST(l_quantity AS DOUBLE) / (l_linenumber - 1) END
+             AS qty_per_prev_line,
+           try_cast(l_returnflag AS INTEGER) AS rflag_as_int,
+           try_cast(CAST(l_linenumber AS VARCHAR) || '0' AS INTEGER)
+             AS synth_int,
+           CASE WHEN l_quantity >= 0
+                THEN CAST(floor(sqrt(CAST(l_quantity AS DOUBLE)))
+                          AS BIGINT) END AS qty_isqrt
+    FROM lineitem
+    """,
+    doc="NULL-on-failure arithmetic — the Spark 4 ANSI-mode migration "
+        "surface: under ANSI (ON in any vanilla Spark 4 session), bare "
+        "division by zero and failed casts THROW, so production "
+        "expressions must be try_divide/try_cast or explicit guards. "
+        "This entry pins the try_* semantics cross-engine (DuckDB "
+        "try_cast matches; try_divide is stated as the explicit "
+        "zero-guard CASE both engines agree on; the failing cast column "
+        "proves NULL-not-throw, the succeeding one proves values). The "
+        "verify-recipe "
+        "gotcha ('any cast that can fail must be try_cast') as a "
+        "registered, hash-checked contract instead of tribal knowledge",
+)
+def try_arithmetic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_quantity").cast("double"), F.col("l_linenumber") - 1
+        ).alias("qty_per_prev_line"),
+        F.try_to_number("l_returnflag", F.lit("999")).cast("int").alias(
+            "rflag_as_int"
+        ),
+        F.try_to_number(
+            F.concat(F.col("l_linenumber").cast("string"), F.lit("0")),
+            F.lit("999"),
+        ).cast("int").alias("synth_int"),
+        F.when(
+            F.col("l_quantity") >= 0,
+            F.floor(F.sqrt(F.col("l_quantity").cast("double"))).cast("long"),
+        ).alias("qty_isqrt"),
+    )
+
+
+@register(
+    "yoy_growth_accounts",
+    """
+    WITH yearly AS (
+      SELECT o_custkey, CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS spend
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, yr,
+           CAST(spend AS DECIMAL(18,2)) AS spend,
+           CAST(prev_spend AS DECIMAL(18,2)) AS prev_spend,
+           CASE WHEN prev_yr = yr - 1 AND prev_spend > 0
+                THEN CAST(spend AS DOUBLE) / CAST(prev_spend AS DOUBLE)
+           END AS yoy_ratio
+    FROM (
+      SELECT o_custkey, yr, spend,
+             lag(spend) OVER w AS prev_spend,
+             lag(yr)    OVER w AS prev_yr
+      FROM yearly
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY yr)
+    ) t
+    """,
+    doc="Year-over-year account growth — the classic warehouse KPI "
+        "shape: aggregate to (customer, year) grain FIRST (decimal-"
+        "exact), then lag within customer ordered by year, with the "
+        "adjacent-year guard (a gap year yields NULL, not a bogus "
+        "multi-year ratio — the correctness detail naive lag misses). "
+        "One (custkey, yr) aggregation shuffle; the window rides the "
+        "same custkey partitioning",
+)
+def yoy_growth_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(F.sum(F.col("o_totalprice").cast(AMOUNT)).cast(AMOUNT).alias("spend"))
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    lagged = yearly.select(
+        "o_custkey",
+        "yr",
+        "spend",
+        F.lag("spend").over(w).alias("prev_spend"),
+        F.lag("yr").over(w).alias("prev_yr"),
+    )
+    return lagged.select(
+        "o_custkey",
+        "yr",
+        F.col("spend").cast(AMOUNT).alias("spend"),
+        F.col("prev_spend").cast(AMOUNT).alias("prev_spend"),
+        F.when(
+            (F.col("prev_yr") == F.col("yr") - 1) & (F.col("prev_spend") > 0),
+            F.col("spend").cast("double") / F.col("prev_spend").cast("double"),
+        ).alias("yoy_ratio"),
+    )

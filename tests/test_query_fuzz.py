@@ -1,0 +1,93 @@
+"""Differential predicate fuzzing: randomly generated (seeded,
+reproducible) filter expressions over lineitem run through BOTH engines
+and must hash-match — the registry proves chosen queries, this probes
+the space between them (operator precedence, type coercion, NULL
+propagation, NaN-free double arithmetic).
+
+Grammar is the cross-engine-deterministic subset the repo's conventions
+allow: doubles via explicit CAST, + - * (no division — ANSI throw on
+zero), comparisons, AND/OR/NOT, string equality on a categorical
+column. Every run generates the same 40 predicates (fixed seed)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from etl_tj_project_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+from tests.oracle_compare import compare, duck_connection
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_linenumber"]
+STR_VALS = ["A", "N", "R"]
+
+
+def _num(rng: random.Random, depth: int) -> str:
+    if depth <= 0 or rng.random() < 0.4:
+        if rng.random() < 0.85:
+            return f"CAST({rng.choice(NUM_COLS)} AS DOUBLE)"
+        return f"{rng.randint(-50, 200)}.0"
+    op = rng.choice(["+", "-", "*"])
+    return f"({_num(rng, depth - 1)} {op} {_num(rng, depth - 1)})"
+
+
+def _pred(rng: random.Random, depth: int) -> str:
+    if depth <= 0 or rng.random() < 0.35:
+        if rng.random() < 0.25:
+            return f"l_returnflag = '{rng.choice(STR_VALS)}'"
+        cmp_op = rng.choice(["<", "<=", ">", ">=", "="])
+        return f"{_num(rng, 2)} {cmp_op} {_num(rng, 2)}"
+    r = rng.random()
+    if r < 0.45:
+        return f"({_pred(rng, depth - 1)} AND {_pred(rng, depth - 1)})"
+    if r < 0.9:
+        return f"({_pred(rng, depth - 1)} OR {_pred(rng, depth - 1)})"
+    return f"(NOT {_pred(rng, depth - 1)})"
+
+
+def _gen(n: int) -> list[str]:
+    rng = random.Random(20260813)
+    return [_pred(rng, 3) for _ in range(n)]
+
+
+PREDICATES = _gen(40)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def li_view(spark):
+    load_table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView(
+        "__fuzz_lineitem"
+    )
+    return "__fuzz_lineitem"
+
+
+@pytest.mark.parametrize("idx", range(len(PREDICATES)))
+def test_random_predicate_matches_oracle(spark, duck, li_view, idx):
+    pred = PREDICATES[idx]
+    sql = (
+        "SELECT l_orderkey, l_linenumber FROM {t} WHERE " + pred
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+def test_fuzz_predicates_are_not_vacuous(spark, li_view):
+    """The generated family must actually exercise the data: at least
+    40% of predicates select a non-empty, non-total subset."""
+    total = spark.table(li_view).count()
+    selective = 0
+    for pred in PREDICATES:
+        n = spark.sql(
+            f"SELECT COUNT(*) AS n FROM {li_view} WHERE {pred}"
+        ).collect()[0].n
+        if 0 < n < total:
+            selective += 1
+    assert selective >= len(PREDICATES) * 0.4, selective
