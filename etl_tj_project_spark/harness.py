@@ -1176,8 +1176,8 @@ DRIVER_WINDOW: list[str] = [
     "variant_json_extract",
     "try_arithmetic_pack",
     "yoy_growth_accounts",
+    "wau_rolling_distinct",
     # backfill: oldest (round-1-only) confirmations
-    "dedup_minhash_lsh",
     "dedup_connected_components",
     "multimodal_decode",
     # headline TPC-H re-confirmation

@@ -522,3 +522,60 @@ def yoy_growth_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("spend").cast("double") / F.col("prev_spend").cast("double"),
         ).alias("yoy_ratio"),
     )
+
+
+@register(
+    "wau_rolling_distinct",
+    """
+    WITH active AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), replicated AS (
+      SELECT CAST(day + INTERVAL (o.off) DAY AS DATE) AS window_day,
+             user_id
+      FROM active
+      CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+    ), bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS min_day,
+             MAX(CAST(ts AS DATE)) AS max_day
+      FROM events
+    )
+    SELECT r.window_day,
+           CAST(COUNT(DISTINCT r.user_id) AS BIGINT) AS wau
+    FROM replicated r, bounds b
+    WHERE r.window_day BETWEEN b.min_day AND b.max_day
+    GROUP BY r.window_day
+    """,
+    doc="Rolling 7-day distinct users (WAU) — the engagement KPI that "
+        "needs a SLIDING DISTINCT, which windowed count_distinct "
+        "cannot express: each (day, user) activity row replicates into "
+        "the 7 window-days it contributes to (map-side 7x fan-out of "
+        "the already-distinct day-grain table, NOT of raw events), "
+        "then one exact count_distinct per window day. At 100 TB the "
+        "fan-out input is |days x active users|, orders smaller than "
+        "the event stream; the distinct is one (window_day) shuffle "
+        "with partial distinct. Trailing semantics: day d counts users "
+        "active in (d-6 .. d]; days past the data edge are clipped",
+)
+def wau_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    replicated = active.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+        "user_id",
+    ).select(
+        F.date_add(F.col("day"), F.col("off")).alias("window_day"),
+        "user_id",
+    )
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("min_day"),
+        F.max(F.col("ts").cast("date")).alias("max_day"),
+    )
+    return (
+        replicated.crossJoin(F.broadcast(bounds))
+        .filter(F.col("window_day").between(F.col("min_day"), F.col("max_day")))
+        .groupBy("window_day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
