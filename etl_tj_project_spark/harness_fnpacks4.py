@@ -579,3 +579,36 @@ def wau_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_day")
         .agg(F.count_distinct("user_id").cast("long").alias("wau"))
     )
+
+
+@register(
+    "skewed_distinct_two_phase",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Two-phase COUNT(DISTINCT) under group-key skew: phase 1 "
+        "distincts (group, salt, user) partitions — the hot group's "
+        "distinct work spreads across 16 salt buckets instead of one "
+        "reducer — phase 2 merges per-salt distinct counts (exact: "
+        "salting by hash(user) makes per-salt user sets DISJOINT, so "
+        "counts ADD). The oracle is the plain single-phase distinct, "
+        "proving the rewrite result-identical — same proof pattern as "
+        "skew_salted_join / skewed_window_two_phase. A 5-value "
+        "event_type over 10^9 users serializes into 5 reducers "
+        "without this; with it, parallelism is |groups| x 16",
+)
+def skewed_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    salted = e.select(
+        "event_type",
+        F.pmod(F.xxhash64("user_id"), F.lit(16)).alias("salt"),
+        "user_id",
+    )
+    per_salt = (
+        salted.groupBy("event_type", "salt")
+        .agg(F.count_distinct("user_id").alias("nd"))
+    )
+    return per_salt.groupBy("event_type").agg(
+        F.sum("nd").cast("long").alias("n_users")
+    )

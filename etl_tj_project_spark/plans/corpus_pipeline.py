@@ -1,0 +1,101 @@
+"""End-to-end training-corpus build: ingest → quality/language filter →
+exact + near dedup → PII redaction → deterministic split assignment →
+atomic multi-table manifest commit.
+
+One function composes the engine's curation operators into the pipeline
+a training-data team actually runs, publishing THREE tables in one
+all-or-nothing snapshot (manifest.py): the curated corpus, the ingest
+quarantine, and per-source stats. Every stage is the already-tested
+operator — this module adds composition and the publication contract,
+no new per-row logic.
+
+Scale shape: stages 1-3 are row-local expressions (no shuffle until
+dedup); exact dedup is one fingerprint shuffle; near-dup is the banded
+LSH self-join (candidates only); split assignment is a salted-MD5
+expression (re-runs give identical splits — no RNG); the commit is
+a constant number of renames regardless of data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark import manifest
+from etl_tj_project_spark.operators.corpus import (
+    QualityThresholds,
+    prepare_corpus,
+)
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    docs: DataFrame | str,
+    out_root: str,
+    *,
+    languages: tuple[str, ...] = ("en",),
+    thresholds: QualityThresholds | None = None,
+    near_dup_threshold: float = 0.8,
+    train_frac_hex: str = "cc",  # md5-prefix split bounds: 00..cb train
+    val_hi_hex: str = "e6",  # cc..e5 val, e6..ff test (~80/10/10)
+) -> dict:
+    """Build and PUBLISH a training corpus snapshot; returns stage
+    counts (small driver-side dict).
+
+    ``docs`` is a documents-shaped DataFrame, or a path to JSONL shards
+    (loaded via sources/jsonl.read_documents_jsonl — malformed lines
+    land in the published quarantine table instead of dying).
+    """
+    if isinstance(docs, str):
+        from etl_tj_project_spark.sources.jsonl import read_documents_jsonl
+
+        clean, quarantine = read_documents_jsonl(spark, docs)
+    else:
+        clean, quarantine = docs, None
+
+    n_in = clean.count()
+    curated = prepare_corpus(
+        clean,
+        th=thresholds,
+        languages=languages,
+        near_dup_threshold=near_dup_threshold,
+    )
+    # PII redaction AFTER dedup (dedup must see original bytes so
+    # fingerprints match across copies; redaction must not create
+    # artificial near-dups).
+    redacted = curated.withColumn(
+        "text", F.regexp_replace(F.col("text"), "[0-9][0-9][0-9]+", "<NUM>")
+    )
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    final = redacted.withColumn(
+        "split",
+        F.when(h2 < train_frac_hex, "train")
+        .when(h2 < val_hi_hex, "val")
+        .otherwise("test"),
+    )
+
+    stats = final.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    tables = {"corpus": final, "split_stats": stats}
+    if quarantine is not None:
+        tables["quarantine"] = quarantine
+    version = manifest.commit(out_root, tables)
+
+    published = manifest.read_table(spark, out_root, "corpus")
+    n_out = published.count()
+    n_quarantined = (
+        manifest.read_table(spark, out_root, "quarantine").count()
+        if quarantine is not None
+        else 0
+    )
+    return {
+        "version": version,
+        "n_input": n_in,
+        "n_published": n_out,
+        "n_quarantined": n_quarantined,
+        "n_dropped": n_in - n_out,
+    }

@@ -1,0 +1,82 @@
+"""End-to-end training-corpus build (plans/corpus_pipeline.py):
+JSONL ingest -> curation -> split -> manifest publication, with the
+invariants a production pipeline is graded on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark import manifest
+from etl_tj_project_spark.plans.corpus_pipeline import build_training_corpus
+from etl_tj_project_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def jsonl_shards(spark, tmp_path):
+    """Dogfood: the sf0.001 documents table written as JSONL shards,
+    plus a malformed shard the quarantine must absorb."""
+    out = tmp_path / "shards"
+    load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).coalesce(2).write.json(str(out))
+    (out / "bad-shard.json").write_text(
+        '{"doc_id": 900001, "text": "valid extra doc about the bus '
+        'network system", "lang": "en", "source": "srcX"}\n'
+        '{"doc_id": broken json line\n'
+        '{"text": "no id", "lang": "en", "source": "srcX"}\n'
+    )
+    return str(out)
+
+
+def test_pipeline_publishes_curated_snapshot(spark, jsonl_shards, tmp_path):
+    root = str(tmp_path / "published")
+    stats = build_training_corpus(spark, jsonl_shards, root)
+    assert stats["version"] == 1
+    assert stats["n_quarantined"] == 2  # broken json + missing id
+    assert 0 < stats["n_published"] < stats["n_input"]
+
+    corpus = manifest.read_table(spark, root, "corpus")
+    # invariant: published corpus is exactly dedup'd (no duplicate
+    # normalized fingerprints survive).
+    from etl_tj_project_spark.functions.text import doc_fingerprint
+
+    dups = (
+        corpus.select(doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
+    # invariant: every row has a split and redacted long digit runs.
+    assert corpus.filter(~F.col("split").isin("train", "val", "test")).count() == 0
+    assert corpus.filter(F.col("text").rlike("[0-9][0-9][0-9]")).count() == 0
+    # stats table agrees with the corpus.
+    stats_tbl = manifest.read_table(spark, root, "split_stats")
+    assert (
+        stats_tbl.agg(F.sum("n_docs")).collect()[0][0]
+        == stats["n_published"]
+    )
+
+
+def test_pipeline_split_is_deterministic_and_versioned(
+    spark, jsonl_shards, tmp_path
+):
+    root = str(tmp_path / "published2")
+    build_training_corpus(spark, jsonl_shards, root)
+    first = {
+        r.doc_id: r.split
+        for r in manifest.read_table(spark, root, "corpus").collect()
+    }
+    stats2 = build_training_corpus(spark, jsonl_shards, root)
+    assert stats2["version"] == 2  # snapshot versioning, no overwrite
+    second = {
+        r.doc_id: r.split
+        for r in manifest.read_table(spark, root, "corpus").collect()
+    }
+    assert first == second  # salted-MD5 split: re-runs never reshuffle
+    # time travel still serves v1
+    v1 = manifest.read_table(spark, root, "corpus", version=1)
+    assert v1.count() == len(first)
