@@ -1177,11 +1177,11 @@ DRIVER_WINDOW: list[str] = [
     "try_arithmetic_pack",
     "yoy_growth_accounts",
     "wau_rolling_distinct",
+    "skewed_distinct_two_phase",
     # backfill: oldest (round-1-only) confirmations
     "dedup_connected_components",
     "multimodal_decode",
     # headline TPC-H re-confirmation
-    "tpch_q3_shipping_priority",
 ]
 
 

@@ -612,3 +612,90 @@ def skewed_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_salt.groupBy("event_type").agg(
         F.sum("nd").cast("long").alias("n_users")
     )
+
+
+@register(
+    "month_end_clamp_pack",
+    """
+    SELECT o_orderkey,
+           CAST(d AS DATE) AS order_day,
+           CAST(d + INTERVAL 1 MONTH AS DATE) AS next_month,
+           CAST(d - INTERVAL 1 MONTH AS DATE) AS prev_month,
+           last_day(d) AS month_end,
+           d = last_day(d) AS is_month_end
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders) t
+    """,
+    doc="Month-arithmetic clamping pinned cross-engine: Jan 31 + 1 "
+        "month = Feb 29 (clamp to target month end) in BOTH Spark "
+        "add_months and DuckDB interval addition — but only because "
+        "both clamp; engines that overflow into March silently shift "
+        "every month-end billing row. last_day and the is-month-end "
+        "flag ride along (the month-grain partition boundary used by "
+        "retention/billing rollups)",
+)
+def month_end_clamp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_day"),
+        F.add_months(d, 1).alias("next_month"),
+        F.add_months(d, -1).alias("prev_month"),
+        F.last_day(d).alias("month_end"),
+        (d == F.last_day(d)).alias("is_month_end"),
+    )
+
+
+@register(
+    "array_setops_pack",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN trim(text) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END)
+               AS toks,
+             list_distinct(regexp_split_to_array(
+               'the scan join order window batch', ' ')) AS probe
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_intersect(toks, probe)),
+             ','), '') AS inter_csv,
+           coalesce(array_to_string(list_sort(list_filter(toks,
+             x -> NOT list_contains(probe, x))), ','), '') AS minus_csv,
+           CAST(len(list_intersect(toks, probe)) AS BIGINT) AS n_common
+    FROM t
+    """,
+    doc="Array set operations (intersect / except over per-doc token "
+        "sets vs a probe vocabulary) — surfaced as SORTED CSV strings "
+        "because the engines' native set ops disagree on element ORDER "
+        "(Spark preserves first-argument order, DuckDB does not "
+        "guarantee one): sort-then-join is the only hashable contract. "
+        "All in-row higher-order functions, no shuffle",
+)
+def array_setops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.when(F.trim("text") == "", F.array()).otherwise(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        )
+    )
+    probe = F.array_distinct(
+        F.split(F.lit("the scan join order window batch"), " ")
+    )
+    with_sets = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        probe.alias("probe"),
+    )
+    inter = F.array_sort(F.array_intersect("toks", "probe"))
+    minus = F.array_sort(F.array_except("toks", "probe"))
+    return with_sets.select(
+        "doc_id",
+        F.array_join(inter, ",").alias("inter_csv"),
+        F.array_join(minus, ",").alias("minus_csv"),
+        F.size(F.array_intersect("toks", "probe")).cast("long").alias(
+            "n_common"
+        ),
+    )
