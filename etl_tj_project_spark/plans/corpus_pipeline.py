@@ -46,6 +46,8 @@ def build_training_corpus(
     (loaded via sources/jsonl.read_documents_jsonl — malformed lines
     land in the published quarantine table instead of dying).
     """
+    from pyspark.sql import Observation
+
     if isinstance(docs, str):
         from etl_tj_project_spark.sources.jsonl import read_documents_jsonl
 
@@ -53,7 +55,11 @@ def build_training_corpus(
     else:
         clean, quarantine = docs, None
 
-    n_in = clean.count()
+    # Input count via the Observation API: the metric is collected
+    # DURING the publication job's scan below — at 100 TB an extra
+    # count() here would be a second full pass over the ingest.
+    obs_in = Observation("corpus_input")
+    clean = clean.observe(obs_in, F.count(F.lit(1)).alias("n"))
     curated = prepare_corpus(
         clean,
         th=thresholds,
@@ -92,6 +98,7 @@ def build_training_corpus(
         if quarantine is not None
         else 0
     )
+    n_in = int(obs_in.get["n"])
     return {
         "version": version,
         "n_input": n_in,

@@ -35,6 +35,11 @@ def test_pipeline_publishes_curated_snapshot(spark, jsonl_shards, tmp_path):
     stats = build_training_corpus(spark, jsonl_shards, root)
     assert stats["version"] == 1
     assert stats["n_quarantined"] == 2  # broken json + missing id
+    # n_input comes from the Observation API (collected during the
+    # publication scan, not an extra pass) and must be EXACT: the 500
+    # table docs + the 1 valid extra shard doc. An observe node double-
+    # counted by a self-joining plan would report ~2x here.
+    assert stats["n_input"] == 501
     assert 0 < stats["n_published"] < stats["n_input"]
 
     corpus = manifest.read_table(spark, root, "corpus")
