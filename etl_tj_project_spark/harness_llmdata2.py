@@ -464,7 +464,10 @@ def _semdedup_oracle() -> str:
         "pair above a cosine threshold — semantic dedup that catches "
         "paraphrases exact/MinHash dedup cannot. The cluster restriction "
         "is what makes it tractable: candidate pairs are within-cell "
-        "only (cells ~ corpus/k), never all-pairs. Deterministic "
+        "only, never all-pairs — and at scale k GROWS with the corpus "
+        "(k ~ n / target_cell_size, e.g. 100k cells for 10^8 docs) so "
+        "per-cell pair work stays bounded; the fixed k=8 here is the "
+        "oracle-checkable test-scale setting. Deterministic "
         "centroids (first 8 vectors; trained k-means swaps in without "
         "changing the plan — same substitution as ann_ivf_topk vs "
         "ann_ivf_trained_topk) keep the entry oracle-hash-checkable. "
