@@ -734,3 +734,52 @@ def test_pq_stored_codes_equal_on_the_fly(spark, tmp_path):
     )
     got = [(r.vec_id, round(r.approx_l2sq, 9)) for r in got_full]
     assert got == want
+
+
+def test_runtime_bloom_filter_join_fires(spark):
+    """Runtime bloom-filter injection: a selective build side plants a
+    bloom filter on the probe side's scan, dropping non-joining fact
+    rows BEFORE the shuffle — at 100 TB that is the difference between
+    shuffling the whole fact and shuffling the matching ~fraction.
+    Thresholds are lowered so injection fires at test scale (the
+    mechanism, not the default sizing, is what must hold); result
+    identity vs default planning is asserted."""
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def joined():
+        return li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_linenumber", "o_totalprice"
+        )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = joined()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower() or "bloom" in plan.lower(), (
+            "runtime bloom filter did not inject"
+        )
+        got = sorted(map(tuple, j.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = sorted(map(tuple, joined().collect()))
+    assert got == want and len(got) > 0
