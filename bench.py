@@ -71,6 +71,12 @@ HEADLINE = [
     "ann_pq_trained_topk",
     "text_corpus_stopword_fraction",
     "moving_agg_rows_frame",
+    # Round-5 wave 2: the graph family's heaviest plan (degree-oriented
+    # triangle counting), the daily incremental dedup probe, and the
+    # sliding-distinct KPI.
+    "graph_triangle_count",
+    "dedup_incremental_lsh_candidates",
+    "wau_rolling_distinct",
 ]
 
 

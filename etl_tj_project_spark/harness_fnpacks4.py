@@ -699,3 +699,41 @@ def array_setops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common"
         ),
     )
+
+
+@register(
+    "window_nth_lead_pack",
+    """
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 3) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS third_order_so_far,
+           lead(o_orderkey, 1, -1) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS next_order_or_sentinel,
+           lead(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS order_after_next
+    FROM orders
+    """,
+    doc="nth_value + lead-with-default — the two navigation functions "
+        "the window packs hadn't pinned. nth_value runs over the "
+        "RUNNING frame (NULL until the partition's 3rd row arrives — "
+        "frame-sensitivity is the classic porting bug: the default "
+        "full-partition frame would backfill it); lead's explicit "
+        "default (-1) vs NULL-default two-step lead shows both "
+        "out-of-partition behaviors. Deterministic order keys, one "
+        "custkey window shuffle",
+)
+def window_nth_lead_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 3).over(w_run).alias("third_order_so_far"),
+        F.lead("o_orderkey", 1, -1).over(w).alias("next_order_or_sentinel"),
+        F.lead("o_orderkey", 2).over(w).alias("order_after_next"),
+    )
