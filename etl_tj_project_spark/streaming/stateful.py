@@ -312,3 +312,98 @@ def user_distinct_props_kmv_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SUMMARY_STATE_SCHEMA = (
+    "start_us BIGINT, end_us BIGINT, n_events BIGINT, session_no BIGINT"
+)
+SUMMARY_OUTPUT_SCHEMA = (
+    "user_id BIGINT, session_no BIGINT, start_us BIGINT, end_us BIGINT, "
+    "n_events BIGINT"
+)
+
+
+def session_summaries_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
+    """EMIT-ON-CLOSE session summaries: one (user, session_no, start,
+    end, n_events) row per COMPLETED session — the append-mode shape a
+    downstream consumer (billing, engagement rollups) wants, vs
+    :func:`sessionize_stream`'s per-event running assignment.
+
+    A session closes two ways, and both paths emit exactly once:
+    * inline — a later event for the same user proves the gap;
+    * event-time TIMEOUT — the watermark passes the session's end + gap
+      while the user stays silent (``GroupStateTimeout.EventTimeTimeout``
+      + ``setTimeoutTimestamp``), closing the tail session without
+      waiting for the user's next visit. Without timeouts, a user's
+      final session NEVER emits on a quiet stream — the classic
+      missing-revenue bug in emit-on-close pipelines.
+
+    State per user is one open session (4 BIGINTs, O(1) forever).
+    availableNow runs timeout-only batches until quiescent, so at stream
+    end every session whose (end + gap) the FINAL watermark passed has
+    emitted; only sessions inside the gap horizon of the last event stay
+    open (not CLOSED yet) — verified exactly in tests/test_streaming.py.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        out: list[tuple[int, int, int, int, int]] = []
+        uid = key[0]
+
+        if state.hasTimedOut:
+            start, end, n, sno = state.get
+            out.append((uid, sno, start, end, n))
+            state.remove()
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "session_no", "start_us", "end_us", "n_events"
+                ],
+            )
+            return
+
+        start, end, n, sno = state.get if state.exists else (-1, -1, 0, -1)
+        chunks = [p for p in pdfs if len(p)]
+        rows = (
+            pd.concat(chunks).sort_values(["ts", "event_id"])
+            if chunks
+            else None
+        )
+        if rows is not None:
+            for t in rows["ts"].astype("int64") // 1000:
+                t = int(t)
+                if start < 0:
+                    start, end, n, sno = t, t, 1, sno + 1
+                elif t - end > gap_us:
+                    out.append((uid, sno, start, end, n))
+                    start, end, n, sno = t, t, 1, sno + 1
+                else:
+                    end, n = max(end, t), n + 1
+        state.update((start, end, n, sno))
+        # Close the open session when event time passes its gap horizon.
+        state.setTimeoutTimestamp((end + gap_us) // 1000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "session_no", "start_us", "end_us", "n_events"
+                ],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SUMMARY_OUTPUT_SCHEMA,
+            stateStructType=SUMMARY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -212,6 +212,102 @@ def test_stream_lsh_collisions_match_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_session_summaries_emit_on_close(spark, tmp_path):
+    """Emit-on-close sessionization: a completed session emits exactly
+    once — inline when a later event proves the gap, or via event-time
+    TIMEOUT when the watermark passes its end + gap. Two ordered
+    micro-batches with hand-built events give an exact expected set."""
+    import time as _time
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from etl_tj_project_spark.streaming.stateful import (
+        session_summaries_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+
+    def ev(eid, uid, iso):
+        import datetime as dt
+
+        return Row(
+            event_id=eid,
+            ts=dt.datetime.fromisoformat(iso),
+            user_id=uid,
+        )
+
+    d = str(tmp_path / "sessions_in")
+    # batch 1: user 1's whole session (early), user 2's first session,
+    # user 4 late in the day — drives the watermark past user 1's
+    # (end + gap) so user 1 times out in batch 2.
+    batch1 = [
+        ev(1, 1, "2024-01-01 09:00:00"),
+        ev(2, 1, "2024-01-01 09:10:00"),
+        ev(3, 2, "2024-01-01 10:00:00"),
+        ev(4, 4, "2024-01-01 23:00:00"),
+    ]
+    # batch 2: user 2 returns next day (closes their first session
+    # INLINE, opens a second), user 3 appears (stays open).
+    batch2 = [
+        ev(5, 2, "2024-01-02 08:00:00"),
+        ev(6, 3, "2024-01-02 09:00:00"),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        d, mode="append"
+    )
+    _time.sleep(1.2)  # file-source batches order by modification time
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        d, mode="append"
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    _run_to_memory(
+        session_summaries_stream(stream, gap_minutes=30),
+        "session_summaries",
+        "append",
+    )
+    got = {
+        (r.user_id, r.session_no, r.start_us, r.end_us, r.n_events)
+        for r in spark.table("session_summaries").collect()
+    }
+
+    def us(iso):
+        import datetime as dt
+
+        return int(
+            dt.datetime.fromisoformat(iso + "+00:00").timestamp() * 1_000_000
+        )
+
+    want = {
+        # user 1: closed by TIMEOUT in batch 2 (no new data, watermark
+        # 23:00 > 09:40 horizon)
+        (1, 0, us("2024-01-01 09:00:00"), us("2024-01-01 09:10:00"), 2),
+        # user 2 session 0: closed INLINE by the day-2 event
+        (2, 0, us("2024-01-01 10:00:00"), us("2024-01-01 10:00:00"), 1),
+        # availableNow keeps running timeout-only batches until
+        # quiescent, so sessions whose end + gap fell behind the FINAL
+        # watermark (day-2 09:00) also close: user 4 (day-1 23:00) and
+        # user 2's day-2 session (08:00).
+        (4, 0, us("2024-01-01 23:00:00"), us("2024-01-01 23:00:00"), 1),
+        (2, 1, us("2024-01-02 08:00:00"), us("2024-01-02 08:00:00"), 1),
+        # user 3 (day-2 09:00): end + gap (09:30) is beyond the final
+        # watermark -> genuinely still open, never emitted.
+    }
+    assert got == want
+
+
 def test_transform_with_state_matches_legacy_and_batch(spark, events_dir):
     """The Spark 4 StatefulProcessor path must produce the same final
     per-user totals as both the legacy GroupState operator and the plain
