@@ -91,3 +91,41 @@ def test_fuzz_predicates_are_not_vacuous(spark, li_view):
         if 0 < n < total:
             selective += 1
     assert selective >= len(PREDICATES) * 0.4, selective
+
+
+# ---------------------------------------------------------------------------
+# Aggregate fuzzing: grouped sums/counts/min/max over random numeric
+# expressions. SUM of doubles would be shuffle-order-dependent, so sums
+# go through DECIMAL(28,6) internally (exact) and pin to DOUBLE on
+# output — the repo-wide convention, here applied to generated queries.
+# ---------------------------------------------------------------------------
+
+def _agg_query(rng: random.Random) -> str:
+    expr = _num(rng, 2)
+    agg = rng.choice(
+        [
+            f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS DOUBLE) AS DOUBLE)",
+            f"MIN({expr})",
+            f"MAX({expr})",
+            f"COUNT(CASE WHEN {_pred(rng, 1)} THEN 1 END)",
+        ]
+    )
+    return (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        + agg
+        + " AS m FROM {t} WHERE "
+        + _pred(rng, 2)
+        + " GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+AGG_QUERIES = [
+    _agg_query(random.Random(911_000 + i)) for i in range(15)
+]
+
+
+@pytest.mark.parametrize("idx", range(len(AGG_QUERIES)))
+def test_random_grouped_aggregate_matches_oracle(spark, duck, li_view, idx):
+    sql = AGG_QUERIES[idx]
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
