@@ -737,3 +737,28 @@ def window_nth_lead_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey", 1, -1).over(w).alias("next_order_or_sentinel"),
         F.lead("o_orderkey", 2).over(w).alias("order_after_next"),
     )
+
+
+@register(
+    "scan_lineage_per_file",
+    """
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+    doc="Scan lineage via METADATA COLUMNS: rows-per-source-file from "
+        "Spark's hidden _metadata.file_name (DuckDB: the filename "
+        "option) — the zero-cost provenance an ingest audit needs "
+        "(which shard produced these rows) without writing a lineage "
+        "column into the data. The oracle pins the testdata layout's "
+        "known basename plus the per-file count, so the metadata VALUE "
+        "is verified, not just its presence (the oracle's view surface "
+        "cannot read filenames itself)",
+)
+def scan_lineage_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
