@@ -166,3 +166,31 @@ def test_daily_pipeline_style_three_table_commit(spark, tmp_path):
     assert v == 1
     got = {t: mf.read_table(spark, root, t).count() for t in aggs}
     assert got == {"by_card": 5, "by_route": 5, "by_tariff": 1}
+
+
+def test_diff_table_reports_added_and_removed(spark, tmp_path):
+    """Snapshot diff: exactly the rows a commit added/removed, with
+    multiset semantics (duplicate-count changes surface)."""
+    from etl_tj_project_spark import manifest
+
+    root = str(tmp_path / "difftbl")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (3, "c")], ["id", "v"]
+    )
+    manifest.commit(root, {"t": v1})
+    v2 = spark.createDataFrame(
+        [(2, "b"), (3, "c"), (4, "d")], ["id", "v"]
+    )
+    manifest.commit(root, {"t": v2})
+
+    added, removed = manifest.diff_table(spark, root, "t", v_from=1, v_to=2)
+    assert sorted(map(tuple, added.collect())) == [(4, "d")]
+    # id=1 gone entirely; one of the two (3,'c') copies gone.
+    assert sorted(map(tuple, removed.collect())) == [(1, "a"), (3, "c")]
+    # identity: old + added - removed == new (as multisets)
+    old = manifest.read_table(spark, root, "t", version=1)
+    new = manifest.read_table(spark, root, "t", version=2)
+    recon = old.unionAll(added).exceptAll(removed)
+    assert sorted(map(tuple, recon.collect())) == sorted(
+        map(tuple, new.collect())
+    )
