@@ -13,9 +13,10 @@ never changes results:
   (floor/ceil candidate minimizing aspect error, never below 1; no
   upscale)
 
-Scope (documented, raises ``ValueError`` outside it): 8-bit depth, color
-types 0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), Adam7 interlace
-supported, no tRNS (palette transparency). Palette images are expanded
+Scope (documented, raises ``ValueError`` outside it): 8- and 16-bit
+depths (16-bit samples downscale to 8-bit via the high byte — PIL's
+I;16→L rule), color types 0/2/3/4/6 (gray, RGB, palette, gray+alpha,
+RGBA), Adam7 interlace supported, no tRNS (palette transparency). Palette images are expanded
 to RGB at decode time — exactly what PIL does on
 ``convert("L")``/``convert("RGB")`` from mode "P", so luma stays
 bit-identical. Interlaced images deinterlace to the same pixel grid PIL
@@ -147,10 +148,14 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth} (only 8)")
+            if depth not in (8, 16):
+                raise ValueError(
+                    f"unsupported bit depth {depth} (only 8/16)"
+                )
             if ctype not in _CHANNELS:
                 raise ValueError(f"unsupported color type {ctype}")
+            if ctype == 3 and depth != 8:
+                raise ValueError("palette PNGs are 8-bit max (spec 11.2.2)")
             if interlace not in (0, 1):
                 raise ValueError(f"bad interlace method {interlace}")
             if comp or filt:
@@ -168,31 +173,41 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = _CHANNELS[ctype]
+    # PNG filters operate on BYTES with left-neighbor distance = bytes
+    # per pixel, so 16-bit images unfilter with the same code at
+    # bpp = channels * 2 (spec 9.2); samples downscale to 8-bit after.
+    sample_bytes = depth // 8
+    bpp = ch * sample_bytes
     raw = zlib.decompress(bytes(idat))
     if interlace:
         # Adam7: seven independently-filtered sub-images; scatter each
         # pass's samples back to the full grid by the spec offsets.
         dims = _pass_dims(width, height)
-        expect = sum((pw * ch + 1) * ph for pw, ph in dims if pw and ph)
+        expect = sum((pw * bpp + 1) * ph for pw, ph in dims if pw and ph)
         if len(raw) != expect:
             raise ValueError("PNG pixel data length mismatch")
-        rows = [bytearray(width * ch) for _ in range(height)]
+        rows = [bytearray(width * bpp) for _ in range(height)]
         pos = 0
         for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
             if not pw or not ph:
                 continue
-            pass_rows, pos = _unfilter_pass(raw, pos, pw, ph, ch)
+            pass_rows, pos = _unfilter_pass(raw, pos, pw, ph, bpp)
             for py, line in enumerate(pass_rows):
                 y = y0 + py * dy
                 out = rows[y]
                 for px in range(pw):
                     x = x0 + px * dx
-                    out[x * ch : (x + 1) * ch] = line[px * ch : (px + 1) * ch]
+                    out[x * bpp : (x + 1) * bpp] = line[px * bpp : (px + 1) * bpp]
     else:
-        stride = width * ch
+        stride = width * bpp
         if len(raw) != (stride + 1) * height:
             raise ValueError("PNG pixel data length mismatch")
-        rows, _ = _unfilter_pass(raw, 0, width, height, ch)
+        rows, _ = _unfilter_pass(raw, 0, width, height, bpp)
+    if sample_bytes == 2:
+        # Downsample to 8-bit by keeping each big-endian sample's high
+        # byte — PIL's I;16 -> L conversion (value // 256), applied
+        # per channel for color types 2/4/6.
+        rows = [row[0::2] for row in rows]
     if ctype == 3:
         # Expand palette indices to RGB AFTER unfiltering — PNG filters
         # operate on the 1-byte-per-pixel index stream, not the expanded

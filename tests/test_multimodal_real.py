@@ -483,3 +483,70 @@ def test_minipng_adam7_truncated_raises():
 
     with _pytest.raises(ValueError):
         minipng.decode(png)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 6),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    interlaced=st.booleans(),
+    data=st.data(),
+)
+def test_minipng_16bit_high_byte_downsample(w, h, channels, interlaced, data):
+    """16-bit PNGs under every filter type (and Adam7): filters apply
+    at bpp = channels*2 bytes, and decoded samples equal each
+    big-endian 16-bit sample's HIGH byte (PIL's I;16 -> L rule)."""
+    bpp = channels * 2
+    rows16 = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * bpp, max_size=w * bpp
+                )
+            )
+        )
+        for _ in range(h)
+    ]
+    if interlaced:
+        idat = _adam7_idat(
+            rows16, w, h, bpp, lambda: data.draw(st.integers(0, 4))
+        )
+    else:
+        idat_b = bytearray()
+        prev = bytes(w * bpp)
+        for raw in rows16:
+            ftype = data.draw(st.integers(0, 4))
+            idat_b.append(ftype)
+            idat_b += _apply_filter(ftype, raw, prev, bpp)
+            prev = raw
+        idat = bytes(idat_b)
+    ctype = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, int(interlaced)),
+        )
+        + _chunk(b"IDAT", zlib.compress(idat))
+        + _chunk(b"IEND", b"")
+    )
+    dw, dh, dch, drows = minipng.decode(png)
+    assert (dw, dh, dch) == (w, h, channels)
+    expected = [bytes(r[0::2]) for r in rows16]
+    assert [bytes(r) for r in drows] == expected
+
+
+def test_minipng_16bit_palette_rejected():
+    """Palette color type caps at 8-bit depth (spec 11.2.2)."""
+    import pytest as _pytest
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+        + _chunk(b"PLTE", b"\x00\x00\x00")
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="8-bit"):
+        minipng.decode(png)
