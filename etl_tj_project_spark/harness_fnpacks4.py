@@ -762,3 +762,50 @@ def scan_lineage_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
+
+
+@register(
+    "share_of_parent_rollup",
+    """
+    WITH leaf AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(qty AS DECIMAL(18,2)) AS qty,
+           CAST(qty AS DOUBLE)
+             / CAST(SUM(qty) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+             AS share_of_flag,
+           CAST(qty AS DOUBLE) / CAST(SUM(qty) OVER () AS DOUBLE)
+             AS share_of_total
+    FROM leaf
+    """,
+    doc="Share-of-parent analytics: leaf aggregate once (decimal-"
+        "exact), then ratio-to-parent and ratio-to-grand-total via windows OVER "
+        "THE AGGREGATE — the drill-down report shape. The empty-frame "
+        "SUM() OVER () runs on the already-reduced leaf table (tens of "
+        "rows), never the fact; computing shares by re-scanning per "
+        "level would read the fact once per hierarchy level",
+)
+def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    leaf = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(AMOUNT)).cast(AMOUNT).alias("qty")
+    )
+    w_flag = Window.partitionBy("l_returnflag")
+    w_all = Window.partitionBy()
+    return leaf.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("qty").cast(AMOUNT).alias("qty"),
+        (
+            F.col("qty").cast("double")
+            / F.sum("qty").over(w_flag).cast("double")
+        ).alias("share_of_flag"),
+        (
+            F.col("qty").cast("double")
+            / F.sum("qty").over(w_all).cast("double")
+        ).alias("share_of_total"),
+    )

@@ -16,7 +16,8 @@ never changes results:
 Scope (documented, raises ``ValueError`` outside it): 8- and 16-bit
 depths (16-bit samples downscale to 8-bit via the high byte — PIL's
 I;16→L rule), color types 0/2/3/4/6 (gray, RGB, palette, gray+alpha,
-RGBA), Adam7 interlace supported, no tRNS (palette transparency). Palette images are expanded
+RGBA), Adam7 interlace supported, palette tRNS transparency
+(expanded to RGBA like PIL; gray/RGB color-key tRNS stays out of scope). Palette images are expanded
 to RGB at decode time — exactly what PIL does on
 ``convert("L")``/``convert("RGB")`` from mode "P", so luma stays
 bit-identical. Interlaced images deinterlace to the same pixel grid PIL
@@ -143,6 +144,7 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
     interlace = 0
     idat = bytearray()
     plte: bytes | None = None
+    trns: bytes | None = None
     for tag, payload in _chunks(data):
         if tag == b"IHDR":
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
@@ -165,7 +167,10 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
                 raise ValueError("bad PLTE length")
             plte = payload
         elif tag == b"tRNS":
-            raise ValueError("palette transparency (tRNS) unsupported")
+            if ctype != 3:
+                # gray/RGB tRNS is single-color keying — out of scope.
+                raise ValueError("tRNS only supported for palette PNGs")
+            trns = payload
         elif tag == b"IDAT":
             idat += payload
     if width is None:
@@ -209,21 +214,30 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
         # per channel for color types 2/4/6.
         rows = [row[0::2] for row in rows]
     if ctype == 3:
-        # Expand palette indices to RGB AFTER unfiltering — PNG filters
-        # operate on the 1-byte-per-pixel index stream, not the expanded
-        # samples (PNG spec §9; expanding first would mis-unfilter).
+        # Expand palette indices AFTER unfiltering — PNG filters operate
+        # on the 1-byte-per-pixel index stream, not the expanded samples
+        # (PNG spec §9; expanding first would mis-unfilter). With a
+        # tRNS chunk the expansion is RGBA (alpha per palette entry,
+        # entries past the chunk's length default to 255 — spec 11.3.2),
+        # matching PIL's mode "P" + transparency -> "RGBA" conversion.
         n_entries = len(plte) // 3
-        rgb_rows: list[bytearray] = []
+        if trns is not None and len(trns) > n_entries:
+            raise ValueError("tRNS longer than the palette")
+        out_ch = 3 if trns is None else 4
+        exp_rows: list[bytearray] = []
         for line in rows:
-            out = bytearray(width * 3)
+            out = bytearray(width * out_ch)
             for x, idx in enumerate(line):
                 if idx >= n_entries:
                     raise ValueError(
                         f"palette index {idx} out of range ({n_entries} entries)"
                     )
-                out[x * 3 : x * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
-            rgb_rows.append(out)
-        return width, height, 3, rgb_rows
+                base = x * out_ch
+                out[base : base + 3] = plte[idx * 3 : idx * 3 + 3]
+                if out_ch == 4:
+                    out[base + 3] = trns[idx] if idx < len(trns) else 255
+            exp_rows.append(out)
+        return width, height, out_ch, exp_rows
     return width, height, ch, rows
 
 

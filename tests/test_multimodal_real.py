@@ -199,8 +199,13 @@ def test_minipng_palette_error_paths():
         minipng.decode(make_palette_png(2, 1, pal, [[0, 0]], with_plte=False))
     with pytest.raises(ValueError, match="out of range"):
         minipng.decode(make_palette_png(2, 1, pal, [[0, 1]]))
-    with pytest.raises(ValueError, match="tRNS"):
-        minipng.decode(make_palette_png(2, 1, pal, [[0, 0]], with_trns=True))
+    # tRNS is now SUPPORTED for palette: expands to RGBA with the
+    # chunk's alpha (make_palette_png writes alpha=255 per entry).
+    w_, h_, ch_, rows_ = minipng.decode(
+        make_palette_png(2, 1, pal, [[0, 0]], with_trns=True)
+    )
+    assert (w_, h_, ch_) == (2, 1, 4)
+    assert bytes(rows_[0]) == bytes([9, 9, 9, 255, 9, 9, 9, 255])
 
 
 def test_minipng_palette_through_spark_decode(spark):
@@ -550,3 +555,82 @@ def test_minipng_16bit_palette_rejected():
     )
     with _pytest.raises(ValueError, match="8-bit"):
         minipng.decode(png)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 6),
+    n_colors=st.integers(1, 8),
+    n_trns=st.integers(0, 8),
+    data=st.data(),
+)
+def test_minipng_palette_trns_expands_to_rgba(w, h, n_colors, n_trns, data):
+    """Palette + tRNS decodes to RGBA: alpha comes from the tRNS entry
+    for the pixel's palette index, defaulting to 255 past the chunk's
+    length (spec 11.3.2) — PIL's P+transparency -> RGBA conversion."""
+    n_trns = min(n_trns, n_colors)
+    palette = [
+        tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+        for _ in range(n_colors)
+    ]
+    alphas = [data.draw(st.integers(0, 255)) for _ in range(n_trns)]
+    idx_rows = [
+        bytes(
+            data.draw(
+                st.lists(st.integers(0, n_colors - 1), min_size=w, max_size=w)
+            )
+        )
+        for _ in range(h)
+    ]
+    idat = bytearray()
+    prev = bytes(w)
+    for raw in idx_rows:
+        ftype = data.draw(st.integers(0, 4))
+        idat.append(ftype)
+        idat += _apply_filter(ftype, raw, prev, 1)
+        prev = raw
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+        + _chunk(b"tRNS", bytes(alphas))
+        + _chunk(b"IDAT", zlib.compress(bytes(idat)))
+        + _chunk(b"IEND", b"")
+    )
+    dw, dh, dch, drows = minipng.decode(png)
+    assert (dw, dh, dch) == (w, h, 4)
+    expected = [
+        b"".join(
+            bytes(palette[i]) + bytes([alphas[i] if i < n_trns else 255])
+            for i in row
+        )
+        for row in idx_rows
+    ]
+    assert [bytes(r) for r in drows] == expected
+
+
+def test_minipng_trns_error_paths():
+    import pytest as _pytest
+
+    # tRNS on grayscale: color-key transparency, out of scope.
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + _chunk(b"tRNS", b"\x00\x00")
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="palette"):
+        minipng.decode(png)
+    # tRNS longer than the palette is malformed.
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", b"\x01\x02\x03")
+        + _chunk(b"tRNS", b"\x10\x20")
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="tRNS"):
+        minipng.decode(png2)
