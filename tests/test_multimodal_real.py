@@ -634,3 +634,38 @@ def test_minipng_trns_error_paths():
     )
     with _pytest.raises(ValueError, match="tRNS"):
         minipng.decode(png2)
+
+
+def test_minipng_trns_and_16bit_through_spark_decode(spark):
+    """The Arrow-batched decode operator handles tRNS-palette (RGBA)
+    and 16-bit PNGs end-to-end — luma ignores alpha and uses the
+    high-byte downsample respectively."""
+    from etl_tj_project_spark.operators.multimodal import decode_features_real
+
+    # tRNS palette: single color (10,200,30) with alpha 7 everywhere.
+    pal = [(10, 200, 30)]
+    trns_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", bytes(pal[0]))
+        + _chunk(b"tRNS", b"\x07")
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + _chunk(b"IEND", b"")
+    )
+    # 16-bit gray: value 0xAB__ everywhere -> 8-bit 0xAB.
+    row16 = b"\xab\xcd" * 3
+    idat = b"".join(b"\x00" + row16 for _ in range(2))
+    g16_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(idat))
+        + _chunk(b"IEND", b"")
+    )
+    out = {
+        r.doc_id: r
+        for r in decode_features_real(
+            _media_df(spark, [(1, trns_png), (2, g16_png)])
+        ).collect()
+    }
+    assert out[1].brightness == float(_pil_luma((10, 200, 30)))
+    assert out[2].brightness == float(0xAB)
