@@ -809,3 +809,64 @@ def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("qty").over(w_all).cast("double")
         ).alias("share_of_total"),
     )
+
+
+@register(
+    "moment_stats_manual",
+    """
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))
+                      * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))
+                      * CAST(l_quantity AS DECIMAL(38,6))
+                      * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round(s1 / n, 9) AS mean_qty,
+           round(s2 / n - (s1 / n) * (s1 / n), 9) AS var_pop,
+           round(
+             (s3 / n - 3 * (s1 / n) * (s2 / n) + 2
+              * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 9) AS skew_pop
+    FROM sums
+    """,
+    doc="Population mean/variance/skewness from RAW POWER SUMS "
+        "(sum x, x^2, x^3 in exact DECIMAL, moments derived in double "
+        "from the exact sums) — the one-pass MERGEABLE formulation: "
+        "power sums partial-aggregate map-side and ADD across "
+        "partitions/partials, which is how a 100 TB profile computes "
+        "higher moments in a single scan. Native skewness()/kurtosis() "
+        "differ between engines (sample vs population corrections); "
+        "deriving from exact sums pins ONE definition bit-identically. "
+        "round(9) absorbs the last-ulp of pow(x, 1.5)",
+)
+def moment_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast(DecimalType(38, 6))
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    var_pop = m2 - m1 * m1
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(m1, 9).alias("mean_qty"),
+        F.round(var_pop, 9).alias("var_pop"),
+        F.round(
+            (m3 - F.lit(3) * m1 * m2 + F.lit(2) * m1 * m1 * m1)
+            / F.pow(var_pop, F.lit(1.5)),
+            9,
+        ).alias("skew_pop"),
+    )

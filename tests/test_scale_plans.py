@@ -783,3 +783,21 @@ def test_runtime_bloom_filter_join_fires(spark):
                 spark.conf.set(k, v)
     want = sorted(map(tuple, joined().collect()))
     assert got == want and len(got) > 0
+
+
+def test_zstd_write_roundtrip(spark, tmp_path):
+    """Production parquet writes use zstd (better ratio than the snappy
+    default at comparable speed); the option must produce zstd files
+    that read back identically."""
+    import glob as _glob
+
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    src = load_table(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "zstd_orders")
+    src.write.option("compression", "zstd").parquet(out)
+    files = _glob.glob(out + "/*.zstd.parquet")
+    assert files, "no zstd-suffixed parquet files written"
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
