@@ -870,3 +870,107 @@ def moment_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("skew_pop"),
     )
+
+
+@register(
+    "rfm_customer_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary AS DECIMAL(18,2)) AS monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM (
+      SELECT *,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM cust
+    ) t
+    """,
+    doc="RFM customer segmentation — the classic CRM shape: per-"
+        "customer recency/frequency/monetary aggregates (decimal-"
+        "exact), then quintile scores via ntile with custkey "
+        "tie-breaks (engines order ties differently; an undetermined "
+        "tie order flips segment labels). The global ntile runs over "
+        "the CUSTOMER aggregate (one row per customer), not the fact "
+        "— at 10^9 customers swap ntile for approx-quantile cutoffs "
+        "joined back, same labels within sketch error",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(AMOUNT)).cast(AMOUNT).alias(
+            "monetary"
+        ),
+    )
+    r = F.ntile(5).over(Window.orderBy("last_order", "o_custkey"))
+    fr = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+    mo = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
+    scored = cust.select(
+        "o_custkey",
+        "last_order",
+        F.col("frequency").cast("long").alias("frequency"),
+        F.col("monetary").cast(AMOUNT).alias("monetary"),
+        r.alias("r_score"),
+        fr.alias("f_score"),
+        mo.alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+@register(
+    "basket_part_pairs_top50",
+    """
+    SELECT p_a, p_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM (
+      SELECT DISTINCT a.l_orderkey,
+             a.l_partkey AS p_a, b.l_partkey AS p_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ) pairs
+    GROUP BY p_a, p_b
+    ORDER BY n_orders DESC, p_a, p_b LIMIT 50
+    """,
+    doc="Market-basket co-occurrence: part pairs appearing in the same "
+        "order, top-50 by support with deterministic tie-breaks. The "
+        "self-join fans out quadratically ONLY within an order (TPC-H "
+        "baskets hold ~4 lines, so the blow-up is bounded ~16x per "
+        "order regardless of table size — same per-group-bounded "
+        "pattern as the LSH band join); one orderkey co-located "
+        "self-join + one pair shuffle + TakeOrdered",
+)
+def basket_part_pairs_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .select("l_orderkey", "p_a", "p_b")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p_a", "p_b")
+        .limit(50)
+    )
