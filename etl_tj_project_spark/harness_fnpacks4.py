@@ -974,3 +974,34 @@ def basket_part_pairs_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "p_a", "p_b")
         .limit(50)
     )
+
+
+@register(
+    "activity_heatmap_dow_hour",
+    """
+    SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow_sun1,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Day-of-week x hour activity heatmap — the ops-dashboard grid: "
+        "one (dow, hour) shuffle over 168 cells with map-side partials "
+        "plus an exact per-cell distinct. The dow convention is the "
+        "datetime pack's pinned shift (Spark Sunday=1 vs DuckDB "
+        "Sunday=0); hour() is UTC-pinned by the session timezone, so "
+        "both engines bucket identically",
+)
+def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.dayofweek(F.col("ts").cast("date")).alias("dow_sun1"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
