@@ -1005,3 +1005,71 @@ def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+@register(
+    "pareto_revenue_concentration",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS spend
+      FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT CAST(SUM(spend) AS DECIMAL(18,2)) AS total,
+             COUNT(*) AS n_cust
+      FROM cust
+    )
+    SELECT o_custkey,
+           CAST(spend AS DECIMAL(18,2)) AS spend,
+           rk,
+           CAST(rk AS DOUBLE) / n_cust AS cust_share,
+           CAST(cum_spend AS DOUBLE) / CAST(total AS DOUBLE) AS rev_share,
+           CAST(cum_spend AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+             AS in_top80
+    FROM (
+      SELECT o_custkey, spend,
+             row_number() OVER w AS rk,
+             CAST(SUM(spend) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS DECIMAL(18,2))
+               AS cum_spend
+      FROM cust
+      WINDOW w AS (ORDER BY spend DESC, o_custkey)
+    ) ranked CROSS JOIN tot
+    """,
+    doc="Pareto / Lorenz revenue concentration — 'which customers "
+        "drive 80% of revenue': rank customers by spend (deterministic "
+        "custkey tie-break), decimal-exact running revenue vs the "
+        "1-row broadcast total, shares via IEEE division. The global "
+        "window runs over the CUSTOMER aggregate (one row each), and "
+        "at 10^9 customers becomes the two-phase chunked rewrite "
+        "skewed_window_two_phase already proves",
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(AMOUNT)).cast(AMOUNT).alias("spend")
+    )
+    tot = cust.agg(
+        F.sum("spend").cast(AMOUNT).alias("total"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = cust.select(
+        "o_custkey",
+        F.col("spend").cast(AMOUNT).alias("spend"),
+        F.row_number().over(w).alias("rk"),
+        F.sum("spend").over(w_run).cast(AMOUNT).alias("cum_spend"),
+    )
+    rev_share = F.col("cum_spend").cast("double") / F.col("total").cast(
+        "double"
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "spend",
+        "rk",
+        (F.col("rk").cast("double") / F.col("n_cust")).alias("cust_share"),
+        rev_share.alias("rev_share"),
+        (rev_share <= 0.8).alias("in_top80"),
+    )
