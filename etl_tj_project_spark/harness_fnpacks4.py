@@ -1073,3 +1073,115 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev_share.alias("rev_share"),
         (rev_share <= 0.8).alias("in_top80"),
     )
+
+
+@register(
+    "rolling_zscore_anomaly",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), framed AS (
+      SELECT day, n,
+             COUNT(*) OVER w AS w_n,
+             CAST(SUM(CAST(n AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(n AS DECIMAL(38,6))
+                      * CAST(n AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, CAST(n AS BIGINT) AS n,
+           CAST(w_n AS BIGINT) AS w_n,
+           round(CASE WHEN w_n >= 3 AND s2 / w_n - (s1 / w_n) * (s1 / w_n) > 0
+                THEN (n - s1 / w_n)
+                     / sqrt(s2 / w_n - (s1 / w_n) * (s1 / w_n)) END, 9)
+             AS zscore,
+           coalesce(abs(CASE WHEN w_n >= 3
+                          AND s2 / w_n - (s1 / w_n) * (s1 / w_n) > 0
+                THEN (n - s1 / w_n)
+                     / sqrt(s2 / w_n - (s1 / w_n) * (s1 / w_n)) END) > 2,
+             FALSE) AS is_anomaly
+    FROM framed
+    """,
+    doc="Rolling z-score anomaly detection over the daily event series: "
+        "trailing-7-day mean/std from DECIMAL-EXACT power sums in a "
+        "bounded window frame (the moment_stats_manual trick composed "
+        "with moving_agg_rows_frame's frame discipline — FP sums in a "
+        "sliding frame are engine-order-dependent, exact sums are not), "
+        "z in double via IEEE division and correctly-rounded sqrt. The "
+        "frame EXCLUDES the current row (1 PRECEDING) so a spike can't "
+        "mask itself by inflating its own baseline. Window runs over "
+        "the day-grain aggregate, never the event stream",
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    nd = F.col("n").cast(DecimalType(38, 6))
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    framed = daily.select(
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum(nd).over(w).cast("double").alias("s1"),
+        F.sum(nd * nd).over(w).cast("double").alias("s2"),
+    )
+    m = F.col("s1") / F.col("w_n")
+    var = F.col("s2") / F.col("w_n") - m * m
+    z = F.when(
+        (F.col("w_n") >= 3) & (var > 0), (F.col("n") - m) / F.sqrt(var)
+    )
+    return framed.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("w_n").cast("long").alias("w_n"),
+        F.round(z, 9).alias("zscore"),
+        F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@register(
+    "gaps_and_islands_daily",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grouped AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS island_key
+      FROM active
+    )
+    SELECT user_id,
+           MIN(day) AS streak_start,
+           MAX(day) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM grouped
+    GROUP BY user_id, island_key
+    """,
+    doc="Gaps-and-islands: consecutive-active-day streaks per user via "
+        "the date-minus-row_number trick (consecutive days share a "
+        "constant island key; any gap shifts it) — the streak/retention "
+        "shape every engagement system computes, and the set-based "
+        "rewrite of what procedural code does with cursors. One "
+        "user-keyed window over the (user, day) DISTINCT grain + one "
+        "island aggregate; never touches the raw event stream twice",
+)
+def gaps_and_islands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = active.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island_key"),
+    )
+    return grouped.groupBy("user_id", "island_key").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+    ).drop("island_key")
