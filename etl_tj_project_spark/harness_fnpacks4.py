@@ -1185,3 +1185,50 @@ def gaps_and_islands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("streak_end"),
         F.count(F.lit(1)).cast("long").alias("streak_days"),
     ).drop("island_key")
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type)
+             AS p_transition
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="First-order event-transition matrix (the Markov view of user "
+        "behavior: P(next event | current event)): lead within user "
+        "ordered by (ts, event_id), pair counts, row-normalized via a "
+        "window over the transition AGGREGATE (|types|^2 rows, never "
+        "the event stream). One user-keyed window shuffle + one pair "
+        "aggregate; probabilities are BIGINT-count IEEE divisions",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_from)).alias(
+            "p_transition"
+        ),
+    )
