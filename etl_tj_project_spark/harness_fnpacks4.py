@@ -1232,3 +1232,81 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@register(
+    "relational_division",
+    """
+    WITH probe AS (SELECT DISTINCT o_orderstatus FROM orders),
+    hits AS (
+      SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_statuses
+    FROM hits
+    GROUP BY o_custkey
+    HAVING COUNT(*) = (SELECT COUNT(*) FROM probe)
+    """,
+    doc="Relational DIVISION — 'customers with orders in EVERY status', "
+        "the classic for-all quantifier SQL has no operator for: "
+        "distinct (customer, status) pairs, keep customers whose "
+        "distinct-hit count equals the probe cardinality broadcast as "
+        "one row (count-match beats nested NOT EXISTS NOT EXISTS — one "
+        "aggregate vs two correlated rescans). The probe derives from "
+        "the data itself, so the entry is non-vacuous at every SF "
+        "(~90% of customers qualify, and not 100% — both directions "
+        "proven)",
+)
+def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    probe_n = o.select("o_orderstatus").distinct().agg(
+        F.count(F.lit(1)).alias("n_probe")
+    )
+    hits = o.select("o_custkey", "o_orderstatus").distinct()
+    return (
+        hits.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_statuses"))
+        .crossJoin(F.broadcast(probe_n))
+        .filter(F.col("n_statuses") == F.col("n_probe"))
+        .select("o_custkey", "n_statuses")
+    )
+
+
+@register(
+    "mad_robust_dispersion",
+    """
+    WITH med AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS med_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(any_value(m.med_qty), 6) AS med_qty,
+           round(quantile_cont(abs(l.l_quantity - m.med_qty), 0.5), 6)
+             AS mad_qty
+    FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    doc="Median absolute deviation — the robust dispersion measure "
+        "(stddev moves with one outlier; MAD needs ~50% contamination): "
+        "per-group median, then the median of absolute deviations via "
+        "a broadcast join of the tiny median table back onto the scan. "
+        "Two exact-percentile passes by construction — MAD is not "
+        "one-pass computable; the approx_percentile twin is the "
+        "100 TB single-extra-pass path",
+)
+def mad_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("med_qty")
+    )
+    joined = li.join(F.broadcast(med), "l_returnflag")
+    return joined.groupBy("l_returnflag").agg(
+        F.round(F.any_value("med_qty"), 6).alias("med_qty"),
+        F.round(
+            F.percentile(
+                F.abs(F.col("l_quantity") - F.col("med_qty")), F.lit(0.5)
+            ),
+            6,
+        ).alias("mad_qty"),
+    )
