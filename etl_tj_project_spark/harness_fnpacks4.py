@@ -1310,3 +1310,80 @@ def mad_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mad_qty"),
     )
+
+
+@register(
+    "interval_merge_overlaps",
+    """
+    WITH iv AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS DATE) AS e
+      FROM orders
+    ), flagged AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN s > coalesce(MAX(e) OVER (
+               PARTITION BY o_custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), DATE '0001-01-01') THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), grouped AS (
+      SELECT o_custkey, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY o_custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    )
+    SELECT o_custkey, island,
+           MIN(s) AS window_start,
+           MAX(e) AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM grouped GROUP BY o_custkey, island
+    """,
+    doc="Merge overlapping intervals (7-day activity windows per "
+        "customer): an interval starts a new merged window iff its "
+        "start exceeds the running MAX(end) of everything before it — "
+        "the running-max formulation handles CONTAINED intervals that "
+        "the naive 'compare to previous row' lag approach merges "
+        "wrongly. Running sum of new-window flags numbers the islands; "
+        "one customer-keyed window shuffle + one island aggregate. The "
+        "temporal complement of gaps_and_islands (ranges, not points)",
+)
+def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 7).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.select(
+        "o_custkey",
+        "s",
+        "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w_prev), F.lit("0001-01-01").cast("date")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    grouped = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    return grouped.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("window_start"),
+        F.max("e").alias("window_end"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
