@@ -1387,3 +1387,82 @@ def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("window_end"),
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
     )
+
+
+@register(
+    "dense_grid_zero_fill",
+    """
+    WITH grid AS (
+      SELECT d.dow_sun1, h.hr
+      FROM (SELECT unnest(range(1, 8)) AS dow_sun1) d
+      CROSS JOIN (SELECT unnest(range(0, 24)) AS hr) h
+    ), obs AS (
+      SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow_sun1,
+             CAST(hour(ts) AS INTEGER) AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(g.dow_sun1 AS INTEGER) AS dow_sun1,
+           CAST(g.hr AS INTEGER) AS hr,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN obs o
+      ON o.dow_sun1 = g.dow_sun1 AND o.hr = g.hr
+    """,
+    doc="Dense dimension-grid completion: the 7x24 heatmap INCLUDING "
+        "zero cells — a grid built from sequence() cross-joined "
+        "dimensions, left-joined to the observed aggregate (the "
+        "date_spine_gap_fill pattern in two dimensions). Downstream "
+        "charts/models need the dense grid; the sparse aggregate "
+        "silently drops quiet cells. The grid is 168 literal rows — "
+        "broadcast — and the fact is touched once",
+)
+def dense_grid_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dows = spark.range(1, 8).select(F.col("id").cast("int").alias("dow_sun1"))
+    hrs = spark.range(0, 24).select(F.col("id").cast("int").alias("hr"))
+    grid = dows.crossJoin(hrs)
+    obs = e.groupBy(
+        F.dayofweek(F.col("ts").cast("date")).alias("dow_sun1"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(grid)
+        .join(obs, ["dow_sun1", "hr"], "left")
+        .select(
+            "dow_sun1",
+            "hr",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "topk_with_ties",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC)
+               AS rk
+      FROM orders
+    ) t WHERE rk <= 3
+    """,
+    doc="Top-k WITH TIES (rank() <= k) vs w1's row_number top-k: rank "
+        "admits every row tied at the boundary, so the result size is "
+        "data-dependent — the SQL:2008 FETCH ... WITH TIES semantic. "
+        "Ranking on the DECIMAL value (not double) so ties are exact "
+        "value equality in both engines. No extra tie-break column "
+        "needed for determinism: ties are INCLUDED, which is exactly "
+        "what makes the output well-defined without one",
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").cast(AMOUNT).desc()
+    )
+    return (
+        o.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
