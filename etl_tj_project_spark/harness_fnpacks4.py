@@ -1466,3 +1466,35 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
     )
+
+
+@register(
+    "iso_week_rollup",
+    """
+    SELECT CAST(isoyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_year,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="ISO-week revenue rollup keyed by (ISO YEAR, week) — the "
+        "year-boundary trap pinned: Jan 1 can belong to week 52/53 of "
+        "the PREVIOUS iso year (2021-01-01 is 2020-W53 in both "
+        "engines), so grouping by calendar year + week double-counts "
+        "boundary weeks; YEAROFWEEK/isoyear is the correct pairing "
+        "and both engines agree on it. Decimal-exact revenue, one "
+        "~52-cells-per-year shuffle",
+)
+def iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.groupBy(
+        F.expr("extract(YEAROFWEEK FROM CAST(o_orderdate AS DATE))")
+        .cast("int")
+        .alias("iso_year"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(AMOUNT)).cast(AMOUNT).alias("revenue"),
+    )
