@@ -518,3 +518,60 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.coalesce("__dropped", F.lit(False)).alias("dropped"),
     )
+
+
+@register(
+    "char_trigram_lang_profile",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS s
+      FROM documents
+    ), grams AS (
+      SELECT lang,
+             unnest(CASE WHEN length(s) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, length(s) - 1),
+                                        i -> substr(s, i, 3)) END) AS g
+      FROM t
+    ), counted AS (
+      SELECT lang, g, COUNT(*) AS n FROM grams GROUP BY lang, g
+    )
+    SELECT lang, g, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT lang, g, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, g) AS rn
+      FROM counted
+    ) x WHERE rn <= 5
+    """,
+    doc="Per-language char-trigram profile (top-5 by count, "
+        "deterministic tie-break) — the feature family behind n-gram "
+        "language ID (functions/text.lang_id is the heuristic twin; "
+        "this entry exposes the learned-profile build step). The "
+        "trigram explode happens engine-side over the normalized "
+        "string (no Python), one (lang, gram) shuffle of count "
+        "partials, then a window over the per-language count table",
+)
+def char_trigram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.when(F.length(s) < 3, F.array()).otherwise(
+                F.expr(
+                    "transform(sequence(1, length("
+                    "regexp_replace(lower(text), '[^a-z0-9 ]', '')) - 2), "
+                    "i -> substring("
+                    "regexp_replace(lower(text), '[^a-z0-9 ]', ''), i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    counted = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "g")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "g", F.col("n").cast("long").alias("n"))
+    )
