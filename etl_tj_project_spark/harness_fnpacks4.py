@@ -1498,3 +1498,45 @@ def iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(AMOUNT)).cast(AMOUNT).alias("revenue"),
     )
+
+
+@register(
+    "union_by_name_schema_evolution",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority, src FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+             o_orderpriority,
+             'current' AS src
+      FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL BY NAME
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+             'legacy' AS src
+      FROM orders WHERE o_orderstatus = 'F'
+    ) t
+    """,
+    doc="Schema-evolution UNION: a legacy extract lacking a column "
+        "unions with the current shape, absent fields NULL-filled — "
+        "Spark unionByName(allowMissingColumns=True) == DuckDB UNION "
+        "ALL BY NAME. Positional UNION would silently misalign the "
+        "columns instead (the migration bug this pins against); "
+        "name-based resolution is the only union that survives schema "
+        "evolution in long-lived pipelines",
+)
+def union_by_name_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    current = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast(AMOUNT).alias("o_totalprice"),
+        "o_orderpriority",
+        F.lit("current").alias("src"),
+    )
+    legacy = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast(AMOUNT).alias("o_totalprice"),
+        F.lit("legacy").alias("src"),
+    )
+    return current.unionByName(legacy, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "src"
+    )
