@@ -984,6 +984,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_features",
+    """
+    WITH f AS (
+      SELECT doc_id, 100 + doc_id % 157 AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n), i -> (doc_id*7 + i*13) % 256 - 128)
+               AS smp
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8 AS INTEGER) AS bits,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+           CAST(list_sum(list_transform(smp, x -> x*x)) AS BIGINT) AS energy
+    FROM s
+    """,
+    doc="REAL audio decode path: deterministic PCM synthesized into "
+        "actual RIFF/WAV bytes and parsed back by the stdlib "
+        "operators/miniwav.py codec (chunk walk + fmt validation + "
+        "sample extraction) inside an Arrow-batched mapInPandas stage — "
+        "the audio twin of the minipng real-image branch, no optional "
+        "deps. Stats are integer-exact (centered peak, energy = sum of "
+        "squared centered samples) so the oracle can restate the "
+        "synthesis closed-form in SQL while Spark's numbers still came "
+        "through a genuine encode→parse round trip",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return mm.audio_features(mm.attach_fake_audio(d))
+
+
+@register(
     "stream_window_agg",
     """
     SELECT CAST(ts AS DATE) AS window_start, event_type,

@@ -10,9 +10,11 @@ and tested. Two decode tiers:
 * :func:`decode_features_real` / :func:`resize_thumbnail_real` — real
   image decode: PIL when importable, else the stdlib
   :mod:`.minipng` PNG codec (zlib inflate + unfilter), so the real
-  branch executes even in containers with no image libraries. Audio /
-  video codecs remain out of scope for this container (the frame
-  sampler documents its stub semantics inline).
+  branch executes even in containers with no image libraries;
+* :func:`audio_features` — real audio decode via the stdlib
+  :mod:`.miniwav` RIFF/PCM codec (chunk walk + fmt validation + sample
+  extraction), integer-exact stats. Video decode remains a stub (the
+  frame sampler documents its slice semantics inline).
 
 Scale notes: media blobs dominate row size, so the decode stage runs on
 ``mapInPandas`` with a bounded Arrow batch size (set in session.py via
@@ -317,4 +319,101 @@ def sample_frames(
 
     return media_df.select("doc_id", "media_bytes").mapInPandas(
         run, schema=FRAMES_SCHEMA
+    )
+
+
+# =========================================================================
+# Audio: real WAV decode via the stdlib miniwav codec
+# =========================================================================
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), False),
+    T.StructField("n_channels", T.IntegerType(), False),
+    T.StructField("bits", T.IntegerType(), False),
+    T.StructField("n_frames", T.LongType(), False),
+    T.StructField("duration_ms", T.LongType(), False),
+    T.StructField("peak", T.LongType(), False),
+    T.StructField("energy", T.LongType(), False),
+])
+
+# Deterministic synthesis parameters shared with the oracle's closed form.
+_AUDIO_RATE = 8000
+_AUDIO_BASE_FRAMES = 100
+_AUDIO_FRAME_MOD = 157
+
+
+def synth_audio_samples(doc_id: int) -> list[int]:
+    """The deterministic 8-bit sawtooth used by :func:`attach_fake_audio`:
+    ``n = 100 + doc_id % 157`` frames of ``(doc_id*7 + i*13) % 256 - 128``.
+    Closed-form enough that a SQL oracle can restate it, yet the bytes
+    still round-trip through a REAL RIFF encode/parse on the Spark side.
+    """
+    n = _AUDIO_BASE_FRAMES + doc_id % _AUDIO_FRAME_MOD
+    return [(doc_id * 7 + i * 13) % 256 - 128 for i in range(n)]
+
+
+def attach_fake_audio(docs: DataFrame) -> DataFrame:
+    """Materialize an opaque WAV binary column: actual RIFF/PCM bytes
+    built by :mod:`.miniwav` (not a stub tag), so the decode stage
+    downstream exercises a real chunk-walking parser. Synthesis happens
+    inside the Arrow batch — the driver never holds the corpus's audio.
+    """
+    from etl_tj_project_spark.operators import miniwav
+
+    out_schema = T.StructType(
+        docs.select("doc_id").schema.fields
+        + [T.StructField("media_bytes", T.BinaryType(), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[["doc_id"]].copy()
+            pdf["media_bytes"] = pdf["doc_id"].map(
+                lambda d: miniwav.encode(
+                    _AUDIO_RATE, 1, 8, synth_audio_samples(int(d))
+                )
+            )
+            yield pdf
+
+    return docs.select("doc_id").mapInPandas(run, schema=out_schema)
+
+
+def audio_features(media_df: DataFrame) -> DataFrame:
+    """Real audio decode stage: miniwav RIFF parse + integer-exact
+    analysis (centered peak, energy = sum of squared centered samples).
+    Same plumbing discipline as the image path — blob pruned to
+    (doc_id, media_bytes) before the Python exchange, dropped after, so
+    no raw audio crosses a shuffle; stats are integers so downstream
+    cross-engine checks never see float accumulation order.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_tj_project_spark.operators import miniwav
+
+        rows: dict[str, list] = {k.name: [] for k in AUDIO_FEATURES_SCHEMA}
+
+        def flush():
+            nonlocal rows
+            out = pd.DataFrame(rows)
+            rows = {k.name: [] for k in AUDIO_FEATURES_SCHEMA}
+            return out
+
+        for pdf in batches:
+            for doc_id, b in zip(pdf["doc_id"], pdf["media_bytes"]):
+                rate, n_ch, bits, samples = miniwav.decode(bytes(b))
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(n_ch)
+                rows["bits"].append(bits)
+                rows["n_frames"].append(miniwav.n_frames(samples, n_ch))
+                rows["duration_ms"].append(
+                    miniwav.duration_ms(rate, n_ch, samples)
+                )
+                rows["peak"].append(miniwav.peak(samples))
+                rows["energy"].append(miniwav.energy(samples))
+            yield flush()
+
+    return media_df.select("doc_id", "media_bytes").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
     )
