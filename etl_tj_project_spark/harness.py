@@ -1144,6 +1144,10 @@ from etl_tj_project_spark import harness_llmdata2  # noqa: E402,F401
 # bounded rows-frame moving aggregates.
 from etl_tj_project_spark import harness_fnpacks4  # noqa: E402,F401
 
+# Deterministic-sketch pack: count-min heavy hitters + SQL Bloom filter,
+# both fully oracle-hash-checked via portable md5 hashing.
+from etl_tj_project_spark import harness_sketches  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 
