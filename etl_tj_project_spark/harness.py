@@ -1148,6 +1148,10 @@ from etl_tj_project_spark import harness_fnpacks4  # noqa: E402,F401
 # both fully oracle-hash-checked via portable md5 hashing.
 from etl_tj_project_spark import harness_sketches  # noqa: E402,F401
 
+# Time-series pack: interpolation gap-fill, marker-reset running sums,
+# rolling covariance from exact decimal moment sums.
+from etl_tj_project_spark import harness_series  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 
