@@ -575,3 +575,70 @@ def char_trigram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "g", F.col("n").cast("long").alias("n"))
     )
+
+
+# =========================================================================
+# BPE tokenizer training (operators/bpe.py)
+# =========================================================================
+
+from etl_tj_project_spark.operators import bpe as bpe_ops  # noqa: E402
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ), vocab AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INTEGER), 1) AS a,
+             substr(word, CAST(i AS INTEGER) + 1, 1) AS b,
+             freq
+      FROM vocab, unnest(range(1, length(word))) AS t(i)
+    )
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS total
+    FROM pairs GROUP BY a, b
+    ORDER BY total DESC, a, b LIMIT 30
+    """,
+    doc="BPE iteration-0 statistic: adjacent symbol-pair frequencies "
+        "weighted by word frequency, top 30 with the deterministic "
+        "(count desc, pair) tie-break every merge decision uses. "
+        "Scale shape: ONE corpus-sized shuffle builds the word "
+        "vocabulary; the pair explosion runs over unique words only — "
+        "at 100 TB the vocab is orders of magnitude smaller than the "
+        "corpus, which is what makes distributed BPE tractable "
+        "(operators/bpe.py holds the full iterative trainer; the loop "
+        "is rows-only by policy, see bpe_learned_merges)",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = bpe_ops.pair_counts(bpe_ops.with_symbols(bpe_ops.word_vocab(docs)))
+    return (
+        counts.orderBy(F.col("total").desc(), "a", "b")
+        .limit(30)
+        .select("a", "b", F.col("total").cast("long").alias("total"))
+    )
+
+
+@register(
+    "bpe_learned_merges",
+    None,  # iterative argmax loop — not one SQL statement; rows-only
+    doc="The learned BPE merge table itself: 8 iterations of "
+        "count-pairs → argmax → fold-merge over the vocabulary, all "
+        "JVM-side expressions with a one-row collect per iteration "
+        "(Lloyd-trainer discipline). Deterministic tie-breaks make the "
+        "merge sequence reproducible; tests/test_bpe.py proves the "
+        "distributed loop equals a pure-Python reference trainer "
+        "merge-for-merge, and the driver records the rows-only check",
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_ops.train_bpe(docs, n_merges=8)
+    rows = [
+        (i, a, b, a + b, int(total))
+        for i, (a, b, total) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "step int, a string, b string, merged string, pair_count long"
+    )
