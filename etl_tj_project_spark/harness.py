@@ -1222,10 +1222,12 @@ DRIVER_WINDOW: list[str] = [
     "yoy_growth_accounts",
     "wau_rolling_distinct",
     "skewed_distinct_two_phase",
-    # backfill: oldest (round-1-only) confirmations
-    "dedup_connected_components",
-    "multimodal_decode",
-    # headline TPC-H re-confirmation
+    # round-5 late registrations: the new real-audio-decode path and the
+    # count-min sketch (never-checked beats re-confirmation, so these
+    # take the two slots round 4 gave to r1-green backfills;
+    # dedup_connected_components / multimodal_decode keep their r1 rows)
+    "multimodal_audio_features",
+    "cms_heavy_hitters",
 ]
 
 
