@@ -642,3 +642,107 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, a string, b string, merged string, pair_count long"
     )
+
+
+def _pagerank_oracle() -> str:
+    scale = 1_000_000
+    return f"""
+    WITH pairs AS ({_lsh_pairs_sql()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (
+      SELECT deg.u AS node, {scale} // nn.n AS r FROM deg, nn
+    ),
+    pr1 AS (
+      SELECT e.v AS node,
+             (15 * {scale}) // (100 * any_value(nn.n))
+               + (85 * SUM(p.r // dg.d)) // 100 AS r
+      FROM edges e
+      JOIN pr0 p ON p.node = e.u
+      JOIN deg dg ON dg.u = e.u
+      CROSS JOIN nn
+      GROUP BY e.v
+    ),
+    pr2 AS (
+      SELECT e.v AS node,
+             (15 * {scale}) // (100 * any_value(nn.n))
+               + (85 * SUM(p.r // dg.d)) // 100 AS r
+      FROM edges e
+      JOIN pr1 p ON p.node = e.u
+      JOIN deg dg ON dg.u = e.u
+      CROSS JOIN nn
+      GROUP BY e.v
+    ),
+    pr3 AS (
+      SELECT e.v AS node,
+             (15 * {scale}) // (100 * any_value(nn.n))
+               + (85 * SUM(p.r // dg.d)) // 100 AS r
+      FROM edges e
+      JOIN pr2 p ON p.node = e.u
+      JOIN deg dg ON dg.u = e.u
+      CROSS JOIN nn
+      GROUP BY e.v
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_fp
+    FROM pr3 ORDER BY r DESC, node LIMIT 20
+    """
+
+
+@register(
+    "graph_pagerank_fixedpoint",
+    _pagerank_oracle(),
+    doc="PageRank over the near-dup candidate graph (hub scoring — which "
+        "documents sit at the center of boilerplate clusters), 3 "
+        "damped iterations in FIXED-POINT integer arithmetic: ranks are "
+        "micro-units (scale 10^6) and every step is integer div/mod, so "
+        "there is no float accumulation order to diverge on and the "
+        "whole iterative computation carries a full cross-engine hash "
+        "check — the same determinism principle as the KMV/count-min "
+        "sketches, applied to an iterative graph algorithm. Spark side "
+        "is fully declarative (no driver collects): per-iteration "
+        "edge-join + aggregate, the textbook distributed PageRank "
+        "shape; at 100 TB each iteration is one shuffle keyed by node "
+        "id, and the LSH candidate generation upstream dominates",
+)
+def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators import dedup as _dd
+
+    scale = 1_000_000
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _dd.lsh_candidate_pairs(d, "doc_id", "text", 8, 4)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    edges_deg = edges.join(deg, "u")
+    r = (
+        deg.select(F.col("u").alias("node"))
+        .crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"{scale} div n").alias("r"))
+    )
+    for _ in range(3):
+        r = (
+            edges_deg.join(r, edges_deg["u"] == r["node"])
+            .groupBy(F.col("v"))
+            .agg(F.sum(F.expr("r div d")).alias("contrib"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("v").alias("node"),
+                F.expr(f"(15 * {scale}) div (100 * n) + (85 * contrib) div 100")
+                .alias("r"),
+            )
+        )
+    return (
+        r.orderBy(F.col("r").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("r").cast("long").alias("rank_fp"),
+        )
+    )
