@@ -407,3 +407,76 @@ def session_summaries_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- count-min sketch in state -------------------------------------------
+
+_CMS_D = 2   # hash rows
+_CMS_W = 16  # buckets per row
+CMS_STATE_SCHEMA = "cells STRING"
+CMS_OUTPUT_SCHEMA = "user_id BIGINT, n_seen BIGINT, cells STRING"
+
+
+def _cms_bucket(j: int, value: str) -> int:
+    import hashlib
+
+    return int(
+        hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:8], 16
+    ) % _CMS_W
+
+
+def _update_user_cms(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    cells = [0] * (_CMS_D * _CMS_W)
+    n_seen = 0
+    if state.exists:
+        (csv,) = state.get
+        prev = [int(x) for x in csv.split(",")]
+        n_seen, cells = prev[0], prev[1:]
+    for pdf in pdfs:
+        for v in pdf["event_type"].dropna():
+            n_seen += 1
+            for j in range(_CMS_D):
+                cells[j * _CMS_W + _cms_bucket(j, str(v))] += 1
+    state.update((",".join(str(x) for x in [n_seen] + cells),))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_seen": [n_seen],
+            "cells": [",".join(str(x) for x in cells)],
+        }
+    )
+
+
+def user_event_cms_stream(events: DataFrame) -> DataFrame:
+    """Per-user count-min sketch of event-type frequencies carried in
+    state — the heavy-hitter twin of the KMV distinct sketch: bounded
+    O(d*w) state per user regardless of how many event types stream
+    past, answering "roughly how often has THIS user done X" without
+    per-type counters.
+
+    CMS cells are pure sums of deterministic-hash increments, so they
+    are arrival-order- and batching-insensitive: after one availableNow
+    pass the streamed cell grid equals the batch-built sketch EXACTLY
+    (tests/test_streaming.py), the same determinism contract as the
+    oracle-hash-checked batch `cms_heavy_hitters` registry entry.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_cms,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cms_estimate(cells: list[int], value: str) -> int:
+    """Point-estimate a value's frequency from a sketch produced by
+    :func:`user_event_cms_stream` (min over its d cells; never
+    under-counts)."""
+    return min(
+        cells[j * _CMS_W + _cms_bucket(j, value)] for j in range(_CMS_D)
+    )

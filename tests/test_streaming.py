@@ -823,3 +823,50 @@ def test_streaming_foreachbatch_jdbc_upsert_exactly_once(spark, events_dir, tmp_
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stateful_cms_sketch_equals_batch_sketch(spark, events_dir):
+    """The CMS-in-state heavy-hitter sketch must equal a batch-built
+    sketch EXACTLY after one availableNow pass (cells are sums of
+    deterministic-hash increments — order- and batching-insensitive),
+    and its point estimates must never under-count: the same one-sided
+    contract the batch cms_heavy_hitters entry hash-checks."""
+    from etl_tj_project_spark.streaming.stateful import (
+        _CMS_D,
+        _CMS_W,
+        _cms_bucket,
+        cms_estimate,
+        user_event_cms_stream,
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(events_dir).schema)
+        .load(events_dir)
+    )
+    _run_to_memory(user_event_cms_stream(stream), "user_cms", "update")
+    got = {
+        r.user_id: (r.n_seen, [int(x) for x in r.cells.split(",")])
+        for r in spark.table("user_cms").collect()
+    }
+
+    rows = (
+        spark.read.parquet(events_dir)
+        .select("user_id", "event_type")
+        .filter(F.col("event_type").isNotNull())
+        .collect()
+    )
+    want: dict = {}
+    exact: dict = {}
+    for r in rows:
+        n, cells = want.setdefault(r.user_id, [0, [0] * (_CMS_D * _CMS_W)])
+        want[r.user_id][0] += 1
+        for j in range(_CMS_D):
+            cells[j * _CMS_W + _cms_bucket(j, str(r.event_type))] += 1
+        exact[(r.user_id, r.event_type)] = (
+            exact.get((r.user_id, r.event_type), 0) + 1
+        )
+    assert got == {u: (n, c) for u, (n, c) in want.items()}
+    # one-sided error: estimate >= exact for every (user, type)
+    for (uid, et), cnt in exact.items():
+        assert cms_estimate(got[uid][1], str(et)) >= cnt
