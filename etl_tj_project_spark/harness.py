@@ -1152,6 +1152,10 @@ from etl_tj_project_spark import harness_sketches  # noqa: E402,F401
 # rolling covariance from exact decimal moment sums.
 from etl_tj_project_spark import harness_series  # noqa: E402,F401
 
+# Search & ranking pack: inverted index, positional phrase search,
+# Pareto frontier, Gini-impurity diversity.
+from etl_tj_project_spark import harness_search  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 
