@@ -1156,6 +1156,10 @@ from etl_tj_project_spark import harness_series  # noqa: E402,F401
 # Pareto frontier, Gini-impurity diversity.
 from etl_tj_project_spark import harness_search  # noqa: E402,F401
 
+# Hazard pins 2: window NULL ordering, regex replacement dialects,
+# outer explode row preservation.
+from etl_tj_project_spark import harness_hazards  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 
