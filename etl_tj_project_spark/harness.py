@@ -1020,6 +1020,42 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_downsample",
+    """
+    WITH f AS (
+      SELECT doc_id, 100 + doc_id % 157 AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n // 2 AS n2,
+             list_transform(range(0, n // 2),
+               k -> ((doc_id*7 + (2*k)*13) % 256
+                     + (doc_id*7 + (2*k+1)*13) % 256) // 2 - 128) AS smp
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(4000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8 AS INTEGER) AS bits,
+           CAST(n2 AS BIGINT) AS n_frames,
+           CAST(n2 * 1000 // 4000 AS BIGINT) AS duration_ms,
+           CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+           CAST(list_sum(list_transform(smp, x -> x*x)) AS BIGINT) AS energy
+    FROM s
+    """,
+    doc="Audio resample stage (decimate by 2): decode → integer pair-"
+        "average in the UNSIGNED byte domain (floor division on "
+        "negative sums is where engines and naive codecs diverge) → "
+        "RE-ENCODE at the halved rate → decode again — both codec "
+        "directions run inside the Arrow batch, the audio twin of the "
+        "thumbnail-resize stage. A trailing odd sample drops, matching "
+        "the truncated-frame rule. Oracle restates the decimation "
+        "closed-form over the synthesis formula",
+)
+def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return mm.audio_downsample_features(mm.attach_fake_audio(d), factor=2)
+
+
+@register(
     "stream_window_agg",
     """
     SELECT CAST(ts AS DATE) AS window_start, event_type,

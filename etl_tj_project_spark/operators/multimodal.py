@@ -417,3 +417,49 @@ def audio_features(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "media_bytes").mapInPandas(
         run, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+def audio_downsample_features(media_df: DataFrame, factor: int = 2) -> DataFrame:
+    """Audio resample stage (the audio twin of thumbnail resize):
+    decode → decimate by ``factor`` with integer pair-averaging → encode
+    at the reduced rate → decode AGAIN and emit stats, so both codec
+    directions run inside the Arrow batch. Averaging happens in the
+    UNSIGNED byte domain (values 0..255) where floor division is
+    unambiguous — averaging signed centered samples would hit the
+    floor-vs-truncate divergence on negative sums. A trailing partial
+    group of samples is dropped, matching the truncated-frame rule.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_tj_project_spark.operators import miniwav
+
+        rows: dict[str, list] = {k.name: [] for k in AUDIO_FEATURES_SCHEMA}
+        for pdf in batches:
+            for doc_id, b in zip(pdf["doc_id"], pdf["media_bytes"]):
+                rate, n_ch, bits, samples = miniwav.decode(bytes(b))
+                if n_ch != 1 or bits != 8:
+                    raise ValueError("downsample stage expects 8-bit mono")
+                unsigned = [s + 128 for s in samples]
+                n_out = len(unsigned) // factor
+                dec = [
+                    sum(unsigned[k * factor : (k + 1) * factor]) // factor - 128
+                    for k in range(n_out)
+                ]
+                out_rate = rate // factor
+                blob = miniwav.encode(out_rate, 1, 8, dec)
+                r2, c2, b2, s2 = miniwav.decode(blob)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(r2)
+                rows["n_channels"].append(c2)
+                rows["bits"].append(b2)
+                rows["n_frames"].append(miniwav.n_frames(s2, c2))
+                rows["duration_ms"].append(miniwav.duration_ms(r2, c2, s2))
+                rows["peak"].append(miniwav.peak(s2))
+                rows["energy"].append(miniwav.energy(s2))
+            out = pd.DataFrame(rows)
+            rows = {k.name: [] for k in AUDIO_FEATURES_SCHEMA}
+            yield out
+
+    return media_df.select("doc_id", "media_bytes").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )

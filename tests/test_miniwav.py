@@ -119,3 +119,33 @@ def test_audio_features_end_to_end(spark):
         assert row["duration_ms"] == len(samples) * 1000 // 8000
         assert row["peak"] == max(abs(s) for s in samples)
         assert row["energy"] == sum(s * s for s in samples)
+
+
+def test_audio_downsample_end_to_end(spark):
+    docs = spark.createDataFrame([(7,)], "doc_id long")
+    out = mm.audio_downsample_features(
+        mm.attach_fake_audio(docs), factor=2
+    ).collect()[0]
+    samples = mm.synth_audio_samples(7)
+    unsigned = [s + 128 for s in samples]
+    dec = [
+        (unsigned[2 * k] + unsigned[2 * k + 1]) // 2 - 128
+        for k in range(len(unsigned) // 2)
+    ]
+    assert out["sample_rate"] == 4000
+    assert out["n_frames"] == len(dec)
+    assert out["peak"] == max(abs(s) for s in dec)
+    assert out["energy"] == sum(s * s for s in dec)
+
+
+def test_downsample_averages_in_unsigned_domain():
+    # Signed-domain floor averaging of (-1, -2) gives -2 (floor of -1.5);
+    # the unsigned-domain rule gives (127 + 126)//2 - 128 = -2 as well,
+    # but for (-1, 0): signed floor -> -1, unsigned (127+128)//2-128 = -1.
+    # The divergent case is any pair whose unsigned sum is odd AND whose
+    # signed sum is negative-odd: (-3, 0): signed floor(-1.5) = -2,
+    # unsigned (125+128)//2-128 = 126-128 = -2. Python floor matches
+    # unsigned because +128 shifts are exact; the rule matters for SQL
+    # engines whose integer '/' truncates toward zero (would give -1).
+    unsigned = [125, 128]
+    assert sum(unsigned) // 2 - 128 == -2
