@@ -1196,6 +1196,10 @@ from etl_tj_project_spark import harness_search  # noqa: E402,F401
 # outer explode row preservation.
 from etl_tj_project_spark import harness_hazards  # noqa: E402,F401
 
+# Analytics pack 2: chi-square cells, Spearman, imputation, index-100
+# rebase, vocabulary Jaccard, association rules, interval proration.
+from etl_tj_project_spark import harness_stats2  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 

@@ -1,0 +1,549 @@
+"""Analytics pack 2: association/correlation statistics and interval
+proration.
+
+The statistical-audit shapes a curation pipeline runs AFTER ingest:
+is language independent of source (chi-square), do two rankings agree
+(Spearman), fill sensor dropout from group behavior (imputation),
+index a series to its base period, compare source vocabularies
+(set Jaccard), mine part-affinity rules (support/confidence/lift),
+and prorate an interval-valued measure across calendar buckets.
+
+Every entry follows the exact-rational-then-one-division rule: all
+aggregation happens on integers/decimals (order-independent, hence
+cross-engine hash-stable), and IEEE double enters only in the final
+scalar division(s), rounded. No libm (log/exp/pow) anywhere.
+
+Reference parity note: the reference (awinardi1004/etl-tj-project,
+dags/dag_datapelangan.py:188-234) stops at daily count/sum aggregates;
+this pack is north-star extension surface, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.harness import register
+from etl_tj_project_spark.sources.testdata import load_table
+
+PRICE = "decimal(18,2)"
+
+_TOKENS = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+_TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z]+')"
+
+
+# =========================================================================
+# Chi-square independence cells (lang x source contingency)
+# =========================================================================
+
+@register(
+    "chisq_lang_source_cells",
+    """
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT lang, source, o,
+             SUM(o) OVER (PARTITION BY lang)   AS rt,
+             SUM(o) OVER (PARTITION BY source) AS ct,
+             SUM(o) OVER ()                    AS n
+      FROM cells
+    )
+    SELECT lang, source, o,
+           round(CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS expected,
+           round(
+             (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS chisq_term
+    FROM tot
+    """,
+    doc="Chi-square independence audit, PER-CELL: observed vs expected "
+        "(row_total*col_total/N) contribution for every (lang, source) "
+        "cell of the contingency table — the is-language-independent-"
+        "of-source drift check run before trusting per-source sampling "
+        "rates. Surfaced per cell rather than as one summed statistic "
+        "because a float SUM over cells is accumulation-order-dependent "
+        "while each cell's term is a pure function of exact integer "
+        "totals. One count shuffle + three windows over the "
+        "|langs|x|sources| aggregate (70 rows — window cost is nil); "
+        "at 100 TB only the first groupBy touches the fact table",
+)
+def chisq_lang_source_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rt = F.sum("o").over(Window.partitionBy("lang"))
+    ct = F.sum("o").over(Window.partitionBy("source"))
+    n = F.sum("o").over(Window.partitionBy())
+    e = (rt * ct).cast("double") / n.cast("double")
+    dev = F.col("o").cast("double") - e
+    return cells.select(
+        "lang",
+        "source",
+        "o",
+        F.round(e, 6).alias("expected"),
+        F.round(dev * dev / e, 6).alias("chisq_term"),
+    )
+
+
+# =========================================================================
+# Spearman rank correlation (account balance vs realized spend)
+# =========================================================================
+
+@register(
+    "spearman_rank_corr",
+    """
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+             COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
+                      CAST(0 AS DECIMAL(18,2))) AS total_spend
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey, c.c_acctbal
+    ),
+    ranked AS (
+      SELECT c_nationkey,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS r_bal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY total_spend DESC, c_custkey) AS r_spend
+      FROM spend
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((r_bal - r_spend) * (r_bal - r_spend)) AS BIGINT)
+             AS sum_d2,
+           round(1.0 - CAST(6 * SUM((r_bal - r_spend) * (r_bal - r_spend))
+                            AS DOUBLE)
+                       / (CAST(COUNT(*) AS DOUBLE)
+                          * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                             - 1.0)), 6) AS spearman_rho
+    FROM ranked GROUP BY c_nationkey HAVING COUNT(*) >= 2
+    """,
+    doc="Spearman rank correlation per nation between stated account "
+        "balance and realized order spend — does the static customer "
+        "attribute predict behavior? Rank-based, so it needs no libm "
+        "and no float moments: rho = 1 - 6*sum(d^2)/(n(n^2-1)) from "
+        "integer row_number ranks (ties broken by custkey so both "
+        "engines rank identically — native rank() on a DOUBLE key "
+        "would agree too, but row_number keeps d^2 integer-exact). "
+        "One join shuffle + one window shuffle on the customer "
+        "aggregate; the fact table is touched once",
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast(PRICE)),
+                F.lit(0).cast(PRICE),
+            ).alias("total_spend")
+        )
+    )
+    wb = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    ws = Window.partitionBy("c_nationkey").orderBy(
+        F.col("total_spend").desc(), "c_custkey"
+    )
+    ranked = spend.select(
+        "c_nationkey",
+        F.row_number().over(wb).alias("r_bal"),
+        F.row_number().over(ws).alias("r_spend"),
+    )
+    d = F.col("r_bal") - F.col("r_spend")
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d * d).cast("long").alias("sum_d2"),
+    )
+    nn = F.col("n").cast("double")
+    rho = F.lit(1.0) - (F.lit(6) * F.col("sum_d2")).cast("double") / (
+        nn * (nn * nn - F.lit(1.0))
+    )
+    return agg.filter(F.col("n") >= 2).select(
+        "c_nationkey", "n", "sum_d2", F.round(rho, 6).alias("spearman_rho")
+    )
+
+
+# =========================================================================
+# Group-mean imputation over deterministically-masked dropout
+# =========================================================================
+
+@register(
+    "impute_group_mean",
+    """
+    WITH masked AS (
+      SELECT event_id, event_type, value,
+             substring(md5('mask:' || CAST(event_id AS VARCHAR)), 1, 1) = '0'
+               AS is_masked,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_id, event_type, value, is_masked,
+             SUM(CASE WHEN is_masked THEN 0 ELSE cents END)
+               OVER (PARTITION BY event_type) AS ok_cents,
+             SUM(CASE WHEN is_masked THEN 0 ELSE 1 END)
+               OVER (PARTITION BY event_type) AS ok_n
+      FROM masked
+    )
+    SELECT event_id, event_type, is_masked,
+           CASE WHEN is_masked
+                THEN round(CAST(ok_cents AS DOUBLE) / CAST(ok_n AS DOUBLE)
+                           / 100.0, 6)
+                ELSE value END AS value_filled
+    FROM stats
+    """,
+    doc="NULL/dropout imputation with the group mean: rows masked by a "
+        "deterministic salted-MD5 rule (~1/16 — the fixture standing in "
+        "for sensor dropout) are filled with their event_type's mean "
+        "over the surviving rows. The mean is exact-integer cents "
+        "(value has 2dp, so round(value*100) is the exact integer "
+        "representation) divided once in IEEE double — a float AVG "
+        "would be accumulation-order-dependent. Expressed as windows "
+        "over event_type so the filled table comes back in ONE pass "
+        "(aggregate-then-rejoin would scan twice); at 100 TB "
+        "event_type is low-cardinality, so the window shuffle is the "
+        "same one the aggregate would need",
+)
+def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_masked = (
+        F.substring(
+            F.md5(F.concat(F.lit("mask:"), F.col("event_id").cast("string"))),
+            1,
+            1,
+        )
+        == "0"
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    masked = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        is_masked.alias("is_masked"),
+        cents.alias("cents"),
+    )
+    w = Window.partitionBy("event_type")
+    ok_cents = F.sum(
+        F.when(F.col("is_masked"), F.lit(0)).otherwise(F.col("cents"))
+    ).over(w)
+    ok_n = F.sum(
+        F.when(F.col("is_masked"), F.lit(0)).otherwise(F.lit(1))
+    ).over(w)
+    imputed = F.round(
+        ok_cents.cast("double") / ok_n.cast("double") / F.lit(100.0), 6
+    )
+    return masked.select(
+        "event_id",
+        "event_type",
+        "is_masked",
+        F.when(F.col("is_masked"), imputed)
+        .otherwise(F.col("value"))
+        .alias("value_filled"),
+    )
+
+
+# =========================================================================
+# Index-100 rebase (series normalized to its base period)
+# =========================================================================
+
+@register(
+    "rebase_index_100",
+    """
+    WITH monthly AS (
+      SELECT o_orderpriority, date_trunc('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS rev
+      FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+    )
+    SELECT o_orderpriority, CAST(mon AS DATE) AS mon,
+           round(CAST(rev AS DOUBLE), 2) AS rev,
+           round(100.0 * CAST(rev AS DOUBLE)
+                 / CAST(first_value(rev) OVER (
+                     PARTITION BY o_orderpriority ORDER BY mon
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE), 6) AS index_100
+    FROM monthly
+    """,
+    doc="Index-100 rebase: each (priority, month) revenue as a "
+        "percentage of that priority's FIRST month — the normalized "
+        "cross-series comparison every BI layer draws. Decimal-exact "
+        "monthly sums; the base value arrives via first_value over an "
+        "explicit running frame (the default frame differs between "
+        "engines on ties), and doubles appear only in the final "
+        "rebase division. One agg shuffle + one window over the "
+        "months-x-priorities aggregate (constant-size at any SF)",
+)
+def rebase_index_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    ).agg(F.sum(F.col("o_totalprice").cast(PRICE)).cast(PRICE).alias("rev"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = F.first("rev").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        F.col("mon").cast("date").alias("mon"),
+        F.round(F.col("rev").cast("double"), 2).alias("rev"),
+        F.round(
+            F.lit(100.0) * F.col("rev").cast("double") / base.cast("double"),
+            6,
+        ).alias("index_100"),
+    )
+
+
+# =========================================================================
+# Vocabulary Jaccard between sources
+# =========================================================================
+
+@register(
+    "vocab_jaccard_sources",
+    f"""
+    WITH vocab AS (
+      SELECT DISTINCT source, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS vsz FROM vocab
+      GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM vocab a JOIN vocab b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_inter,
+           sa.vsz + sb.vsz - i.n_inter AS n_union,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / CAST(sa.vsz + sb.vsz - i.n_inter AS DOUBLE), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    doc="Vocabulary overlap between every source pair: Jaccard of the "
+        "distinct-term sets — the cheap corpus-similarity matrix behind "
+        "source-mixture decisions (two crawls with 0.9 vocabulary "
+        "Jaccard are probably the same site). Works on the VOCABULARY "
+        "(one distinct shuffle, bounded by terms x sources, not corpus "
+        "size); the pair intersection is a term-keyed self-join — the "
+        "same per-key-bounded fan-out pattern as the LSH band join — "
+        "and set algebra |A|+|B|-|A∩B| avoids ever materializing "
+        "unions. Integer counts, one final IEEE division",
+)
+def vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vocab = d.select(
+        "source", F.explode(F.expr(_TOKENS)).alias("term")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vsz")
+    )
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("vsz").alias("vsz_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("vsz").alias("vsz_b")))
+    joined = inter.join(sa, "source_a").join(sb, "source_b")
+    n_union = F.col("vsz_a") + F.col("vsz_b") - F.col("n_inter")
+    return joined.select(
+        "source_a",
+        "source_b",
+        "n_inter",
+        n_union.alias("n_union"),
+        F.round(
+            F.col("n_inter").cast("double") / n_union.cast("double"), 6
+        ).alias("jaccard"),
+    )
+
+
+# =========================================================================
+# Association rules (support / confidence / lift)
+# =========================================================================
+
+@register(
+    "assoc_rules_support_lift",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+              FROM baskets),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM baskets GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p_a, p_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS support,
+           round(CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
+             AS conf_a_to_b,
+           round((CAST(n_ab AS DOUBLE) * CAST(n.n AS DOUBLE))
+                 / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6)
+             AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = p_a
+    JOIN item ib ON ib.l_partkey = p_b
+    CROSS JOIN n_tot n
+    ORDER BY n_ab DESC, p_a, p_b LIMIT 50
+    """,
+    doc="Association rules over order baskets: support, directed "
+        "confidence, and lift for the top-50 part pairs. Extends the "
+        "co-occurrence count (basket_part_pairs_top50) to the actual "
+        "rule metrics a recommender ranks by; lift folds in the "
+        "independence baseline N*n_ab/(n_a*n_b). Per-order-bounded "
+        "pair fan-out (~16x on 4-line baskets regardless of table "
+        "size), item counts broadcast back onto pairs, the global "
+        "basket count a one-row cross join. Exact integer counts; "
+        "IEEE division only in the three surfaced ratios",
+)
+def assoc_rules_support_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_tot = baskets.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n")
+    )
+    item = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("p_a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("p_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ia = F.broadcast(
+        item.select(F.col("l_partkey").alias("p_a"), F.col("n_item").alias("n_a"))
+    )
+    ib = F.broadcast(
+        item.select(F.col("l_partkey").alias("p_b"), F.col("n_item").alias("n_b"))
+    )
+    joined = pair.join(ia, "p_a").join(ib, "p_b").crossJoin(
+        F.broadcast(n_tot)
+    )
+    n_ab = F.col("n_ab").cast("double")
+    n = F.col("n").cast("double")
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    return (
+        joined.select(
+            "p_a",
+            "p_b",
+            "n_ab",
+            F.round(n_ab / n, 6).alias("support"),
+            F.round(n_ab / n_a, 6).alias("conf_a_to_b"),
+            F.round((n_ab * n) / (n_a * n_b), 6).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "p_a", "p_b")
+        .limit(50)
+    )
+
+
+# =========================================================================
+# Interval proration across calendar weeks
+# =========================================================================
+
+@register(
+    "interval_prorate_weekly",
+    """
+    WITH iv AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS d0,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) + 13 AS d1
+      FROM orders
+    ),
+    wk AS (
+      SELECT price, d0, d1, w
+      FROM iv, unnest(generate_series(
+        CAST((d0 - (d0 % 7)) / 7 AS BIGINT),
+        CAST((d1 - (d1 % 7)) / 7 AS BIGINT))) AS t(w)
+    )
+    SELECT w AS week_idx,
+           CAST(DATE '1970-01-01' + INTERVAL (w * 7) DAY AS DATE)
+             AS week_start,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(SUM(price * (least(d1, w * 7 + 6)
+                                   - greatest(d0, w * 7) + 1)) AS DOUBLE)
+                 / 14.0, 4) AS prorated_rev
+    FROM wk GROUP BY w
+    """,
+    doc="Interval proration: each order's value, spread over a 14-day "
+        "recognition window [orderdate, +13], is allocated to calendar "
+        "weeks proportionally to overlap days — the subscription-"
+        "revenue-recognition shape GROUP BY order date cannot express "
+        "(a month-end order belongs partly to next month). Each "
+        "interval explodes to its <= 3 covered weeks via an integer "
+        "sequence (bin replication exactly as the containment join); "
+        "overlap days are integer min/max arithmetic; price*days sums "
+        "exactly in DECIMAL and the /14 proration divides once per "
+        "OUTPUT week, not per row, so the aggregate is order-"
+        "independent. Week index is floor(epoch_day/7) spelled "
+        "(d - d%7)/7 — double-division floor can mis-bin edge days",
+)
+def interval_prorate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d0 = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+    iv = o.select(
+        F.col("o_totalprice").cast(PRICE).alias("price"),
+        d0.alias("d0"),
+        (d0 + F.lit(13)).alias("d1"),
+    )
+
+    def week_of(c):
+        return ((c - F.pmod(c, F.lit(7))) / 7).cast("long")
+
+    wk = iv.select(
+        "price",
+        "d0",
+        "d1",
+        F.explode(F.sequence(week_of(F.col("d0")), week_of(F.col("d1")))).alias("w"),
+    )
+    ov_days = (
+        F.least(F.col("d1"), F.col("w") * 7 + 6)
+        - F.greatest(F.col("d0"), F.col("w") * 7)
+        + 1
+    )
+    return (
+        wk.groupBy(F.col("w").alias("week_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("price") * ov_days).cast("double") / F.lit(14.0), 4
+            ).alias("prorated_rev"),
+        )
+        .select(
+            "week_idx",
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("week_idx") * 7).cast("int"),
+            ).alias("week_start"),
+            "n_orders",
+            "prorated_rev",
+        )
+    )

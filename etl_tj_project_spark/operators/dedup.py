@@ -555,6 +555,32 @@ def connected_components(
     # over the persisted init table) so a round that changes nothing is
     # detected immediately, round 1 included.
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0] or 0
+
+    # Size the iteration tables to the GRAPH, not to the session default:
+    # every round launches one map task per cached partition of the edge
+    # and label tables, so a small graph that inherits the session's full
+    # shuffle width (64 map tasks for a few-MB cache at local[32]) makes
+    # the loop pure task-scheduling overhead — rounds are action-barrier
+    # bound, so task count per round IS the wall clock. One count over the
+    # about-to-be-cached edge table (round 1 would materialize it anyway)
+    # sizes partitions to ~2M edges each, capped by the configured shuffle
+    # width so cluster-scale graphs keep their parallelism. Measured at
+    # sf0.1 (58k LSH pairs): loop 8.2 s -> 3.5 s, identical labels.
+    n_edges = withself.count()
+    cap = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    parts = max(1, min(cap, int(n_edges // 2_000_000) + 1))
+    if parts < withself.rdd.getNumPartitions():
+        narrow_edges = _persist_once(withself.repartition(parts, "m"))
+        narrow_labels = _persist_once(labels.repartition(parts, "n"))
+        narrow_edges.count()
+        narrow_labels.count()
+        withself.unpersist()
+        labels.unpersist()
+        withself = narrow_edges
+        labels = narrow_labels
+
     converged = False
     for _ in range(max_iter):
         new_labels = (
