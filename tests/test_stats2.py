@@ -1,0 +1,121 @@
+"""Invariant tests for harness_stats2 (association/correlation pack).
+
+The cross-engine hash check lives in test_oracle_parity (parameterized
+over the whole registry); these pin the MATHEMATICAL invariants a hash
+cannot express — conservation, bounds, and idempotence properties.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from etl_tj_project_spark import harness
+from etl_tj_project_spark.sources.testdata import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_prorate_conserves_total_revenue(spark):
+    """Every order contributes exactly 14/14 of its price across weeks:
+    the prorated weekly sums must add back to total order revenue."""
+    out = harness.REGISTRY["interval_prorate_weekly"].spark(spark, SF_SMOKE)
+    prorated = out.agg(F.sum("prorated_rev")).collect()[0][0]
+    total = (
+        load_table(spark, SF_SMOKE, "orders")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .collect()[0][0]
+    )
+    # Per-week rounding to 4dp bounds the drift by 0.0001 * n_weeks.
+    assert abs(float(prorated) - float(total)) < 0.1
+
+
+def test_impute_preserves_unmasked_and_fills_group_mean(spark):
+    out = harness.REGISTRY["impute_group_mean"].spark(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    joined = out.join(ev.select("event_id", "value"), "event_id")
+    # Unmasked rows pass through bit-identical.
+    changed = joined.filter(
+        (~F.col("is_masked")) & (F.col("value_filled") != F.col("value"))
+    ).count()
+    assert changed == 0
+    # Masked rows all receive their group's unmasked mean (one distinct
+    # filled value per event_type).
+    per_type = (
+        out.filter("is_masked")
+        .groupBy("event_type")
+        .agg(F.count_distinct("value_filled").alias("nv"))
+        .collect()
+    )
+    assert per_type and all(r.nv == 1 for r in per_type)
+
+
+def test_spearman_rho_bounded_and_self_correlation_is_one(spark):
+    out = harness.REGISTRY["spearman_rank_corr"].spark(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows
+    assert all(-1.0 <= r.spearman_rho <= 1.0 for r in rows)
+    # Sanity of the formula itself: ranking a column against itself
+    # gives rho == 1 (sum_d2 == 0 -> 1 - 0).
+    c = load_table(spark, SF_SMOKE, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    r = c.select(
+        "c_nationkey",
+        F.row_number().over(w).alias("r1"),
+        F.row_number().over(w).alias("r2"),
+    )
+    d2 = r.agg(F.sum((F.col("r1") - F.col("r2")) ** 2)).collect()[0][0]
+    assert d2 == 0
+
+
+def test_chisq_cells_conserve_counts(spark):
+    out = harness.REGISTRY["chisq_lang_source_cells"].spark(spark, SF_SMOKE)
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    agg = out.agg(
+        F.sum("o").alias("so"), F.sum("expected").alias("se")
+    ).collect()[0]
+    assert agg.so == n_docs
+    # Expected mass over the OBSERVED cells never exceeds N (zero-
+    # observed cells are omitted, so equality holds only on a dense
+    # grid — sf0.001 has missing (lang, source) combos).
+    assert 0 < agg.se <= n_docs + 0.01
+    assert out.filter(F.col("chisq_term") < 0).count() == 0
+
+
+def test_vocab_jaccard_bounds_and_symmetric_pair_count(spark):
+    out = harness.REGISTRY["vocab_jaccard_sources"].spark(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_inter <= r.n_union
+        assert r.source_a < r.source_b  # each unordered pair exactly once
+    keys = [(r.source_a, r.source_b) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_assoc_lift_consistent_with_supports(spark):
+    out = harness.REGISTRY["assoc_rules_support_lift"].spark(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 < r.support <= 1.0
+        assert 0.0 < r.conf_a_to_b <= 1.0
+        assert r.lift > 0.0
+
+
+def test_rebase_index_first_month_is_100(spark):
+    out = harness.REGISTRY["rebase_index_100"].spark(spark, SF_SMOKE)
+    firsts = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("o_orderpriority").orderBy("mon")
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    assert firsts and all(r.index_100 == 100.0 for r in firsts)
