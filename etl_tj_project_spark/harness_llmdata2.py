@@ -746,3 +746,66 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("long").alias("rank_fp"),
         )
     )
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, term FROM ({_TOK_SQL})
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks
+      GROUP BY doc_id
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY term
+    ),
+    ranked AS (
+      SELECT t.doc_id, t.term, s.sz,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.df, t.term) AS rn
+      FROM toks t JOIN dfreq f ON f.term = t.term
+                  JOIN sizes s ON s.doc_id = t.doc_id
+    ),
+    prefix AS (
+      -- ceil(3*sz/5) spelled (3*sz+4)//5: DuckDB // floors exactly
+      -- (a bare / returns DOUBLE and CAST would round, not floor).
+      SELECT doc_id, term FROM ranked
+      WHERE rn <= sz - ((4 * sz + 4) // 5) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE 5 * i.n_inter >= 4 * (sa.sz + sb.sz - i.n_inter)
+    """,
+    doc="PPJoin-style prefix-filtering set-similarity self-join at "
+        "Jaccard >= 4/5 over whitespace-token sets — the hash-free "
+        "complement to MinHash-LSH candidate generation with ZERO false "
+        "negatives by construction (operators/dedup."
+        "prefix_filter_jaccard_pairs; completeness vs brute force pinned "
+        "in tests/test_stats2.py). Tokens ordered rarest-first so "
+        "prefixes land on low-df tokens; candidates = prefix-token "
+        "equi-join; membership decided by exact integer "
+        "cross-multiplication, the float only labels the output",
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents")
+    return dd.prefix_filter_jaccard_pairs(d, "doc_id", "text", 4, 5)

@@ -625,3 +625,117 @@ def connected_components(
             "diameter)"
         )
     return labels.select(F.col("n").alias("node"), F.col("lab").alias("component_id"))
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (PPJoin-style, hash-free)
+# --------------------------------------------------------------------------
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact set-similarity self-join at Jaccard >= t_num/t_den via
+    PREFIX FILTERING (PPJoin family; Xiao et al., WWW'08) — the
+    hash-free alternative to MinHash-LSH candidate generation: no
+    false negatives by construction, so the output is the EXACT set of
+    qualifying pairs (LSH trades recall for speed; this trades a
+    df-ordering pass).
+
+    The filter: under a global token order, if J(x, y) >= t then the
+    two sets must share at least one token among each set's first
+    |s| - ceil(t*|s|) + 1 tokens (pigeonhole over the required overlap
+    ceil(t*|s|), which J >= t forces on BOTH sets since
+    i >= t*(|x|+|y|)/(1+t) >= t*max(|x|, |y|)). Ordering tokens
+    rarest-first makes prefixes land on low-df tokens, so the
+    candidate self-join fans out per RARE token — the same
+    per-key-bounded blow-up pattern as the LSH band join, but with a
+    provable completeness guarantee.
+
+    All arithmetic is integer: the threshold is the rational
+    t_num/t_den, required overlap is ceil(t*s) = (t_num*s + t_den - 1)
+    div t_den, and the final J >= t test is cross-multiplied
+    (den*inter >= num*(union)) so no float ever decides membership.
+
+    At 100 TB: one token-distinct shuffle, one df aggregation, one
+    (doc)-keyed window for prefix ranks, one term-keyed candidate
+    self-join, two id-keyed joins for exact verification. The df
+    ordering is corpus-global state, recomputed per snapshot (like the
+    adaptive stopword list) — no driver-side materialization anywhere.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.trim(F.col(text_col)) == "", F.array()
+                ).otherwise(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                )
+            )
+        ).alias("__term"),
+    )
+    sizes = toks.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    )
+    dfreq = toks.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    from pyspark.sql import Window as _W
+
+    rn = F.row_number().over(
+        _W.partitionBy("__id").orderBy("__df", "__term")
+    )
+    ranked = (
+        toks.join(dfreq, "__term")
+        .join(sizes, "__id")
+        .select("__id", "__term", "__sz", rn.alias("__rn"))
+    )
+    # Required overlap ceil(t*sz) and prefix length, exact integers:
+    # ceil(a/b) for positive ints spelled (a + b - 1) div b.
+    req = F.floor(
+        (F.lit(t_num) * F.col("__sz") + F.lit(t_den - 1)) / F.lit(t_den)
+    ).cast("long")
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("__sz") - req + F.lit(1)
+    ).select("__id", "__term")
+
+    cand = (
+        prefix.select(F.col("__id").alias("doc_a"), "__term")
+        .join(
+            prefix.select(F.col("__id").alias("doc_b"), "__term"), "__term"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Exact verification, fully relational: count shared tokens per
+    # candidate pair through two id-keyed joins (quadratic work bounded
+    # by |candidates|, never |docs|^2).
+    ta = toks.select(F.col("__id").alias("doc_a"), F.col("__term"))
+    tb = toks.select(F.col("__id").alias("doc_b"), F.col("__term"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "__term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("doc_a"), F.col("__sz").alias("sz_a"))
+    sb = sizes.select(F.col("__id").alias("doc_b"), F.col("__sz").alias("sz_b"))
+    scored = inter.join(sa, "doc_a").join(sb, "doc_b")
+    union = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    # Membership decided by exact cross-multiplication, never a float.
+    return scored.filter(
+        F.lit(t_den) * F.col("n_inter") >= F.lit(t_num) * union
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "sz_a",
+        "sz_b",
+        F.round(F.col("n_inter").cast("double") / union.cast("double"), 6)
+        .alias("jaccard"),
+    )

@@ -119,3 +119,45 @@ def test_rebase_index_first_month_is_100(spark):
         .collect()
     )
     assert firsts and all(r.index_100 == 100.0 for r in firsts)
+
+
+def test_prefix_filter_jaccard_complete_and_exact(spark):
+    """Prefix filtering must return EXACTLY the brute-force pair set
+    (zero false negatives is the PPJoin guarantee; verification removes
+    false positives). Constructed corpus with known token-set overlaps.
+    """
+    from etl_tj_project_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = [
+        (0, "a b c d e"),          # J(0,1)=4/6=0.667  J(0,2)=5/5=1.0
+        (1, "a b c d x"),
+        (2, "e d c b a"),          # same set as 0, different order
+        (3, "p q r s t"),          # disjoint from 0-2
+        (4, "p q r s t u v"),      # J(3,4)=5/7=0.714
+        (5, "zz"),                 # singleton
+        (6, "zz"),                 # J(5,6)=1.0
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def brute(t_num, t_den):
+        sets = {i: set(s.split()) for i, s in docs}
+        out = set()
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    if t_den * inter >= t_num * union:
+                        out.add((a, b))
+        return out
+
+    for t_num, t_den in [(1, 2), (3, 5), (7, 10), (1, 1)]:
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in prefix_filter_jaccard_pairs(
+                df, "doc_id", "text", t_num, t_den
+            ).collect()
+        }
+        assert got == brute(t_num, t_den), (t_num, t_den)
