@@ -1056,6 +1056,46 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_histogram",
+    """
+    WITH f AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM f
+    ),
+    g AS (
+      SELECT doc_id, w, h,
+             (doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256 AS v
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(COUNT(*) FILTER (WHERE v // 64 = 0) AS BIGINT) AS b0,
+           CAST(COUNT(*) FILTER (WHERE v // 64 = 1) AS BIGINT) AS b1,
+           CAST(COUNT(*) FILTER (WHERE v // 64 = 2) AS BIGINT) AS b2,
+           CAST(COUNT(*) FILTER (WHERE v // 64 = 3) AS BIGINT) AS b3
+    FROM g GROUP BY doc_id, w, h
+    """,
+    doc="REAL image decode path: a deterministic grayscale gradient is "
+        "written into actual PNG bytes (minipng writer: zlib, CRCs, "
+        "scanline filters) and decoded back by the same stdlib codec "
+        "inside an Arrow-batched mapInPandas stage, then profiled into "
+        "a 4-bucket luma histogram — the image-statistics pass a vision "
+        "pipeline runs before training (exposure/contrast screening). "
+        "Both codec directions execute per batch (the image twin of "
+        "multimodal_audio_downsample); bucket counts are integers so "
+        "the oracle restates the synthesis closed-form while Spark's "
+        "numbers still came through a genuine PNG round trip",
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return mm.image_luma_histogram(mm.attach_fake_png(d))
+
+
+@register(
     "stream_window_agg",
     """
     SELECT CAST(ts AS DATE) AS window_start, event_type,

@@ -547,3 +547,64 @@ def interval_prorate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prorated_rev",
         )
     )
+
+
+# =========================================================================
+# Winsorization (percentile outlier clamping)
+# =========================================================================
+
+@register(
+    "winsorize_price_p05_p95",
+    """
+    WITH cuts AS (
+      SELECT l_linestatus,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_linestatus,
+           l.l_extendedprice AS price_raw,
+           round(CASE WHEN l.l_extendedprice < c.p05 THEN c.p05
+                      WHEN l.l_extendedprice > c.p95 THEN c.p95
+                      ELSE l.l_extendedprice END, 6) AS price_winsorized,
+           l.l_extendedprice < c.p05 OR l.l_extendedprice > c.p95
+             AS was_clamped
+    FROM lineitem l JOIN cuts c ON c.l_linestatus = l.l_linestatus
+    """,
+    doc="Winsorization: clamp each row's price to its group's "
+        "[P05, P95] band — the outlier treatment that keeps means "
+        "usable without dropping rows (dropping shifts group sizes; "
+        "clamping preserves them). Exact interpolated percentiles "
+        "(Spark percentile == DuckDB quantile_cont) aggregated per "
+        "group, broadcast back onto the fact — one group shuffle + "
+        "one broadcast join, the fact is scanned twice (percentile "
+        "needs the full distribution before any row can be clamped; "
+        "at 100 TB the first pass is approx_percentile and the "
+        "rescan disappears into the same job). Output is per ROW: "
+        "each clamped value is a pure function of (row, 2 group "
+        "scalars), so the result hash-checks where any float "
+        "aggregate of clamped values would be order-dependent",
+)
+def winsorize_price_p05_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_linestatus").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    j = li.join(F.broadcast(cuts), "l_linestatus")
+    clamped = (
+        F.when(F.col("l_extendedprice") < F.col("p05"), F.col("p05"))
+        .when(F.col("l_extendedprice") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_linestatus",
+        F.col("l_extendedprice").alias("price_raw"),
+        F.round(clamped, 6).alias("price_winsorized"),
+        (
+            (F.col("l_extendedprice") < F.col("p05"))
+            | (F.col("l_extendedprice") > F.col("p95"))
+        ).alias("was_clamped"),
+    )

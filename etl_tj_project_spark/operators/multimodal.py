@@ -463,3 +463,94 @@ def audio_downsample_features(media_df: DataFrame, factor: int = 2) -> DataFrame
     return media_df.select("doc_id", "media_bytes").mapInPandas(
         run, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+# --- real-PNG luma histogram (both codec directions, integer-exact) -------
+
+IMAGE_HIST_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("b0", T.LongType(), False),  # luma in [0, 64)
+    T.StructField("b1", T.LongType(), False),  # [64, 128)
+    T.StructField("b2", T.LongType(), False),  # [128, 192)
+    T.StructField("b3", T.LongType(), False),  # [192, 256)
+])
+
+_IMG_W_BASE, _IMG_W_MOD = 8, 9
+_IMG_H_BASE, _IMG_H_MOD = 8, 7
+
+
+def synth_gray_rows(doc_id: int) -> tuple[int, int, list[bytearray]]:
+    """Deterministic grayscale gradient: w = 8 + d%9, h = 8 + d%7,
+    pixel(x, y) = (d*31 + x*7 + y*13) % 256. Closed-form enough for a
+    SQL oracle, yet the bytes round-trip through a REAL PNG
+    encode/decode (zlib + scanline filters) on the Spark side."""
+    w = _IMG_W_BASE + doc_id % _IMG_W_MOD
+    h = _IMG_H_BASE + doc_id % _IMG_H_MOD
+    rows = [
+        bytearray((doc_id * 31 + x * 7 + y * 13) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    return w, h, rows
+
+
+def attach_fake_png(docs: DataFrame) -> DataFrame:
+    """Materialize an opaque image column holding ACTUAL PNG bytes
+    (minipng writer: IHDR/IDAT/IEND, zlib, CRCs) — synthesis happens
+    inside the Arrow batch, the driver never holds the corpus's
+    images."""
+    from etl_tj_project_spark.operators import minipng
+
+    out_schema = T.StructType(
+        docs.select("doc_id").schema.fields
+        + [T.StructField("media_bytes", T.BinaryType(), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[["doc_id"]].copy()
+            pdf["media_bytes"] = pdf["doc_id"].map(
+                lambda d: minipng.encode(*_encode_args(int(d)))
+            )
+            yield pdf
+
+    def _encode_args(d: int):
+        w, h, rows = synth_gray_rows(d)
+        return w, h, 1, rows
+
+    return docs.select("doc_id").mapInPandas(run, schema=out_schema)
+
+
+def image_luma_histogram(media_df: DataFrame) -> DataFrame:
+    """Real image decode stage → 4-bucket luma histogram over the
+    actually-decoded pixels (grayscale: luma IS the sample). Counts are
+    integers, so the stage is cross-engine hash-checkable; the blob is
+    pruned to (doc_id, media_bytes) before the Python exchange and
+    dropped after, so no raw image crosses a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_tj_project_spark.operators import minipng
+
+        rows_out: dict[str, list] = {f.name: [] for f in IMAGE_HIST_SCHEMA}
+        for pdf in batches:
+            for doc_id, b in zip(pdf["doc_id"], pdf["media_bytes"]):
+                w, h, ch, rows = minipng.decode(bytes(b))
+                if ch != 1:
+                    raise ValueError("histogram stage expects grayscale")
+                buckets = [0, 0, 0, 0]
+                for r in rows:
+                    for v in r:
+                        buckets[v >> 6] += 1
+                rows_out["doc_id"].append(doc_id)
+                rows_out["width"].append(w)
+                rows_out["height"].append(h)
+                for i in range(4):
+                    rows_out[f"b{i}"].append(buckets[i])
+            out = pd.DataFrame(rows_out)
+            rows_out = {f.name: [] for f in IMAGE_HIST_SCHEMA}
+            yield out
+
+    return media_df.select("doc_id", "media_bytes").mapInPandas(
+        run, schema=IMAGE_HIST_SCHEMA
+    )
