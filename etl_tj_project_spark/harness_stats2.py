@@ -608,3 +608,85 @@ def winsorize_price_p05_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("l_extendedprice") > F.col("p95"))
         ).alias("was_clamped"),
     )
+
+
+# =========================================================================
+# Running maximum drawdown (cumulative-extreme window analytics)
+# =========================================================================
+
+@register(
+    "running_max_drawdown",
+    """
+    WITH flows AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(0 AS DECIMAL(18,2)) - CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS flow
+      FROM orders
+    ),
+    series AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             SUM(flow) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM flows
+    ),
+    peaks AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, cum,
+             MAX(cum) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS peak
+      FROM series
+    )
+    SELECT o_custkey,
+           round(CAST(MAX(peak - cum) AS DOUBLE), 2) AS max_drawdown,
+           round(CAST(MAX(cum) AS DOUBLE), 2) AS final_peak,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM peaks GROUP BY o_custkey HAVING COUNT(*) >= 3
+    """,
+    doc="Running-maximum drawdown per customer: cumulative spend vs its "
+        "own running peak, max gap surfaced — the cumulative-extreme "
+        "window shape (risk drawdown, high-water-mark billing) that "
+        "needs TWO stacked running windows, not one. Both windows share "
+        "one (custkey, date, orderkey) sort order, so Spark plans a "
+        "single exchange+sort for the pair; DECIMAL accumulation keeps "
+        "every intermediate exact (a float cumsum would drift order-"
+        "dependently), doubles appear only in the rounded output. "
+        "Fulfilled ('F') orders are signed as outflows so the "
+        "cumulative series genuinely retraces — a spend-only series "
+        "would be monotone and every drawdown trivially 0",
+)
+def running_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flow = F.when(
+        F.col("o_orderstatus") == "F",
+        F.lit(0).cast(PRICE) - F.col("o_totalprice").cast(PRICE),
+    ).otherwise(F.col("o_totalprice").cast(PRICE))
+    cum = F.sum(flow).over(w)
+    series = o.select(
+        "o_custkey", "o_orderdate", "o_orderkey", cum.alias("cum")
+    )
+    peak = F.max("cum").over(
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaks = series.withColumn("peak", peak)
+    return (
+        peaks.groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.max(F.col("peak") - F.col("cum")).cast("double"), 2
+            ).alias("max_drawdown"),
+            F.round(F.max("cum").cast("double"), 2).alias("final_peak"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
