@@ -129,3 +129,92 @@ def test_random_grouped_aggregate_matches_oracle(spark, duck, li_view, idx):
     sql = AGG_QUERIES[idx]
     sdf = spark.sql(sql.format(t=li_view))
     compare(sdf, duck, sql.format(t="lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Window-function differential fuzzing
+# ---------------------------------------------------------------------------
+#
+# Same philosophy as the predicate fuzzer, applied to the window executor:
+# randomly generated (seeded) PARTITION BY / ORDER BY / ROWS-frame
+# combinations must hash-match across engines. The grammar is restricted
+# to the deterministic subset the repo's conventions demand:
+#  * every ORDER BY ends with a tiebreak over EVERY column the query
+#    references — (l_orderkey, l_linenumber) is NOT unique in the
+#    synthetic lineitem (6000 rows / 4599 distinct at sf0.001), so a
+#    short tiebreak leaves lag/lead seeing an arbitrary neighbor; with
+#    the full-column tiebreak any remaining ties are indistinguishable
+#    w.r.t. all referenced columns, which makes the OUTPUT multiset
+#    order-independent even where the row order is not total;
+#  * frame aggregates run on BIGINT (l_quantity is integral; CAST is
+#    exact), never on doubles, so accumulation order cannot drift;
+#  * only ROWS frames (RANGE peer semantics differ more subtly and are
+#    pinned separately by window_range_frame / window_null_ordering_pack).
+
+WIN_PARTITIONS = [
+    "l_returnflag",
+    "l_linestatus",
+    "l_returnflag, l_linestatus",
+    "l_suppkey % 4",
+]
+WIN_SORTS = [
+    "l_quantity",
+    "l_extendedprice DESC",
+    "l_shipdate",
+    "l_discount DESC",
+]
+
+
+def _win_exprs(rng: random.Random) -> str:
+    part = rng.choice(WIN_PARTITIONS)
+    sort = rng.choice(WIN_SORTS)
+    tiebreak = (
+        "l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+        "l_discount, l_shipdate"
+    )
+    over_ranked = f"PARTITION BY {part} ORDER BY {sort}, {tiebreak}"
+    qty = "CAST(l_quantity AS BIGINT)"
+    lo = rng.randint(1, 5)
+    frame = rng.choice(
+        [
+            f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {lo} PRECEDING AND {rng.randint(0, 2)} FOLLOWING",
+        ]
+    )
+    fn = rng.random()
+    if fn < 0.3:
+        expr = f"{rng.choice(['row_number()', 'rank()', 'dense_rank()'])} OVER ({over_ranked})"
+    elif fn < 0.55:
+        expr = f"SUM({qty}) OVER ({over_ranked} {frame})"
+    elif fn < 0.7:
+        expr = f"COUNT(*) OVER ({over_ranked} {frame})"
+    elif fn < 0.85:
+        expr = (
+            f"{rng.choice(['MIN', 'MAX'])}({qty}) OVER ({over_ranked} {frame})"
+        )
+    else:
+        off = rng.randint(1, 3)
+        expr = (
+            f"{rng.choice(['lag', 'lead'])}({qty}, {off}, -1)"
+            f" OVER ({over_ranked})"
+        )
+    return f"CAST({expr} AS BIGINT)"
+
+
+def _gen_windows(n: int) -> list[str]:
+    rng = random.Random(20260814)
+    return [_win_exprs(rng) for _ in range(n)]
+
+
+WINDOW_EXPRS = _gen_windows(25)
+
+
+@pytest.mark.parametrize("idx", range(len(WINDOW_EXPRS)))
+def test_random_window_matches_oracle(spark, duck, li_view, idx):
+    expr = WINDOW_EXPRS[idx]
+    sql = (
+        "SELECT l_orderkey, l_linenumber, " + expr + " AS w FROM {t}"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
