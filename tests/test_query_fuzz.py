@@ -218,3 +218,113 @@ def test_random_window_matches_oracle(spark, duck, li_view, idx):
     )
     sdf = spark.sql(sql.format(t=li_view))
     compare(sdf, duck, sql.format(t="lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation differential fuzzing
+# ---------------------------------------------------------------------------
+#
+# Random GROUP BY key sets x aggregate lists over the exact-arithmetic
+# subset (COUNT always; SUM/MIN/MAX on BIGINT; conditional aggregation
+# via FILTER-free CASE so the same text runs on both engines).
+
+AGG_KEYS = [
+    ["l_returnflag"],
+    ["l_linestatus"],
+    ["l_suppkey % 3"],
+    ["CAST(l_shipdate AS DATE)"],
+    ["l_returnflag", "l_linestatus"],
+]
+
+
+def _agg_exprs(rng: random.Random) -> tuple[str, str, str]:
+    key_exprs = rng.choice(AGG_KEYS)
+    # Expression keys auto-name differently per engine — alias them.
+    key_sel = ", ".join(f"{e} AS k{i}" for i, e in enumerate(key_exprs))
+    key_grp = ", ".join(key_exprs)
+    qty = "CAST(l_quantity AS BIGINT)"
+    cents = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    # Every SUM is wrapped: DuckDB SUM(BIGINT) widens to HUGEINT, which
+    # the compare harness (correctly) refuses to canonicalize.
+    pool = [
+        "CAST(COUNT(*) AS BIGINT)",
+        f"CAST(SUM({qty}) AS BIGINT)",
+        f"MIN({qty})",
+        f"MAX({cents})",
+        f"CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {qty} ELSE 0 END)"
+        " AS BIGINT)",
+        "CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)"
+        " AS BIGINT)",
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)",
+        f"MAX(CASE WHEN l_linestatus = 'O' THEN {cents} END)",
+    ]
+    aggs = rng.sample(pool, rng.randint(2, 4))
+    cols = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+    return key_sel, key_grp, cols
+
+
+def _gen_aggs(n: int) -> list[tuple[str, str, str]]:
+    rng = random.Random(20260815)
+    return [_agg_exprs(rng) for _ in range(n)]
+
+
+AGG_CASES = _gen_aggs(20)
+
+
+@pytest.mark.parametrize("idx", range(len(AGG_CASES)))
+def test_random_aggregate_matches_oracle(spark, duck, li_view, idx):
+    key_sel, key_grp, cols = AGG_CASES[idx]
+    sql = f"SELECT {key_sel}, {cols} FROM {{t}} GROUP BY {key_grp}"
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Join differential fuzzing
+# ---------------------------------------------------------------------------
+#
+# lineitem x orders on the real key under random join types and random
+# residual predicates from the predicate grammar. SEMI/ANTI are spelled
+# EXISTS/NOT EXISTS (the form both engines parse identically).
+
+def _gen_joins(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260816)
+    out = []
+    for _ in range(n):
+        kind = rng.choice(["inner", "left", "semi", "anti"])
+        pred = _pred(rng, 2)
+        out.append((kind, pred))
+    return out
+
+
+JOIN_CASES = _gen_joins(15)
+
+
+@pytest.fixture(scope="module")
+def o_view(spark):
+    load_table(spark, SF_SMOKE, "orders").createOrReplaceTempView(
+        "__fuzz_orders"
+    )
+    return "__fuzz_orders"
+
+
+@pytest.mark.parametrize("idx", range(len(JOIN_CASES)))
+def test_random_join_matches_oracle(spark, duck, li_view, o_view, idx):
+    kind, pred = JOIN_CASES[idx]
+    if kind in ("inner", "left"):
+        join = "JOIN" if kind == "inner" else "LEFT JOIN"
+        sql = (
+            "SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus "
+            f"FROM {{t}} l {join} {{o}} o ON o.o_orderkey = l.l_orderkey "
+            f"WHERE {pred}"
+        )
+    else:
+        neg = "" if kind == "semi" else "NOT "
+        sql = (
+            "SELECT l.l_orderkey, l.l_linenumber "
+            f"FROM {{t}} l WHERE {neg}EXISTS ("
+            "SELECT 1 FROM {o} o WHERE o.o_orderkey = l.l_orderkey) "
+            f"AND {pred}"
+        )
+    sdf = spark.sql(sql.format(t=li_view, o=o_view))
+    compare(sdf, duck, sql.format(t="lineitem", o="orders"))
