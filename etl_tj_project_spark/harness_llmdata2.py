@@ -809,3 +809,67 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dd.prefix_filter_jaccard_pairs(d, "doc_id", "text", 4, 5)
+
+
+def _knn_join_oracle() -> str:
+    from etl_tj_project_spark.operators import similarity as sim
+
+    planes = sim._hyperplanes(64, 8, 7)
+    bcol = sim.lsh_bucket_sql("embedding", planes)
+    cos = (
+        f"{sim._dot_sql('d.embedding', 'q.qv')}"
+        f" / (sqrt({sim._dot_sql('d.embedding', 'd.embedding')})"
+        f" * sqrt({sim._dot_sql('q.qv', 'q.qv')}))"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bcol} AS bkt FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv, bkt AS qb
+      FROM b WHERE vec_id < 16
+    ),
+    cand AS (
+      SELECT q.qid, d.vec_id AS nid, {cos} AS cos
+      FROM q JOIN b d ON bit_count(xor(d.bkt, q.qb)) <= 1
+    ),
+    ranked AS (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rn
+      FROM cand
+    )
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(rn AS INTEGER) AS rnk, round(cos, 9) AS cosine
+    FROM ranked WHERE rn <= 10
+    """
+
+
+@register(
+    "ann_knn_join_topk",
+    _knn_join_oracle(),
+    doc="k-NN JOIN: top-10 cosine neighbors for EVERY query row (16 "
+        "probe rows here) — the batch form of ANN a dedup/retrieval "
+        "pipeline actually runs, vs the single-broadcast-vector probes. "
+        "The Hamming<=1 multi-probe is rewritten as an EQUI-join "
+        "(operators/similarity.knn_join): each query explodes to its "
+        "1+n_planes probe buckets and candidates meet on the bucket id "
+        "— shuffle-partitionable, and at 100 TB the data side is "
+        "written partitioned by bucket so probes prune partitions; a "
+        "distance-predicate theta join would plan a cross product. One "
+        "bucket-keyed join + one query-keyed window (cosine DESC, id "
+        "tiebreak). Oracle states the identical candidate set as a "
+        "Hamming filter",
+)
+def ann_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 16)
+    out = sim.knn_join(e, q, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        "cosine",
+    )

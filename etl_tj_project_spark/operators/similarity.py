@@ -647,3 +647,72 @@ def pq_encode(
     return df.select(
         F.col(id_col), _pq_codes(F.col(vec_col), books_lit, dsub).alias(code_col)
     )
+
+
+# --- k-NN JOIN (batch ANN: every query row gets its top-k) -----------------
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN JOIN: for EVERY query row, the top-``k`` data
+    rows by cosine among its LSH probe buckets — the batch form of ANN
+    (single-query ``lsh_topk`` broadcast one vector; a training-data
+    pipeline needs neighbors for millions of rows at once).
+
+    The Hamming-radius probe is rewritten as an EQUI-join: each query
+    replicates to its ``1 + n_planes`` probe buckets (own bucket + each
+    single bit flipped — exactly the Hamming<=1 ball) via an in-row
+    explode, and candidates meet on the bucket id. That makes the join
+    shuffle-partitionable on the bucket key — at 100 TB the data side is
+    WRITTEN partitioned by bucket, so each probe reads only its
+    buckets; a distance-predicate theta-join would be a cross product.
+    Ranking is one (query)-keyed window over candidates with a
+    deterministic (cosine DESC, id) order.
+
+    Scale shape: one projection per side, one bucket-keyed shuffle
+    join (bucket skew = ordinary equi-join skew, AQE splits it), one
+    query-keyed window. No driver-side state of any size.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    b_data = data.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    qb = lsh_bucket(F.col(vec_col), planes)
+    probes = F.array(
+        *([qb] + [qb.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
+    )
+    b_q = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probes).alias("__bucket"),
+    )
+    from pyspark.sql import Window as _W
+
+    cand = b_q.join(b_data, "__bucket").select(
+        "__qid",
+        "__nid",
+        cosine_similarity(F.col("__qv"), F.col("__nv")).alias("__cos"),
+    )
+    rn = F.row_number().over(
+        _W.partitionBy("__qid").orderBy(F.col("__cos").desc(), "__nid")
+    )
+    return (
+        cand.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__nid").alias("neighbor_id"),
+            F.col("__rn").cast("int").alias("rank"),
+            F.round("__cos", 9).alias("cosine"),
+        )
+    )
