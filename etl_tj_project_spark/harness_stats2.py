@@ -690,3 +690,121 @@ def running_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 3)
     )
+
+
+# =========================================================================
+# Monthly churn (activity-gap detection via month lead)
+# =========================================================================
+
+@register(
+    "churned_users_by_day",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    nxt AS (
+      SELECT user_id, d,
+             lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+      FROM ud
+    )
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN next_d IS NULL
+                          OR next_d > d + INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS churned_next_day
+    FROM nxt GROUP BY d
+    """,
+    doc="Daily churn: users active on day d with no activity on d+1 "
+        "(lead over the per-user day sequence — NULL lead means the "
+        "user never returns; a gap day counts as churn-then-"
+        "resurrect, the standard definition; the synthetic events "
+        "span one month, so day grain is the non-vacuous cadence). "
+        "Runs on the DISTINCT (user, day) grid, never the event "
+        "stream: one distinct shuffle + one user-keyed window over "
+        "~|users|x|days| rows regardless of event volume",
+)
+def churned_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    nxt = ud.withColumn(
+        "next_d",
+        F.lead("d").over(Window.partitionBy("user_id").orderBy("d")),
+    )
+    churn = F.when(
+        F.col("next_d").isNull()
+        | (F.col("next_d") > F.date_add(F.col("d"), 1)),
+        1,
+    ).otherwise(0)
+    return nxt.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users"),
+        F.sum(churn).cast("long").alias("churned_next_day"),
+    )
+
+
+# =========================================================================
+# 80%-coverage set per group (cumulative-share cutoff selection)
+# =========================================================================
+
+@register(
+    "coverage_set_80pct",
+    """
+    WITH pr AS (
+      SELECT l_suppkey, l_returnflag,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY l_suppkey, l_returnflag
+    ),
+    ranked AS (
+      SELECT l_returnflag, l_suppkey, rev,
+             SUM(rev) OVER (PARTITION BY l_returnflag
+                            ORDER BY rev DESC, l_suppkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(rev) OVER (PARTITION BY l_returnflag) AS tot
+      FROM pr
+    )
+    SELECT l_returnflag, l_suppkey,
+           round(CAST(rev AS DOUBLE), 2) AS rev,
+           round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+    FROM ranked
+    WHERE (cum - rev) * 5 < tot * 4
+    """,
+    doc="Minimal 80%-coverage set per group: the smallest prefix of "
+        "suppliers (by revenue, deterministic tiebreak) whose running "
+        "sum reaches 80% of the group total — the assortment/dedup-"
+        "budget selection shape ('which sources cover 80% of tokens'). "
+        "Membership is decided by exact DECIMAL cross-multiplication "
+        "(prev_cum*5 < tot*4 ⟺ prev share < 0.8, so the crossing row "
+        "is included) — the IEEE share is display-only. Aggregate "
+        "first, then two shared-sort windows over the group x supplier "
+        "table; the fact is scanned once",
+)
+def coverage_set_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_suppkey", "l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast(PRICE)).alias("rev")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("rev").desc(), "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    ranked = pr.select(
+        "l_returnflag",
+        "l_suppkey",
+        "rev",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(wtot).alias("tot"),
+    )
+    return ranked.filter(
+        (F.col("cum") - F.col("rev")) * 5 < F.col("tot") * 4
+    ).select(
+        "l_returnflag",
+        "l_suppkey",
+        F.round(F.col("rev").cast("double"), 2).alias("rev"),
+        F.round(
+            F.col("cum").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("cum_share"),
+    )
