@@ -808,3 +808,201 @@ def coverage_set_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum").cast("double") / F.col("tot").cast("double"), 6
         ).alias("cum_share"),
     )
+
+
+# =========================================================================
+# Fulfillment SLA (fact-to-parent rollup with threshold flag)
+# =========================================================================
+
+@register(
+    "order_fill_sla",
+    """
+    WITH per_order AS (
+      SELECT l.l_orderkey,
+             MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE))) AS worst_lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey
+    ),
+    flagged AS (
+      SELECT p.l_orderkey, o.o_orderpriority, p.worst_lag_days,
+             p.worst_lag_days <= 90 AS within_sla
+      FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN within_sla THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within,
+           round(CAST(SUM(CASE WHEN within_sla THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS fill_rate
+    FROM flagged GROUP BY o_orderpriority
+    """,
+    doc="Fulfillment SLA: an order meets SLA iff its WORST line ships "
+        "within 90 days of order date — the all-children-within-bound "
+        "rollup (MAX lag per parent, then the flag; flagging lines "
+        "individually and averaging would overweight large orders). "
+        "One orderkey join+agg shuffle, then the priority rollup over "
+        "|orders| rows; integer day arithmetic, one IEEE rate division",
+)
+def order_fill_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            ).alias("worst_lag_days")
+        )
+    )
+    within = (F.col("worst_lag_days") <= 90).cast("int")
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(within).cast("long").alias("n_within"),
+        F.round(
+            F.sum(within).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("fill_rate"),
+    )
+
+
+# =========================================================================
+# Duplicate-payment detection (same amount, same customer, close dates)
+# =========================================================================
+
+@register(
+    "duplicate_shipment_pairs",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             CAST(l_shipdate AS DATE) AS d
+      FROM lineitem
+    )
+    SELECT a.l_orderkey AS key_a, a.l_linenumber AS line_a,
+           b.l_orderkey AS key_b, b.l_linenumber AS line_b,
+           a.l_partkey, a.l_suppkey,
+           date_diff('day', a.d, b.d) AS gap_days
+    FROM l a JOIN l b
+      ON b.l_partkey = a.l_partkey AND b.l_suppkey = a.l_suppkey
+     AND (a.l_orderkey < b.l_orderkey
+          OR (a.l_orderkey = b.l_orderkey
+              AND a.l_linenumber < b.l_linenumber))
+    WHERE abs(date_diff('day', a.d, b.d)) <= 3
+    """,
+    doc="Duplicate-shipment screen: line pairs with the same (part, "
+        "supplier) shipping within 3 days — the double-posting / "
+        "double-fulfillment audit. The join is equi on the natural "
+        "composite key (per-key-bounded fan-out like the LSH band "
+        "join) with the date-proximity band as a residual filter, so "
+        "no theta join is planned; the pair order is pinned "
+        "lexicographically on (orderkey, linenumber) so each "
+        "unordered pair appears exactly once in both engines",
+)
+def duplicate_shipment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("d"),
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("key_a"),
+        F.col("l_linenumber").alias("line_a"),
+        "l_partkey",
+        "l_suppkey",
+        F.col("d").alias("d_a"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("key_b"),
+        F.col("l_linenumber").alias("line_b"),
+        F.col("l_partkey").alias("part_b"),
+        F.col("l_suppkey").alias("supp_b"),
+        F.col("d").alias("d_b"),
+    )
+    lex = (F.col("key_a") < F.col("key_b")) | (
+        (F.col("key_a") == F.col("key_b"))
+        & (F.col("line_a") < F.col("line_b"))
+    )
+    gap = F.datediff(F.col("d_b"), F.col("d_a"))
+    return (
+        a.join(
+            b,
+            (F.col("part_b") == F.col("l_partkey"))
+            & (F.col("supp_b") == F.col("l_suppkey"))
+            & lex,
+        )
+        .filter(F.abs(gap) <= 3)
+        .select(
+            "key_a",
+            "line_a",
+            "key_b",
+            "line_b",
+            "l_partkey",
+            "l_suppkey",
+            gap.alias("gap_days"),
+        )
+    )
+
+
+# =========================================================================
+# Last-touch attribution (running ignore-nulls carry within user stream)
+# =========================================================================
+
+@register(
+    "purchase_attribution_last_touch",
+    """
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_id
+      FROM events
+    )
+    SELECT event_id, user_id, last_click_id,
+           last_click_id IS NOT NULL AS attributed
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+    doc="Last-touch attribution: each purchase is credited to the "
+        "user's most recent STRICTLY-PRIOR click via last_value "
+        "IGNORE NULLS over a frame ending at 1 PRECEDING — the frame "
+        "bound is the correctness point (CURRENT ROW would let a "
+        "click-purchase tie attribute to itself) and the (ts, "
+        "event_id) order makes the carry deterministic under "
+        "same-timestamp events. One user-keyed window over the raw "
+        "stream — the set-based form of the per-user cursor loop, "
+        "and the batch twin of the stream-stream attribution join "
+        "(streaming/stream_joins.py)",
+)
+def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            last_click.alias("last_click_id"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "last_click_id",
+            F.col("last_click_id").isNotNull().alias("attributed"),
+        )
+    )
