@@ -873,3 +873,78 @@ def ann_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("rnk"),
         "cosine",
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(t) - 2, 1) + 1),
+                 i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM toks WHERE len(t) > 0
+      ) raw
+    ),
+    firsts AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN firsts f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+    doc="N-gram novelty: the fraction of a document's distinct word "
+        "3-grams whose FIRST corpus occurrence (min doc_id) is this "
+        "document — the incremental-crawl quality signal (a doc whose "
+        "every shingle already exists earlier adds nothing; span-level "
+        "dedup drops it, novelty SCORES it first). Shares "
+        "word_shingles' exact semantics (short docs -> one shingle). "
+        "Plan: one shingle-keyed shuffle for first-occurrence, one "
+        "shingle-keyed join back, one doc-keyed aggregate — shingles "
+        "stay in-row until the single explode, and at 100 TB the "
+        "min-doc table is the same corpus-global state as the LSH "
+        "band index, maintained incrementally the same way",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), k=3))
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
