@@ -1006,3 +1006,108 @@ def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("last_click_id").isNotNull().alias("attributed"),
         )
     )
+
+
+# =========================================================================
+# Weighted median (cumulative-weight crossing, fully integer-exact)
+# =========================================================================
+
+@register(
+    "weighted_median_price",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, l_extendedprice, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+      FROM w
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median,
+           CAST(MIN(tot) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    """,
+    doc="Weighted median (lower): the smallest price whose cumulative "
+        "quantity weight reaches half the group total — the "
+        "per-unit-weighted center unweighted median misstates when "
+        "line sizes vary. Crossing is decided by exact integer "
+        "cross-multiplication (2*cum >= tot), never a float fraction; "
+        "the (price, weight) sort order is total within the aggregate "
+        "frame so cum is engine-identical. One window shuffle + one "
+        "collapse aggregate; at 100 TB this is the exactness anchor "
+        "for a weighted approx_percentile swap, like median_iqr_pack",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("wt").over(wc).alias("cum"),
+        F.sum("wt").over(wt).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.min("tot").cast("long").alias("total_weight"),
+        )
+    )
+
+
+# =========================================================================
+# HLL sketch build + merge (the mergeable-state distinct-count path)
+# =========================================================================
+
+@register(
+    "hll_sketch_union_daily",
+    None,  # rows-only by the sketch policy (approx_count_distinct's
+    # reason): HLL register contents are engine-specific, so estimates
+    # can't cross-engine hash. The value bound lives in
+    # tests/test_stats2.py (per-day and merged estimates within 5% of
+    # exact), same contract as approx_count_distinct.
+    doc="Daily HLL sketches MERGED to a period estimate "
+        "(hll_sketch_agg per day -> hll_union_agg -> estimate): the "
+        "mergeable-state pattern that makes distinct-count rollups "
+        "re-aggregable — per-day sketches persist as bytes, and any "
+        "window (week, month, all-time) is a UNION of stored sketches "
+        "with no rescan of the fact, the property COUNT(DISTINCT) "
+        "fundamentally lacks (reaggregate_partials' algebra extended "
+        "to distincts). One day-keyed shuffle builds sketches; the "
+        "merge moves |days| fixed-size byte blobs",
+)
+def hll_sketch_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+    )
+    per_day = daily.select(
+        F.col("d").cast("string").alias("period"),
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_users"),
+    )
+    merged = daily.agg(
+        F.lit("ALL").alias("period"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("long")
+        .alias("est_users"),
+    )
+    return per_day.unionByName(merged)

@@ -161,3 +161,53 @@ def test_prefix_filter_jaccard_complete_and_exact(spark):
             ).collect()
         }
         assert got == brute(t_num, t_den), (t_num, t_den)
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    out = {
+        r.l_returnflag: (r.weighted_median, r.total_weight)
+        for r in harness.REGISTRY["weighted_median_price"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    import collections
+
+    by = collections.defaultdict(list)
+    for r in rows:
+        by[r.l_returnflag].append((r.l_extendedprice, int(r.l_quantity)))
+    for flag, pairs in by.items():
+        pairs.sort()
+        tot = sum(w for _, w in pairs)
+        cum = 0
+        med = None
+        for p, w in pairs:
+            cum += w
+            if 2 * cum >= tot:
+                med = p
+                break
+        assert out[flag] == (med, tot), flag
+
+
+def test_hll_union_daily_within_5pct_of_exact(spark):
+    out = {
+        r.period: r.est_users
+        for r in harness.REGISTRY["hll_sketch_union_daily"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact_all = ev.select("user_id").distinct().count()
+    assert abs(out["ALL"] - exact_all) <= max(2, 0.05 * exact_all)
+    exact_daily = {
+        str(r.d): r.n
+        for r in ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, n in exact_daily.items():
+        assert abs(out[day] - n) <= max(2, 0.05 * n), day
