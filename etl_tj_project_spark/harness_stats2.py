@@ -1111,3 +1111,91 @@ def hll_sketch_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_users"),
     )
     return per_day.unionByName(merged)
+
+
+# =========================================================================
+# Theta sketches: distinct-set ALGEBRA (intersection/difference)
+# =========================================================================
+
+@register(
+    "theta_audience_overlap",
+    None,  # rows-only by the sketch policy: theta register contents are
+    # engine-specific (DuckDB has no datasketches surface), so the
+    # estimates can't cross-engine hash. Value bound in
+    # tests/test_stats2.py: at this cardinality theta estimates are
+    # exact-mode, compared to exact set counts.
+    doc="Audience set algebra on THETA sketches: distinct users who "
+        "click, who purchase, who do BOTH (theta_intersection_agg), "
+        "EITHER (theta_union_agg), and click-minus-purchase "
+        "(theta_difference) — the sketch family that supports "
+        "intersections, which HLL structurally cannot (union-only "
+        "registers). At 100 TB: per-segment sketches persist as "
+        "bytes; any audience-overlap question is sketch algebra over "
+        "fixed-size state, never a fact rescan or a COUNT(DISTINCT "
+        "CASE...) double scan. One event_type-keyed shuffle builds "
+        "all sketches",
+)
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.where(F.col("event_type").isin("click", "purchase")).createOrReplaceTempView(
+        "__theta_ev"
+    )
+    return ev.sparkSession.sql(
+        """
+        WITH s AS (
+          SELECT event_type, theta_sketch_agg(user_id) AS sk
+          FROM __theta_ev GROUP BY event_type
+        ),
+        c AS (SELECT sk FROM s WHERE event_type = 'click'),
+        p AS (SELECT sk FROM s WHERE event_type = 'purchase')
+        SELECT
+          CAST(theta_sketch_estimate(c.sk) AS BIGINT) AS est_click,
+          CAST(theta_sketch_estimate(p.sk) AS BIGINT) AS est_purchase,
+          CAST(theta_sketch_estimate(theta_intersection(c.sk, p.sk))
+               AS BIGINT) AS est_both,
+          CAST(theta_sketch_estimate(theta_union(c.sk, p.sk))
+               AS BIGINT) AS est_either,
+          CAST(theta_sketch_estimate(theta_difference(c.sk, p.sk))
+               AS BIGINT) AS est_click_only
+        FROM c, p
+        """
+    )
+
+
+# =========================================================================
+# KLL quantile sketches: mergeable distributed percentiles
+# =========================================================================
+
+@register(
+    "kll_quantile_merge_profile",
+    None,  # rows-only by the sketch policy (same as
+    # approx_percentile_profile): KLL internals are engine-specific.
+    # Rank-error bound vs exact percentiles in tests/test_stats2.py.
+    doc="KLL quantile sketches built PER DAY and merged to period "
+        "percentiles (kll_sketch_agg_double per day -> kll_merge_agg "
+        "-> get_quantile): the mergeable-quantile path that makes "
+        "p50/p95 re-aggregable over stored daily state — "
+        "approx_percentile answers one window from a rescan, KLL "
+        "answers ANY window from sketch bytes "
+        "(reaggregate_partials' algebra extended to order "
+        "statistics). One day-keyed shuffle; the merge moves |days| "
+        "fixed-size sketches",
+)
+def kll_quantile_merge_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.expr("kll_sketch_agg_double(CAST(value AS DOUBLE))").alias("sk")
+    )
+    return daily.agg(
+        F.expr(
+            "round(kll_sketch_get_quantile_double("
+            "kll_merge_agg_double(sk), 0.5), 2)"
+        ).alias("p50"),
+        F.expr(
+            "round(kll_sketch_get_quantile_double("
+            "kll_merge_agg_double(sk), 0.95), 2)"
+        ).alias("p95"),
+        F.expr("kll_sketch_get_n_double(kll_merge_agg_double(sk))")
+        .cast("long")
+        .alias("n"),
+    )

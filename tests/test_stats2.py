@@ -211,3 +211,46 @@ def test_hll_union_daily_within_5pct_of_exact(spark):
     }
     for day, n in exact_daily.items():
         assert abs(out[day] - n) <= max(2, 0.05 * n), day
+
+
+def test_theta_overlap_matches_exact_sets(spark):
+    """At smoke cardinality theta sketches are in exact mode, so every
+    estimate must equal the true set count."""
+    row = (
+        harness.REGISTRY["theta_audience_overlap"]
+        .spark(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    click = {
+        r.user_id for r in ev.filter("event_type = 'click'")
+        .select("user_id").distinct().collect()
+    }
+    buy = {
+        r.user_id for r in ev.filter("event_type = 'purchase'")
+        .select("user_id").distinct().collect()
+    }
+    assert row.est_click == len(click)
+    assert row.est_purchase == len(buy)
+    assert row.est_both == len(click & buy)
+    assert row.est_either == len(click | buy)
+    assert row.est_click_only == len(click - buy)
+
+
+def test_kll_merged_quantiles_close_to_exact(spark):
+    row = (
+        harness.REGISTRY["kll_quantile_merge_profile"]
+        .spark(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = ev.selectExpr(
+        "percentile(value, 0.5) AS p50",
+        "percentile(value, 0.95) AS p95",
+        "count(value) AS n",
+    ).collect()[0]
+    assert row.n == exact.n
+    # KLL default k gives ~1.7% rank error; translate loosely to value
+    # space with a generous band (values are spread over ~0..500).
+    assert abs(row.p50 - exact.p50) <= 0.05 * max(exact.p50, 1)
+    assert abs(row.p95 - exact.p95) <= 0.05 * max(exact.p95, 1)
