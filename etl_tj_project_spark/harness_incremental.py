@@ -461,3 +461,64 @@ def zorder_key_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").bitwiseAND(F.lit(65535)),
         ).alias("zkey"),
     )
+
+
+@register(
+    "incremental_join_maintenance",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CASE WHEN c.c_custkey % 37 = 0
+                THEN c.c_mktsegment || '_v2'
+                ELSE c.c_mktsegment END AS segment,
+           round(o.o_totalprice, 2) AS price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="Incremental JOIN maintenance (IVM): a materialized fact-dim "
+        "join absorbs BOTH a fact delta (orders after the cutoff) and "
+        "dim UPDATES (every 37th customer's segment changes) without "
+        "recomputation: dJ = untouched base rows (LEFT ANTI on changed "
+        "keys) UNION old facts of changed keys re-joined to the new "
+        "dim (SEMI-restricted — delta-sized, not dim-sized) UNION "
+        "fact-delta joined to the new dim. The oracle is the FULL "
+        "recompute over final state, proving incremental == recompute "
+        "exactly — the same contract as scd2_apply_changes/"
+        "dedup_incremental_lsh_candidates. At 100 TB the anti/semi "
+        "split is the point: maintenance cost scales with "
+        "|delta| + |changed-key facts|, never |base join|",
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-06-01").cast("date")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    changed_pred = F.col("c_custkey") % 37 == 0
+    seg_new = F.when(
+        changed_pred, F.concat(F.col("c_mktsegment"), F.lit("_v2"))
+    ).otherwise(F.col("c_mktsegment"))
+    b_old = c.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    b_new = c.select("c_custkey", seg_new.alias("segment"))
+
+    a_old = o.filter(F.col("o_orderdate").cast("date") < cutoff)
+    a_delta = o.filter(F.col("o_orderdate").cast("date") >= cutoff)
+
+    def j(facts: DataFrame, dim: DataFrame) -> DataFrame:
+        return facts.join(
+            F.broadcast(dim), facts.o_custkey == dim.c_custkey
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            "segment",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+
+    base = j(a_old, b_old)  # the "materialized" state before the batch
+    changed = F.broadcast(
+        c.filter(changed_pred).select(F.col("c_custkey").alias("o_custkey"))
+    )
+    untouched = base.join(changed, "o_custkey", "left_anti")
+    rebuilt = j(
+        a_old.join(changed, "o_custkey", "left_semi"),
+        b_new.filter(F.col("c_custkey") % 37 == 0),
+    )
+    fresh = j(a_delta, b_new)
+    return untouched.unionByName(rebuilt).unionByName(fresh)
