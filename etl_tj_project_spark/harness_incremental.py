@@ -522,3 +522,60 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fresh = j(a_delta, b_new)
     return untouched.unionByName(rebuilt).unionByName(fresh)
+
+
+@register(
+    "incremental_agg_retractions",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 53 = 0
+               AND CAST(o_orderdate AS DATE) < DATE '1995-06-01')
+    GROUP BY o_orderpriority
+    """,
+    doc="Incremental AGGREGATE maintenance with RETRACTIONS: a "
+        "materialized groupBy absorbs a delta holding inserts (orders "
+        "after the cutoff) and deletes (every 53rd pre-cutoff order is "
+        "retracted) by merging SIGNED partials — count +/-1, sum "
+        "+/-value — never rescanning the base. This is the algebra "
+        "streaming update-mode sinks and CDC-fed rollups run on "
+        "(reaggregate_partials covers insert-only merge; retraction "
+        "is what makes DELETEs O(delta)). DECIMAL partials keep the "
+        "merge exact, so incremental == full recompute to the last "
+        "cent — which is exactly what the oracle checks. Groups "
+        "whose count reaches 0 are dropped (the retraction-algebra "
+        "edge case a naive merge forgets)",
+)
+def incremental_agg_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-06-01").cast("date")
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    base = o.filter(F.col("o_orderdate").cast("date") < cutoff)
+    inserts = o.filter(F.col("o_orderdate").cast("date") >= cutoff)
+    deletes = base.filter(F.col("o_orderkey") % 53 == 0)
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("dn"),
+            (F.lit(sign).cast("decimal(18,2)") * F.sum(price))
+            .cast("decimal(28,2)")
+            .alias("dsum"),
+        )
+
+    merged = (
+        partials(base, 1)  # the "materialized" state before the batch
+        .unionByName(partials(inserts, 1))
+        .unionByName(partials(deletes, -1))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dn").alias("n"), F.sum("dsum").alias("s"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("s").cast("double").alias("revenue"),
+    )
