@@ -328,3 +328,36 @@ def test_random_join_matches_oracle(spark, duck, li_view, o_view, idx):
         )
     sdf = spark.sql(sql.format(t=li_view, o=o_view))
     compare(sdf, duck, sql.format(t="lineitem", o="orders"))
+
+
+# ---------------------------------------------------------------------------
+# Set-operation differential fuzzing
+# ---------------------------------------------------------------------------
+#
+# UNION / UNION ALL / INTERSECT / EXCEPT between two randomly-predicated
+# projections of lineitem. DISTINCT-flavored set ops are the interesting
+# surface (bag vs set semantics, NULL equality inside set ops).
+
+def _gen_setops(n: int) -> list[tuple[str, str, str]]:
+    rng = random.Random(20260817)
+    out = []
+    for _ in range(n):
+        op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        out.append((op, _pred(rng, 2), _pred(rng, 2)))
+    return out
+
+
+SETOP_CASES = _gen_setops(15)
+
+
+@pytest.mark.parametrize("idx", range(len(SETOP_CASES)))
+def test_random_setop_matches_oracle(spark, duck, li_view, idx):
+    op, p1, p2 = SETOP_CASES[idx]
+    sql = (
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM {t} "
+        f"WHERE {p1} {op} "
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM {t} "
+        f"WHERE {p2}"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
