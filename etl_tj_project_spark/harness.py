@@ -1261,61 +1261,55 @@ DRIVER_WINDOW: list[str] = [
     "u2_two_branch_union_agg",
     "w2_running_sum",
     "rollup_agg",
-    # never-driver-checked: fixed output shape this round
-    "array_agg_sorted",
-    # never-driver-checked: manifest / incremental / layout pack
-    "manifest_snapshot_roundtrip",
-    "interval_containment_join",
-    "asof_join_tolerance",
-    "scd2_apply_changes",
-    "zorder_key_2d",
-    # never-driver-checked: TPC-H long tail
-    "tpch_q2ish_min_cost_supplier",
-    "tpch_q11ish_value_concentration",
-    "tpch_q16ish_supplier_cnt_by_part",
-    "tpch_q20ish_excess_stock_suppliers",
-    # never-driver-checked: text/corpus long tail
-    "embedding_int8_quantize",
-    "bigram_top50",
-    "histogram_fixed_buckets",
-    "dedup_repeated_ngram_spans",
-    "corpus_mixture_plan",
-    "posexplode_tokens",
-    "regexp_extract_all_numbers",
-    # rows-only-by-policy (no oracle SQL — driver records rows-check;
-    # value bounds live in tests/test_oracle_parity.py)
-    "approx_count_distinct",
-    "approx_percentile_profile",
-    "ann_ivf_trained_topk",
-    "ann_pq_trained_topk",
-    # round-5 registrations, never driver-checked
-    "text_corpus_stopword_fraction",
-    "text_unigram_commonness",
-    "doc_length_percentile_band",
-    "embedding_q8_norm_profile",
-    "bitwise_agg_pack",
-    "median_iqr_pack",
-    "mode_top1_per_group",
-    "moving_agg_rows_frame",
-    "running_distinct_count",
-    "dedup_incremental_lsh_candidates",
-    "approx_distinct_kmv",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "dedup_semantic_semdedup",
-    "full_outer_reconcile",
-    "not_in_null_semantics",
-    "variant_json_extract",
-    "try_arithmetic_pack",
-    "yoy_growth_accounts",
-    "wau_rolling_distinct",
-    "skewed_distinct_two_phase",
-    # round-5 late registrations: the new real-audio-decode path and the
-    # count-min sketch (never-checked beats re-confirmation, so these
-    # take the two slots round 4 gave to r1-green backfills;
-    # dedup_connected_components / multimodal_decode keep their r1 rows)
-    "multimodal_audio_features",
-    "cms_heavy_hitters",
+    # never-driver-checked backlog, oldest registrations first (the
+    # round-4 spill that has waited longest for a slot)
+    "multimodal_audio_downsample",
+    "char_trigram_lang_profile",
+    "bpe_pair_counts",
+    "bpe_learned_merges",
+    "graph_pagerank_fixedpoint",
+    "month_end_clamp_pack",
+    "array_setops_pack",
+    "window_nth_lead_pack",
+    "scan_lineage_per_file",
+    "share_of_parent_rollup",
+    "moment_stats_manual",
+    "rfm_customer_segments",
+    "basket_part_pairs_top50",
+    "activity_heatmap_dow_hour",
+    "pareto_revenue_concentration",
+    "rolling_zscore_anomaly",
+    "gaps_and_islands_daily",
+    "event_transition_matrix",
+    "relational_division",
+    "mad_robust_dispersion",
+    "interval_merge_overlaps",
+    "dense_grid_zero_fill",
+    "topk_with_ties",
+    "iso_week_rollup",
+    "union_by_name_schema_evolution",
+    "bloom_filter_membership",
+    "time_bucket_interpolate",
+    "running_sum_reset_on_marker",
+    "rolling_cov_manual",
+    "inverted_index_postings",
+    "phrase_search_positional",
+    "pareto_frontier_2d",
+    "gini_impurity_by_group",
+    "window_null_ordering_pack",
+    "regex_backreference_pack",
+    "explode_outer_empty_preserved",
+    # round-5 flagship registrations (the rest of the round-5 pack —
+    # 16 KPI/sketch entries, all locally oracle- or bound-tested —
+    # queues for the next rotation; never-checked beats re-confirmation)
+    "dedup_prefix_filter_jaccard",
+    "ann_knn_join_topk",
+    "corpus_ngram_novelty",
+    "multimodal_image_histogram",
+    "incremental_join_maintenance",
+    "incremental_agg_retractions",
+    "chisq_lang_source_cells",
+    "weighted_median_price",
 ]
 
 
