@@ -804,3 +804,48 @@ def test_zstd_write_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == src.count()
     assert sorted(back.columns) == sorted(src.columns)
+
+
+def test_knn_join_is_equi_not_nested_loop(spark):
+    """The Hamming-ball probe must plan as a bucket-keyed EQUI join
+    (explode of probe buckets), never BroadcastNestedLoopJoin or a
+    cartesian product — the property that makes the k-NN join
+    partition-prunable at scale."""
+    plan = _plan(
+        harness.REGISTRY["ann_knn_join_topk"].spark(spark, SF_SMOKE)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_shipment_screen_is_equi_join(spark):
+    """(part, supplier) equality is the join key; the date band is a
+    residual filter — no nested-loop join may appear."""
+    plan = _plan(
+        harness.REGISTRY["duplicate_shipment_pairs"].spark(spark, SF_SMOKE)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorize_percentile_cuts_are_broadcast(spark):
+    """The per-group percentile table is 3 rows — it must come back to
+    the fact as a broadcast join, not a shuffle."""
+    plan = _plan(
+        harness.REGISTRY["winsorize_price_p05_p95"].spark(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_filter_never_plans_allpairs(spark):
+    """Prefix filtering's candidate join must be an equi join on the
+    prefix token — the completeness proof is only useful if the plan
+    stays sub-quadratic."""
+    from etl_tj_project_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(prefix_filter_jaccard_pairs(d, "doc_id", "text", 4, 5))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
