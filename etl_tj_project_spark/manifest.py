@@ -229,3 +229,39 @@ def diff_table(
     old = read_table(spark, root, name, version=v_from)
     new = read_table(spark, root, name, version=v_to)
     return new.exceptAll(old), old.exceptAll(new)
+
+
+def schema_diff(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> dict[str, list]:
+    """Schema drift between two snapshot versions of ``name``:
+    ``{"added": [(col, type)], "removed": [(col, type)],
+    "retyped": [(col, old_type, new_type)]}`` — the catalog-level
+    companion to :func:`diff_table`'s row-level CDC. Consumers gate
+    on it before processing a new snapshot (an added nullable column
+    is usually safe; a retyped or removed one breaks readers), and
+    union_by_name_schema_evolution is the query-side behavior this
+    check decides to allow. Metadata-only: two footer reads, no data
+    scan at any table size.
+    """
+    old = {
+        f.name: f.dataType.simpleString()
+        for f in read_table(spark, root, name, version=v_from).schema.fields
+    }
+    new = {
+        f.name: f.dataType.simpleString()
+        for f in read_table(spark, root, name, version=v_to).schema.fields
+    }
+    return {
+        "added": sorted((c, t) for c, t in new.items() if c not in old),
+        "removed": sorted((c, t) for c, t in old.items() if c not in new),
+        "retyped": sorted(
+            (c, old[c], new[c])
+            for c in old.keys() & new.keys()
+            if old[c] != new[c]
+        ),
+    }

@@ -194,3 +194,27 @@ def test_diff_table_reports_added_and_removed(spark, tmp_path):
     assert sorted(map(tuple, recon.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_schema_diff_reports_added_removed_retyped(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark import manifest
+
+    root = str(tmp_path / "snap")
+    base = spark.range(5).select(
+        F.col("id"), F.lit("x").alias("a"), F.lit(1).alias("b")
+    )
+    v1 = manifest.commit(root, {"t": base})
+    evolved = spark.range(5).select(
+        F.col("id"),
+        F.lit("x").alias("a"),
+        F.lit(1.0).alias("b"),          # retyped int -> double
+        F.lit(True).alias("c"),         # added
+    ).drop("a").withColumn("a2", F.lit("y"))  # removed a, added a2
+    v2 = manifest.commit(root, {"t": evolved})
+
+    d = manifest.schema_diff(spark, root, "t", v1, v2)
+    assert ("c", "boolean") in d["added"] and ("a2", "string") in d["added"]
+    assert d["removed"] == [("a", "string")]
+    assert d["retyped"] == [("b", "int", "double")]
