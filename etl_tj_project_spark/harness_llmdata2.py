@@ -387,9 +387,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = _dd.lsh_candidate_pairs(d, "doc_id", "text", 8, 4)
-    from etl_tj_project_spark.operators.dedup import _persist_once
-
-    pairs = _persist_once(pairs)
+    # Narrow the cached pair table (the connected-components lesson):
+    # four downstream joins each launch one map task per cached
+    # partition, so a 58k-row pair table at the session's full shuffle
+    # width is pure scheduling overhead.
+    pairs = _dd.narrow_persisted(pairs, "doc_a")
     ends = pairs.select(F.col("doc_a").alias("n")).unionAll(
         pairs.select(F.col("doc_b").alias("n"))
     )

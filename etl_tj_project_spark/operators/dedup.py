@@ -739,3 +739,34 @@ def prefix_filter_jaccard_pairs(
         F.round(F.col("n_inter").cast("double") / union.cast("double"), 6)
         .alias("jaccard"),
     )
+
+
+def narrow_persisted(
+    df: DataFrame,
+    key: str,
+    rows_per_partition: int = 2_000_000,
+) -> DataFrame:
+    """Persist ``df`` and, when it is small relative to the session's
+    shuffle width, swap in a copy repartitioned on ``key`` to
+    ~``rows_per_partition`` rows each (capped by
+    ``spark.sql.shuffle.partitions`` so large inputs keep their
+    parallelism).
+
+    The connected-components lesson generalized: every downstream
+    stage over a cached table launches one map task per cached
+    partition, so a few-MB candidate-pair table inheriting a 32-64
+    partition layout makes multi-join DAGs scheduling-bound. The
+    extra count is served from the cache being built anyway.
+    """
+    cached = _persist_once(df)
+    n = cached.count()
+    cap = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    parts = max(1, min(cap, int(n // rows_per_partition) + 1))
+    if parts < cached.rdd.getNumPartitions():
+        narrow = _persist_once(cached.repartition(parts, key))
+        narrow.count()
+        cached.unpersist()
+        return narrow
+    return cached
