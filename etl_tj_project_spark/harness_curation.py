@@ -234,3 +234,120 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fingerprint") == F.col("e_fp"),
         "left_semi",
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""
+    WITH fp AS (
+      SELECT source, {tx.doc_fingerprint_sql('text')} AS f FROM documents
+    ),
+    g AS (
+      SELECT source, f, CAST(COUNT(*) AS BIGINT) AS copies
+      FROM fp GROUP BY source, f
+    )
+    SELECT source,
+           CAST(SUM(copies) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dropped,
+           round(CAST(SUM(copies) - COUNT(*) AS DOUBLE)
+                 / CAST(SUM(copies) AS DOUBLE), 6) AS dedup_rate
+    FROM g GROUP BY source
+    """,
+    doc="Per-source exact-dedup rate: docs, unique fingerprints, and "
+        "the fraction dropped — the per-provider quality scoreboard a "
+        "pipeline publishes after its dedup pass (a source running 40% "
+        "duplicates gets its crawl budget cut, not its weight raised). "
+        "Two stacked aggregations, both keyed on uniformly-distributed "
+        "md5 — skew-impossible; one scan of the corpus",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select("source", tx.doc_fingerprint("text").alias("f"))
+        .groupBy("source", "f")
+        .agg(F.count(F.lit(1)).cast("long").alias("copies"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        (F.sum("copies") - F.count(F.lit(1))).cast("long").alias("n_dropped"),
+        F.round(
+            (F.sum("copies") - F.count(F.lit(1))).cast("double")
+            / F.sum("copies").cast("double"),
+            6,
+        ).alias("dedup_rate"),
+    )
+
+
+@register(
+    "uniform_sample_k_per_group",
+    f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_doc_key_md5_sql('ksample:')}, doc_id
+             ) AS rn
+      FROM documents
+    ) t WHERE rn <= 20
+    """,
+    doc="Deterministic uniform k-per-group sample: exactly 20 docs per "
+        "language, chosen by salted-MD5 order — the reservoir-sampling "
+        "result without reservoir state (the hash IS the random "
+        "permutation, reproducible across runs/engines, and adding "
+        "docs later only displaces, never reshuffles, the kept set). "
+        "The eval-set construction primitive. One group-keyed window; "
+        "at 100 TB a per-partition top-k pre-prune bounds the sort",
+)
+def uniform_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_doc_key_md5("ksample:"), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "truncate_head_tail_budget",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           len(tok) > 60 AS truncated,
+           CASE WHEN len(tok) > 60
+                THEN array_to_string(tok[1:40], ' ') || ' ... ' ||
+                     array_to_string(tok[len(tok)-19:len(tok)], ' ')
+                ELSE array_to_string(tok, ' ') END AS text_budgeted
+    FROM t
+    """,
+    doc="Token-budget truncation preserving head AND tail (first 40 + "
+        "last 20 tokens when over 60): long documents carry their "
+        "conclusion as well as their opening into the training window "
+        "— plain head-truncation systematically deletes endings, a "
+        "known curation bias. Pure array expressions (split/slice/"
+        "join), no explode, no Python; the budget check and both "
+        "slices inline into one codegen stage",
+)
+def truncate_head_tail_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tx.tokens("text")
+    n = F.size(tok)
+    head = F.array_join(F.slice(tok, 1, 40), " ")
+    tail = F.array_join(F.slice(tok, n - F.lit(19), 20), " ")
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (n > 60).alias("truncated"),
+        F.when(n > 60, F.concat(head, F.lit(" ... "), tail))
+        .otherwise(F.array_join(tok, " "))
+        .alias("text_budgeted"),
+    )
