@@ -38,6 +38,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # and 128-256 MB is the right value on a real cluster — one split
     # per parquet row group.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python Data Source filter pushdown (sources/pyds.py) is opt-in in
+    # Spark 4; without it a reader implementing pushFilters() errors.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Cap in-flight bytes per task when Python (Pandas-UDF) stages run.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Date truncation and window alignment must agree with the DuckDB

@@ -1,0 +1,63 @@
+"""Spark 4 Python Data Source (sources/pyds.py): split planning,
+deterministic contents, and predicate pushdown semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.sources import pyds
+
+
+@pytest.fixture()
+def synthlog(spark):
+    # The conftest session comes through session.tune() and already has
+    # python.filterPushdown on; pin it anyway so this file stands alone.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pyds.register(spark)
+    return (
+        spark.read.format("synthlog")
+        .option("rows_per_part", "50")
+        .option("partitions", "3")
+    )
+
+
+def test_synthlog_rows_match_closed_form(synthlog):
+    rows = sorted(map(tuple, synthlog.load().collect()))
+    want = sorted(
+        pyds.row_at(p, o, 50) for p in range(3) for o in range(50)
+    )
+    assert rows == want
+
+
+def test_synthlog_one_task_per_declared_partition(synthlog):
+    df = synthlog.load()
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_synthlog_filtered_read_is_correct(synthlog):
+    """Whether or not the filter is pushed, results must equal the
+    post-hoc filter of the full table (the pushdown contract)."""
+    df = synthlog.load()
+    got = sorted(
+        map(tuple, df.filter(F.col("level") == "ERROR").collect())
+    )
+    want = sorted(t for t in map(tuple, df.collect()) if t[2] == "ERROR")
+    assert got == want and got
+
+
+def test_push_filters_unit_semantics():
+    """pushFilters keeps level-equality, returns the remainder, and the
+    generator then yields only matching rows."""
+    from pyspark.sql.datasource import EqualTo
+
+    r = pyds.SynthLogReader({"rows_per_part": "40", "partitions": "2"})
+    leftover = list(
+        r.pushFilters([EqualTo(("level",), "WARN"), EqualTo(("part",), 1)])
+    )
+    assert r.level_eq == "WARN"
+    assert leftover == [EqualTo(("part",), 1)]
+    out = list(r.read(pyds._SynthLogPartition(0, 40)))
+    assert out and all(t[2] == "WARN" for t in out)
+    full = [pyds.row_at(0, o, 40) for o in range(40)]
+    assert out == [t for t in full if t[2] == "WARN"]
