@@ -351,3 +351,83 @@ def truncate_head_tail_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_join(tok, " "))
         .alias("text_budgeted"),
     )
+
+
+@register(
+    "decontaminate_13gram",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END
+               AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(t) - 12, 1) + 1),
+                 i -> array_to_string(t[i:i+12], ' '))) AS s
+        FROM toks WHERE len(t) >= 13
+      ) raw
+    ),
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT DISTINCT sh.doc_id FROM sh
+      JOIN eval_sh e ON e.s = sh.s
+      WHERE sh.doc_id % 10 <> 0
+    )
+    SELECT t.doc_id, h.doc_id IS NOT NULL AS contaminated
+    FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    """,
+    doc="Benchmark decontamination by the published 13-gram rule "
+        "(GPT-3 appendix C / PaLM): a training document is contaminated "
+        "iff it shares ANY 13-token shingle with the eval split (here "
+        "doc_id%10==0 stands in for the benchmark set). Stricter and "
+        "costlier than the prefix-fingerprint check "
+        "(corpus_contamination_check): overlap can hide ANYWHERE in "
+        "the document, so the join key is every shingle, not one "
+        "fingerprint. Plan: shingles stay in-row until one explode, "
+        "eval shingles deduped then equi-joined (semi-join to a "
+        "distinct flag) — the eval side is benchmark-sized, so at "
+        "100 TB it broadcasts and the train side is one scan",
+)
+def decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower("text"))
+    sh = (
+        d.filter(F.size(toks) >= 13)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(
+                                F.size(toks) - F.lit(12), F.lit(1)
+                            ),
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(toks, i, 13), " "
+                        ),
+                    )
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    eval_sh = sh.filter(F.col("doc_id") % 10 == 0).select("s").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") % 10 != 0)
+        .join(eval_sh, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = d.filter(F.col("doc_id") % 10 != 0).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id", F.col("__hit").isNotNull().alias("contaminated")
+    )
