@@ -129,10 +129,16 @@ def test_synthlog_stream_recovers_from_checkpoint_exactly_once(
         )
         deadline = time.time() + 120
         # Wait on DISTINCT rows — a replayed batch after restart counts
-        # twice in the raw total and would end the drain early.
+        # twice in the raw total and would end the drain early. Surface
+        # a query failure immediately instead of spinning to deadline.
         while len(seen) < stop_after_rows and time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(
+                    f"stream query failed: {q.exception()}"
+                )
             time.sleep(0.3)
         q.stop()
+        q.awaitTermination(60)
 
     run(40)    # first run: killed partway
     run(120)   # recovery run: drains the rest from the checkpoint
