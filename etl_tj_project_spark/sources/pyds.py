@@ -127,10 +127,14 @@ class SynthLogStreamReader(SimpleDataSourceStreamReader):
         return {"pos": 0}
 
     def _rows(self, lo: int, hi: int):
-        # A LIST, not a generator: Spark's simple-stream prefetch cache
-        # copy.copy()s the returned iterator for replay, and generators
-        # are neither copyable nor picklable.
-        return [row_at(0, off, self.max_rows) for off in range(lo, hi)]
+        # iter(list), precisely: Spark's simple-stream prefetch cache
+        # needs BOTH next() (it peeks the first row in
+        # add_result_to_cache — a bare list raises TypeError) AND
+        # copy.copy() for replay (a generator can't be copied).
+        # A list_iterator satisfies both.
+        return iter(
+            [row_at(0, off, self.max_rows) for off in range(lo, hi)]
+        )
 
     def read(self, start: dict):
         lo = int(start["pos"])
