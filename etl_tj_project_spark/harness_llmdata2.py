@@ -950,3 +950,80 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+def _minhash_audit_oracle() -> str:
+    from etl_tj_project_spark.operators import dedup as _dd
+
+    sig = _dd.minhash_signature_sql("documents", "doc_id", "text", 8, 8)
+    matches = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+    WITH sig AS ({sig}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({matches} AS BIGINT) AS n_agree,
+             list_distinct(a.sh) AS sa, list_distinct(b.sh) AS sb
+      FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT doc_a, doc_b, n_agree,
+           round(CAST(n_agree AS DOUBLE) / 8.0, 6) AS jaccard_est,
+           round(CAST(length(list_intersect(sa, sb)) AS DOUBLE)
+                 / CAST(length(sa) + length(sb)
+                        - length(list_intersect(sa, sb)) AS DOUBLE), 6)
+             AS jaccard_exact
+    FROM pairs
+    """
+
+
+@register(
+    "minhash_accuracy_audit",
+    _minhash_audit_oracle(),
+    doc="MinHash self-audit: for candidate pairs (consecutive ids, the "
+        "levenshtein-pairs convention), the signature-agreement "
+        "estimate n_agree/8 SIDE BY SIDE with the exact char-8-shingle "
+        "Jaccard it estimates — the calibration table that justifies "
+        "the banding thresholds (E[agreement] = J; with 8 hashes the "
+        "estimate is coarse, which is exactly what this surfaces and "
+        "why verification follows candidate generation). Everything "
+        "is md5/integer arithmetic except the two final IEEE "
+        "divisions, so the audit itself is cross-engine hash-checked",
+)
+def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.functions.text import char_shingles
+    from etl_tj_project_spark.operators import dedup as _dd
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = _dd.minhash_signature_df(d, "doc_id", "text", 8, 8)
+    sh = d.select(
+        "doc_id", F.array_distinct(char_shingles("text", k=8)).alias("sh")
+    )
+    left = sig.join(sh, "doc_id").select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sa"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    right = sig.join(sh, "doc_id").select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sb"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    pairs = left.join(right, F.col("doc_b") == F.col("doc_a") + 1)
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    ).cast("long")
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (
+        F.size("sa").cast("double")
+        + F.size("sb").cast("double")
+        - inter
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        n_agree.alias("n_agree"),
+        F.round(n_agree.cast("double") / F.lit(8.0), 6).alias("jaccard_est"),
+        F.round(inter / union, 6).alias("jaccard_exact"),
+    )

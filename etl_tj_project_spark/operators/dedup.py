@@ -770,3 +770,37 @@ def narrow_persisted(
         cached.unpersist()
         return narrow
     return cached
+
+
+def minhash_signature_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 8,
+) -> str:
+    """DuckDB twin of :func:`minhash_signature_df`: CTE text producing
+    (id, sh, mh0..mh{n-1}) — the signature table plus the normalized
+    shingle list, for oracles that audit the signatures themselves."""
+    k = shingle_k
+    norm = f"regexp_replace(lower({text_col}), '[^a-z0-9]', '', 'g')"
+    sh = (
+        f"list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1), "
+        f"i -> substr(t, i, {k}))"
+    )
+    groups = (num_hashes + SLICES_PER_MD5 - 1) // SLICES_PER_MD5
+    md5_cols = ", ".join(
+        f"list_transform(sh, x -> md5(x || ':{g}')) AS md5_{g}"
+        for g in range(groups)
+    )
+    mh_cols = ", ".join(
+        f"list_min(list_transform(md5_{i // 4}, "
+        f"h -> substr(h, {(i % 4) * 8 + 1}, 8))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    return (
+        f"WITH s AS (SELECT {id_col}, {sh} AS sh FROM "
+        f"(SELECT {id_col}, {norm} AS t FROM {table})), "
+        f"m AS (SELECT {id_col}, sh, {md5_cols} FROM s) "
+        f"SELECT {id_col}, sh, {mh_cols} FROM m"
+    )
