@@ -1199,3 +1199,48 @@ def kll_quantile_merge_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n"),
     )
+
+
+# =========================================================================
+# Inter-arrival time distribution (latency histogram from lag gaps)
+# =========================================================================
+
+@register(
+    "interarrival_histogram",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT CAST(least(gap_us // 60000000, 30) AS BIGINT) AS gap_minutes,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Inter-arrival distribution: per-user event gaps (lag over the "
+        "epoch-microsecond order, event_id tiebreak for simultaneous "
+        "events) bucketed to minutes with a 30-minute overflow cap — "
+        "the latency/engagement histogram behind sessionization gap "
+        "thresholds (the 30-minute session gap is READ OFF this "
+        "table, not guessed). Integer microsecond arithmetic and "
+        "integer floor-division bucketing; one user-keyed window + "
+        "one small aggregate",
+)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    gap = us - F.lag(us).over(w)
+    gaps = ev.select(gap.alias("gap_us")).filter(F.col("gap_us").isNotNull())
+    # Exact integer floor division ((x - x%w)/w — the repo-wide idiom;
+    # a double-division floor can mis-bin exact bin-edge values).
+    g = F.col("gap_us")
+    wus = F.lit(60_000_000)
+    bucket = F.least(((g - F.pmod(g, wus)) / wus).cast("long"), F.lit(30))
+    return (
+        gaps.groupBy(bucket.alias("gap_minutes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )
