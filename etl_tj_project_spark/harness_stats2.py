@@ -1244,3 +1244,122 @@ def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.groupBy(bucket.alias("gap_minutes"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
     )
+
+
+# =========================================================================
+# Herfindahl-Hirschman concentration index (vendor-risk audit)
+# =========================================================================
+
+@register(
+    "supplier_concentration_hhi",
+    """
+    WITH rev AS (
+      SELECT l_returnflag, l_suppkey,
+             SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_returnflag, l_suppkey
+    ),
+    tot AS (
+      SELECT l_returnflag,
+             SUM(cents) AS tot_cents,
+             SUM(cents * cents) AS sumsq_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_suppliers,
+           round(CAST(sumsq_cents AS DOUBLE)
+                 / (CAST(tot_cents AS DOUBLE) * CAST(tot_cents AS DOUBLE)),
+                 9) AS hhi
+    FROM tot
+    """,
+    doc="Herfindahl-Hirschman concentration per segment: "
+        "HHI = sum(share_i^2) spelled sum(rev_i^2)/(sum(rev))^2 so the "
+        "numerator and denominator are EXACT integer-cents sums (one "
+        "sum of squares, one squared sum) and IEEE enters in a single "
+        "final division — the vendor-dependency audit (HHI -> 1 means "
+        "one supplier owns the segment; procurement gates on it). Two "
+        "stacked aggregations, no window, one scan; cents stay < 2^63 "
+        "for any realistic segment",
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    rev = li.groupBy("l_returnflag", "l_suppkey").agg(
+        F.sum(cents).alias("cents")
+    )
+    # Sum of squared cents overflows int64 at sf0.01+ (1e14 per row x
+    # 1e4 rows) — accumulate in DECIMAL(38,0), exactly as DuckDB's
+    # BIGINT sum silently widens to HUGEINT.
+    sq = (F.col("cents").cast("decimal(19,0)") * F.col("cents")).cast(
+        "decimal(38,0)"
+    )
+    tot = rev.groupBy("l_returnflag").agg(
+        F.sum("cents").alias("tot_cents"),
+        F.sum(sq).alias("sumsq_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    return tot.select(
+        "l_returnflag",
+        "n_suppliers",
+        F.round(
+            F.col("sumsq_cents").cast("double")
+            / (
+                F.col("tot_cents").cast("double")
+                * F.col("tot_cents").cast("double")
+            ),
+            9,
+        ).alias("hhi"),
+    )
+
+
+# =========================================================================
+# Time-to-convert histogram (first click -> first purchase)
+# =========================================================================
+
+@register(
+    "time_to_convert_histogram",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click'
+                      THEN epoch_us(ts) END) AS first_click_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS first_buy_us
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id, first_buy_us - first_click_us AS lag_us
+      FROM firsts
+      WHERE first_click_us IS NOT NULL AND first_buy_us IS NOT NULL
+        AND first_buy_us >= first_click_us
+    )
+    SELECT CAST(least(lag_us // 3600000000, 48) AS BIGINT) AS lag_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM conv GROUP BY 1
+    """,
+    doc="Time-to-convert: first click -> first purchase lag per user, "
+        "bucketed to hours with a 48h overflow cap — the conversion-"
+        "latency curve attribution windows are sized from. One "
+        "conditional-MIN aggregate gets both firsts in a single user-"
+        "keyed pass (no self-join of the event stream); users who "
+        "bought before ever clicking are excluded as non-attributable. "
+        "Integer microseconds end to end, exact floor-division "
+        "bucketing",
+)
+def time_to_convert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", us)).alias("c_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("b_us"),
+    )
+    conv = firsts.filter(
+        F.col("c_us").isNotNull()
+        & F.col("b_us").isNotNull()
+        & (F.col("b_us") >= F.col("c_us"))
+    ).select((F.col("b_us") - F.col("c_us")).alias("lag_us"))
+    g = F.col("lag_us")
+    wus = F.lit(3_600_000_000)
+    bucket = F.least(((g - F.pmod(g, wus)) / wus).cast("long"), F.lit(48))
+    return conv.groupBy(bucket.alias("lag_hours")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
