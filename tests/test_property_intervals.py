@@ -101,3 +101,66 @@ def test_interval_merge_overlaps_equals_sweep_model(spark, ivs):
         .collect()
     )
     assert got == _merge_model(rows)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization property parity (gap rule vs pure-Python model)
+# ---------------------------------------------------------------------------
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # user
+        st.integers(min_value=0, max_value=10_000),  # ts (abstract units)
+    ),
+    min_size=0,
+    max_size=30,
+)
+GAP = st.sampled_from([1, 50, 500])
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=EVENTS, gap=GAP)
+def test_gap_sessionization_matches_model(spark, events, gap):
+    """The lag+running-sum sessionization (the registered `sessionize`
+    formulation, gap parameterized) must agree with a sequential model
+    on arbitrary streams — including simultaneous timestamps, where the
+    event_id tiebreak keeps both deterministic."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(eid, u, ts) for eid, (u, ts) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)], "event_id long, user_id long, ts_us long"
+    ).filter("event_id IS NOT NULL")
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_new = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w_order) > gap, F.lit(1)
+    ).otherwise(F.lit(0))
+    got = {
+        r.event_id: r.session_id
+        for r in df.withColumn("is_new", is_new)
+        .select(
+            "event_id",
+            F.sum("is_new").over(w_run).cast("long").alias("session_id"),
+        )
+        .collect()
+    }
+
+    want: dict[int, int] = {}
+    by_user: dict[int, list] = {}
+    for eid, u, ts in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ts, eid in evs:
+            if prev is not None and ts - prev > gap:
+                sid += 1
+            want[eid] = sid
+            prev = ts
+    assert got == want
