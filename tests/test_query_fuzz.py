@@ -361,3 +361,62 @@ def test_random_setop_matches_oracle(spark, duck, li_view, idx):
     )
     sdf = spark.sql(sql.format(t=li_view))
     compare(sdf, duck, sql.format(t="lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# String-function differential fuzzing
+# ---------------------------------------------------------------------------
+#
+# Portable string subset (identical semantics verified by the function
+# packs, here recombined randomly): upper/lower/trim/reverse, substr
+# with positive offsets, lpad/rpad, replace, ||-concat, length/instr.
+# Dialect-divergent members (split_part, negative substr offsets, regex
+# replacement) stay in their hand-pinned pack entries.
+
+def _str_expr(rng: random.Random, depth: int) -> str:
+    base = rng.choice(
+        ["o_orderpriority", "o_orderstatus", "o_orderpriority"]
+    )
+    if depth <= 0 or rng.random() < 0.35:
+        return base
+    inner = _str_expr(rng, depth - 1)
+    r = rng.random()
+    if r < 0.15:
+        return f"upper({inner})"
+    if r < 0.3:
+        return f"lower({inner})"
+    if r < 0.4:
+        return f"trim({inner})"
+    if r < 0.5:
+        return f"reverse({inner})"
+    if r < 0.62:
+        i, n = rng.randint(1, 4), rng.randint(1, 6)
+        return f"substr({inner}, {i}, {n})"
+    if r < 0.74:
+        fn = rng.choice(["lpad", "rpad"])
+        return f"{fn}({inner}, {rng.randint(1, 12)}, '{rng.choice('xy_')}')"
+    if r < 0.86:
+        a, b = rng.sample(["1", "2", "-", "U", "E", "N"], 2)
+        return f"replace({inner}, '{a}', '{b}')"
+    return f"({inner} || '{rng.choice(['#', '/', ''])}' || {_str_expr(rng, depth - 1)})"
+
+
+def _gen_strs(n: int) -> list[str]:
+    rng = random.Random(20260818)
+    return [_str_expr(rng, 3) for _ in range(n)]
+
+
+STR_EXPRS = _gen_strs(20)
+
+
+@pytest.mark.parametrize("idx", range(len(STR_EXPRS)))
+def test_random_string_expr_matches_oracle(spark, duck, o_view, idx):
+    expr = STR_EXPRS[idx]
+    sql = (
+        "SELECT o_orderkey, " + expr + " AS s, "
+        f"CAST(length({expr}) AS BIGINT) AS n, "
+        f"CAST(instr({expr}, '-') AS BIGINT) AS pos "
+        "FROM {o}"
+    )
+    sdf = spark.sql(sql.format(o=o_view))
+    compare(sdf, duck, sql.format(o="orders"))
