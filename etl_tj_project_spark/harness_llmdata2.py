@@ -1027,3 +1027,107 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_agree.cast("double") / F.lit(8.0), 6).alias("jaccard_est"),
         F.round(inter / union, 6).alias("jaccard_exact"),
     )
+
+
+def _pca_power_oracle() -> str:
+    scale = 1 << 20
+    it = """
+    dot{K} AS (
+      SELECT ql.vec_id, SUM(ql.val * v{J}.v) AS dot
+      FROM ql JOIN v{J} ON v{J}.dim = ql.dim GROUP BY ql.vec_id
+    ),
+    w{K} AS (
+      SELECT ql.dim, SUM(ql.val * dot{K}.dot) AS w
+      FROM ql JOIN dot{K} ON dot{K}.vec_id = ql.vec_id GROUP BY ql.dim
+    ),
+    m{K} AS (SELECT MAX(abs(w)) AS m FROM w{K}),
+    v{K} AS (
+      SELECT dim,
+             (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+             * (abs(w) // greatest(m // {scale}, 1)) AS v
+      FROM w{K}, m{K}
+    )"""
+    iters = ",".join(
+        it.format(K=k, J=k - 1, scale=scale) for k in (1, 2, 3)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127, 0) AS BIGINT)) AS q8
+      FROM embeddings
+    ),
+    ql AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, q8[CAST(i AS INTEGER)] AS val
+      FROM q, unnest(generate_series(1, 64)) t(i)
+    ),
+    v0 AS (
+      SELECT CAST(d AS BIGINT) AS dim, CAST({scale} AS BIGINT) AS v
+      FROM unnest(generate_series(0, 63)) s(d)
+    ),
+    {iters}
+    SELECT dim, CAST(v AS BIGINT) AS component FROM v3
+    """
+
+
+@register(
+    "embedding_pca_power_fixedpoint",
+    _pca_power_oracle(),
+    doc="Top principal component of the embedding table by POWER "
+        "ITERATION in fixed-point integer arithmetic: vectors quantize "
+        "to int8, the direction lives in 2^20 micro-units, and each of "
+        "3 iterations is v <- rescale(Sum_i x_i * (x_i . v)) — two "
+        "integer aggregations (row-dot, then per-dim accumulate) with "
+        "a max-abs integer renormalization (no sqrt, no float), so the "
+        "ITERATIVE linear algebra itself carries a full cross-engine "
+        "hash check — pagerank's determinism principle applied to PCA. "
+        "Iteration count is a dial: each round multiplies the "
+        "eigengap ratio into the error, so spiky spectra converge in "
+        "a few rounds while near-isotropic corpora (like this "
+        "synthetic table, gap ratio ~0.93) need many — the ENTRY "
+        "pins the exact 3-step operator; tests/test_stats2.py proves "
+        "it bit-equal to an integer simulation and that the Rayleigh "
+        "quotient improves monotonically over the start vector. "
+        "Plan: the (vec, dim) long table shuffles once per iteration "
+        "per keyed aggregate, v is |dim| rows joined in — fully "
+        "declarative, no driver collects; at 10^10 vectors each "
+        "iteration is two node-keyed shuffles, same as k-means",
+)
+def embedding_pca_power_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators.dedup import _persist_once
+
+    scale = 1 << 20
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 127, 0).cast("long"),
+    )
+    ql = _persist_once(
+        e.select("vec_id", F.posexplode(q8).alias("dim", "val")).select(
+            "vec_id", F.col("dim").cast("long").alias("dim"), "val"
+        )
+    )
+    spark_ = e.sparkSession
+    v = spark_.range(64).select(
+        F.col("id").alias("dim"), F.lit(scale).cast("long").alias("v")
+    )
+    for _ in range(3):
+        dot = (
+            ql.join(v, "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("v")).alias("dot"))
+        )
+        w = (
+            ql.join(dot, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("val") * F.col("dot")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs("w")).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "dim",
+            (
+                F.when(F.col("w") < 0, -1).otherwise(1)
+                * F.expr(f"abs(w) div greatest(m div {scale}, 1)")
+            ).alias("v"),
+        )
+    return v.select("dim", F.col("v").cast("long").alias("component"))

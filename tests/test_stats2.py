@@ -254,3 +254,48 @@ def test_kll_merged_quantiles_close_to_exact(spark):
     # space with a generous band (values are spread over ~0..500).
     assert abs(row.p50 - exact.p50) <= 0.05 * max(exact.p50, 1)
     assert abs(row.p95 - exact.p95) <= 0.05 * max(exact.p95, 1)
+
+
+def test_pca_power_matches_integer_simulation_and_improves_rayleigh(spark):
+    """Two claims, both exact: (1) the distributed fixed-point power
+    iteration is BIT-EQUAL to a sequential integer simulation of the
+    same 3 steps (the cross-engine hash says Spark==DuckDB; this says
+    both == the math); (2) the returned direction has a strictly higher
+    Rayleigh quotient v'Av/v'v than the all-ones start — the monotone
+    property power iteration guarantees regardless of eigengap."""
+    import numpy as np
+
+    out = (
+        harness.REGISTRY["embedding_pca_power_fixedpoint"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    )
+    got = {r.dim: r.component for r in out}
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("embedding")
+        .collect()
+    )
+    X = np.round(np.array([r.embedding for r in rows], dtype=float) * 127)
+    X = X.astype(object)  # exact integer arithmetic end to end
+    scale = 1 << 20
+    v = [scale] * 64
+    for _ in range(3):
+        dot = [int(sum(x[d] * v[d] for d in range(64))) for x in X]
+        w = [
+            int(sum(X[i][d] * dot[i] for i in range(len(X))))
+            for d in range(64)
+        ]
+        m = max(abs(x) for x in w)
+        denom = max(m // scale, 1)
+        v = [(1 if x >= 0 else -1) * (abs(x) // denom) for x in w]
+    assert got == {d: v[d] for d in range(64)}
+
+    A = (X.astype(float)).T @ (X.astype(float))
+    vf = np.array([float(got[d]) for d in range(64)])
+    ones = np.full(64, float(scale))
+
+    def rayleigh(u):
+        return (u @ A @ u) / (u @ u)
+
+    assert rayleigh(vf) > rayleigh(ones)
