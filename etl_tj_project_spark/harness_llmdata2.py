@@ -1131,3 +1131,73 @@ def embedding_pca_power_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("v"),
         )
     return v.select("dim", F.col("v").cast("long").alias("component"))
+
+
+def _rp_sign_sql(k: int, d: str) -> str:
+    # Rademacher sign from the first hex digit of md5("rp:k:d"):
+    # digits 0-7 -> +1, 8-f -> -1 — portable, seed-free, deterministic.
+    return (
+        f"CASE WHEN substring(md5('rp:{k}:' || CAST({d} AS VARCHAR)), 1, 1)"
+        f" BETWEEN '0' AND '7' THEN 1 ELSE -1 END"
+    )
+
+
+def _rp_oracle() -> str:
+    outs = ", ".join(
+        "CAST(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> ({_rp_sign_sql(k, 'i - 1')}) * q8[CAST(i AS INTEGER)]))"
+        f" AS BIGINT) AS p{k}"
+        for k in range(16)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127, 0) AS BIGINT)) AS q8
+      FROM embeddings
+    )
+    SELECT vec_id, {outs} FROM q
+    """
+
+
+@register(
+    "embedding_random_projection_16",
+    _rp_oracle(),
+    doc="Johnson-Lindenstrauss reduction 64 -> 16 dims with a "
+        "DETERMINISTIC Rademacher matrix (sign = first hex digit of "
+        "md5('rp:k:d') — seed-free, engine-portable, the KMV hashing "
+        "principle applied to a projection matrix): out_k = "
+        "sum_d sign(k,d) * q8_d over int8-quantized inputs, so every "
+        "projected coordinate is an exact integer and the whole "
+        "reduction hash-checks cross-engine. The cheap pre-ANN step "
+        "that cuts candidate-scan bytes 4x while JL bounds pairwise "
+        "distance distortion (distortion measured in "
+        "tests/test_stats2.py). Pure per-row expressions — zero "
+        "shuffles, inlines into the scan at any scale",
+)
+def embedding_random_projection_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 127, 0).cast("long"),
+    )
+    base = e.select("vec_id", q8.alias("__q8"))
+
+    # Signs are constants of (k, d) — bake them driver-side with the
+    # SAME md5 rule the oracle states (16x64 literals fold into codegen;
+    # computing md5 per row per cell would be 1024 hashes/row for
+    # values that never change).
+    def sign(k: int, d: int) -> int:
+        h = hashlib.md5(f"rp:{k}:{d}".encode()).hexdigest()[0]
+        return 1 if h <= "7" else -1
+
+    cols = [
+        sum(
+            F.lit(sign(k, d)) * F.element_at("__q8", d + 1)
+            for d in range(64)
+        ).cast("long").alias(f"p{k}")
+        for k in range(16)
+    ]
+    return base.select("vec_id", *cols)

@@ -299,3 +299,34 @@ def test_pca_power_matches_integer_simulation_and_improves_rayleigh(spark):
         return (u @ A @ u) / (u @ u)
 
     assert rayleigh(vf) > rayleigh(ones)
+
+
+def test_random_projection_bounds_distance_distortion(spark):
+    """JL sanity: squared distances in the 16-dim projection, scaled by
+    1/16 (E[|Pu|^2] = d_out * |u|^2 for Rademacher rows), approximate
+    the original int8-space squared distances for sampled pairs —
+    median distortion within 50% (d_out=16 is aggressive; the test pins
+    the scaling convention and catches sign/indexing bugs, not tight
+    JL constants)."""
+    import numpy as np
+
+    proj = {
+        r.vec_id: np.array([r[f"p{k}"] for k in range(16)], dtype=float)
+        for r in harness.REGISTRY["embedding_random_projection_16"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    orig = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=float) * 127)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    ids = sorted(orig)[:40]
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        d_orig = float(np.sum((orig[a] - orig[b]) ** 2))
+        d_proj = float(np.sum((proj[a] - proj[b]) ** 2)) / 16.0
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    assert ratios
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.5 < med < 1.5, med
