@@ -1201,3 +1201,111 @@ def embedding_random_projection_16(spark: SparkSession, sf_dir: str) -> DataFram
         for k in range(16)
     ]
     return base.select("vec_id", *cols)
+
+
+def _projected_topk_oracle() -> str:
+    from etl_tj_project_spark.operators import similarity as sim
+
+    proj = ", ".join(
+        "CAST(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> ({_rp_sign_sql(k, 'i - 1')}) * q8[CAST(i AS INTEGER)]))"
+        f" AS BIGINT) AS p{k}"
+        for k in range(16)
+    )
+    coarse = " + ".join(f"a.p{k} * q.p{k}" for k in range(16))
+    cos = (
+        f"{sim._dot_sql('d.embedding', 'qv.embedding')}"
+        f" / (sqrt({sim._dot_sql('d.embedding', 'd.embedding')})"
+        f" * sqrt({sim._dot_sql('qv.embedding', 'qv.embedding')}))"
+    )
+    return f"""
+    WITH q8t AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127, 0) AS BIGINT)) AS q8
+      FROM embeddings
+    ),
+    p AS (SELECT vec_id, embedding, {proj} FROM q8t),
+    q AS (SELECT * FROM p WHERE vec_id = 0),
+    coarse AS (
+      SELECT a.vec_id, CAST({coarse} AS BIGINT) AS score
+      FROM p a, q
+      ORDER BY score DESC, a.vec_id LIMIT 50
+    )
+    SELECT c.vec_id, round({cos}, 9) AS cosine
+    FROM coarse c
+    JOIN embeddings d ON d.vec_id = c.vec_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qv
+    ORDER BY cosine DESC, c.vec_id LIMIT 10
+    """
+
+
+@register(
+    "ann_projected_rerank_topk",
+    _projected_topk_oracle(),
+    doc="Two-stage retrieval, the production ANN pattern: coarse top-50 "
+        "by INTEGER dot product in the 16-dim JL projection (4x fewer "
+        "bytes per row than the full vector, exact integer scores so "
+        "the candidate ORDER is hash-stable), then exact full-space "
+        "cosine rerank of just those 50 -> top-10. Complements the "
+        "bucket-pruning families (LSH/IVF prune WHICH rows are "
+        "scanned; projection prunes HOW MUCH each scanned row costs — "
+        "PQ's idea without codebook training). Coarse stage is "
+        "TakeOrderedAndProject over per-row expressions; rerank "
+        "touches 50 rows",
+)
+def ann_projected_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from etl_tj_project_spark.functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 127, 0).cast("long"),
+    )
+
+    def sign(k: int, d: int) -> int:
+        h = hashlib.md5(f"rp:{k}:{d}".encode()).hexdigest()[0]
+        return 1 if h <= "7" else -1
+
+    pcols = [
+        sum(
+            F.lit(sign(k, d)) * F.element_at("__q8", d + 1)
+            for d in range(64)
+        ).cast("long").alias(f"p{k}")
+        for k in range(16)
+    ]
+    p = e.select("vec_id", "embedding", q8.alias("__q8")).select(
+        "vec_id", "embedding", *pcols
+    )
+    qrow = F.broadcast(
+        p.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qemb"),
+            *[F.col(f"p{k}").alias(f"q{k}") for k in range(16)],
+        )
+    )
+    coarse_score = sum(
+        F.col(f"p{k}") * F.col(f"q{k}") for k in range(16)
+    ).cast("long")
+    coarse = (
+        p.crossJoin(qrow)
+        .select(
+            "vec_id",
+            "embedding",
+            "__qemb",
+            coarse_score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(50)
+    )
+    return (
+        coarse.select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("__qemb")), 9
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
