@@ -1363,3 +1363,56 @@ def time_to_convert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv.groupBy(bucket.alias("lag_hours")).agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+# =========================================================================
+# Growth accounting: new vs returning share per day
+# =========================================================================
+
+@register(
+    "growth_accounting_daily",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(d) AS first_d FROM ud GROUP BY user_id
+    )
+    SELECT ud.d,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN f.first_d = ud.d THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN f.first_d <> ud.d THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           round(CAST(SUM(CASE WHEN f.first_d = ud.d THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS new_share
+    FROM ud JOIN firsts f ON f.user_id = ud.user_id
+    GROUP BY ud.d
+    """,
+    doc="Growth accounting: each day's actives split into NEW (first "
+        "day ever) vs RETURNING — the new-share curve that separates "
+        "acquisition from retention in a single chart (a flat actives "
+        "line with rising new_share is churn wearing a wig). Runs on "
+        "the DISTINCT user-day grid; the per-user first day is one "
+        "aggregate joined back (broadcastable — |users| rows). "
+        "Complements churned_users_by_day (the outflow side of the "
+        "same ledger)",
+)
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    j = ud.join(firsts, "user_id")
+    is_new = F.when(F.col("first_d") == F.col("d"), 1).otherwise(0)
+    return j.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users"),
+        F.sum(is_new).cast("long").alias("new_users"),
+        F.sum(1 - is_new).cast("long").alias("returning_users"),
+        F.round(
+            F.sum(is_new).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("new_share"),
+    )
