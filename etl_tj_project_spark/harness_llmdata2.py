@@ -1309,3 +1309,82 @@ def ann_projected_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "text_bigram_coverage",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END
+               AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    END) AS bigram
+      FROM t
+    ),
+    head AS (
+      SELECT bigram FROM (
+        SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 200
+      ) h
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN head.bigram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_head,
+           round(CAST(SUM(CASE WHEN head.bigram IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS head_coverage
+    FROM b LEFT JOIN head ON head.bigram = b.bigram
+    GROUP BY b.doc_id
+    """,
+    doc="Bigram head-coverage fluency proxy: the fraction of a doc's "
+        "word bigrams that fall in the corpus's top-200 bigram head — "
+        "one step up from unigram commonness (word-ORDER fluency: "
+        "scrambled text keeps its unigram score but loses bigram "
+        "coverage). The head is a TakeOrdered collapse with a "
+        "deterministic tiebreak, broadcast back as a membership tag; "
+        "one bigram shuffle + one doc shuffle, no libm",
+)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    with_toks = docs.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.array()).otherwise(toks).alias("toks"),
+    )
+    bigrams = with_toks.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("toks") < 2, F.array()).otherwise(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(toks[i - 1], ' ', toks[i]))"
+                )
+            )
+        ).alias("bigram"),
+    )
+    head = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(200)
+        .select("bigram", F.lit(1).alias("__head"))
+    )
+    tagged = bigrams.join(F.broadcast(head), "bigram", "left")
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.coalesce("__head", F.lit(0))).cast("long").alias("n_in_head"),
+        F.round(
+            F.sum(F.coalesce("__head", F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("head_coverage"),
+    )
