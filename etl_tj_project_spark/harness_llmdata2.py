@@ -1388,3 +1388,71 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("head_coverage"),
     )
+
+
+def _filtered_topk_oracle() -> str:
+    from etl_tj_project_spark.operators import similarity as sim
+
+    cos = (
+        f"{sim._dot_sql('d.embedding', 'q.qv')}"
+        f" / (sqrt({sim._dot_sql('d.embedding', 'd.embedding')})"
+        f" * sqrt({sim._dot_sql('q.qv', 'q.qv')}))"
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT d.label, d.vec_id, {cos} AS cosine
+      FROM embeddings d, q
+    ),
+    ranked AS (
+      SELECT label, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT label, vec_id, CAST(rn AS INTEGER) AS rnk,
+           round(cosine, 9) AS cosine
+    FROM ranked WHERE rn <= 5
+    """
+
+
+@register(
+    "ann_filtered_topk_per_label",
+    _filtered_topk_oracle(),
+    doc="Filtered (faceted) vector search: top-5 cosine neighbors of "
+        "the query WITHIN EVERY label partition — the metadata-filter+"
+        "ANN combination vector stores are asked for ('nearest docs "
+        "per source/language'). Expressed as score-then-window "
+        "(partition by label, cosine DESC with id tiebreak) so ONE "
+        "scan answers every filter value at once — running the "
+        "single-facet query per label would rescan per facet. At "
+        "100 TB label is the partition column, so the window runs "
+        "partition-local with no cross-label shuffle",
+)
+def ann_filtered_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qv")
+        )
+    )
+    scored = e.crossJoin(q).select(
+        "label",
+        "vec_id",
+        cosine_similarity(F.col("embedding"), F.col("__qv")).alias("cosine"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("label").orderBy(F.col("cosine").desc(), "vec_id")
+    )
+    return (
+        scored.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "label",
+            "vec_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("cosine", 9).alias("cosine"),
+        )
+    )

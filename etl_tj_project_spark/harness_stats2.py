@@ -1416,3 +1416,47 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("new_share"),
     )
+
+
+# =========================================================================
+# Benford first-digit audit (fraud/synthetic-data screening)
+# =========================================================================
+
+@register(
+    "benford_first_digit",
+    """
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM cents
+    )
+    SELECT d AS first_digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+    FROM digits GROUP BY d
+    """,
+    doc="Benford first-digit audit: the leading-digit distribution of "
+        "order amounts — fabricated or synthetically-capped amounts "
+        "bend away from Benford's logarithmic curve, making this the "
+        "classic forensic screen (and, run on THIS synthetic table, it "
+        "documents the generator's uniform bias honestly). The digit "
+        "is extracted from the exact integer-cents STRING — no log10, "
+        "no float magnitude math; one tiny aggregate + a grand-total "
+        "window over 9 rows",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("d")
+    )
+    tot = F.sum(F.count(F.lit(1))).over(Window.partitionBy())
+    return digits.groupBy(F.col("d").alias("first_digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.count(F.lit(1)).cast("double") / tot.cast("double"), 6)
+        .alias("share"),
+    )
