@@ -1456,3 +1456,32 @@ def ann_filtered_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 9).alias("cosine"),
         )
     )
+
+
+@register(
+    "lang_label_confusion_matrix",
+    r"""
+    SELECT lang AS declared,
+           CASE WHEN greatest(CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT)) = 0 THEN 'und' ELSE CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS BIGINT) = greatest(CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT)) THEN 'en' ELSE CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS BIGINT) = greatest(CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT)) THEN 'es' ELSE CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS BIGINT) = greatest(CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT)) THEN 'fr' ELSE CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT) = greatest(CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS BIGINT), CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT)) THEN 'de' ELSE 'und' END END END END END AS detected,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="Declared-vs-detected language confusion matrix: the provider's "
+        "lang label cross-tabulated against the marker-token heuristic "
+        "(functions/text.lang_id) — the mislabeled-language audit run "
+        "before trusting per-language sampling budgets (an off-diagonal "
+        "hot cell means a source ships mislabeled docs; 'und' columns "
+        "measure where the heuristic abstains). One scan, one tiny "
+        "(declared x detected) aggregate; detection is a pure Column "
+        "expression so the matrix costs exactly one pass",
+)
+def lang_label_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.functions.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("declared"),
+                 lang_id("text").alias("detected"))
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
