@@ -1460,3 +1460,127 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count(F.lit(1)).cast("double") / tot.cast("double"), 6)
         .alias("share"),
     )
+
+
+# =========================================================================
+# Revenue bridge waterfall (MoM change decomposed by customer motion)
+# =========================================================================
+
+@register(
+    "revenue_bridge_waterfall",
+    """
+    WITH cm AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS mon,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey, date_trunc('month', o_orderdate)
+    ),
+    months AS (SELECT DISTINCT mon FROM cm),
+    paired AS (
+      SELECT m.mon, c.o_custkey,
+             coalesce(cur.rev, CAST(0 AS DECIMAL(18,2))) AS cur_rev,
+             coalesce(prv.rev, CAST(0 AS DECIMAL(18,2))) AS prv_rev
+      FROM months m
+      CROSS JOIN (SELECT DISTINCT o_custkey FROM cm) c
+      LEFT JOIN cm cur ON cur.o_custkey = c.o_custkey AND cur.mon = m.mon
+      LEFT JOIN cm prv ON prv.o_custkey = c.o_custkey
+                      AND prv.mon = m.mon - INTERVAL 1 MONTH
+      WHERE coalesce(cur.rev, CAST(0 AS DECIMAL(18,2)))
+            <> CAST(0 AS DECIMAL(18,2))
+         OR coalesce(prv.rev, CAST(0 AS DECIMAL(18,2)))
+            <> CAST(0 AS DECIMAL(18,2))
+    )
+    SELECT CAST(mon AS DATE) AS mon,
+           round(CAST(SUM(CASE WHEN prv_rev = 0 THEN cur_rev
+                               ELSE CAST(0 AS DECIMAL(18,2)) END)
+                 AS DOUBLE), 2) AS new_rev,
+           round(CAST(SUM(CASE WHEN cur_rev = 0 THEN prv_rev
+                               ELSE CAST(0 AS DECIMAL(18,2)) END)
+                 AS DOUBLE), 2) AS churned_rev,
+           round(CAST(SUM(CASE WHEN cur_rev > prv_rev AND prv_rev <> 0
+                               THEN cur_rev - prv_rev
+                               ELSE CAST(0 AS DECIMAL(18,2)) END)
+                 AS DOUBLE), 2) AS expansion_rev,
+           round(CAST(SUM(CASE WHEN cur_rev < prv_rev AND cur_rev <> 0
+                               THEN prv_rev - cur_rev
+                               ELSE CAST(0 AS DECIMAL(18,2)) END)
+                 AS DOUBLE), 2) AS contraction_rev,
+           round(CAST(SUM(cur_rev) - SUM(prv_rev) AS DOUBLE), 2)
+             AS net_change
+    FROM paired GROUP BY mon
+    """,
+    doc="Revenue bridge (the SaaS waterfall): each month's net revenue "
+        "change decomposed into NEW (no prior-month revenue), CHURNED "
+        "(no current), EXPANSION and CONTRACTION (both months, "
+        "delta-signed) — the identity new - churned + expansion - "
+        "contraction = net_change holds to the cent because every "
+        "bucket is a DECIMAL-exact sum (pinned in tests/test_stats2). "
+        "The per-customer month pairing is a self-join of the "
+        "customer-month aggregate on (cust, mon-1) — never a window "
+        "over the raw fact — and customers inactive in BOTH adjacent "
+        "months are filtered before the aggregate so the pairing "
+        "stays |active|-sized, not |customers x months|",
+)
+def revenue_bridge_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    zero = F.lit(0).cast(PRICE)
+    cm = o.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(F.sum(F.col("o_totalprice").cast(PRICE)).alias("rev"))
+    cur = cm.select("o_custkey", "mon", F.col("rev").alias("cur_rev"))
+    prv = cm.select(
+        "o_custkey",
+        F.add_months(F.col("mon"), 1).cast("timestamp").alias("mon"),
+        F.col("rev").alias("prv_rev"),
+    )
+    paired = (
+        cur.join(prv, ["o_custkey", "mon"], "full_outer")
+        .select(
+            "mon",
+            F.coalesce("cur_rev", zero).alias("cur_rev"),
+            F.coalesce("prv_rev", zero).alias("prv_rev"),
+        )
+        # A full outer of the two shifted aggregates only creates rows
+        # where at least one side is active — matching the oracle's
+        # explicit both-zero filter.
+    )
+    # Months present only via the shifted prv side (one past the data's
+    # last month) must not appear: restrict to real months.
+    months = cm.select("mon").distinct()
+    paired = paired.join(F.broadcast(months), "mon", "left_semi")
+    return paired.groupBy(F.col("mon").cast("date").alias("mon")).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("prv_rev") == zero, F.col("cur_rev")).otherwise(zero)
+            ).cast("double"),
+            2,
+        ).alias("new_rev"),
+        F.round(
+            F.sum(
+                F.when(F.col("cur_rev") == zero, F.col("prv_rev")).otherwise(zero)
+            ).cast("double"),
+            2,
+        ).alias("churned_rev"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("cur_rev") > F.col("prv_rev"))
+                    & (F.col("prv_rev") != zero),
+                    F.col("cur_rev") - F.col("prv_rev"),
+                ).otherwise(zero)
+            ).cast("double"),
+            2,
+        ).alias("expansion_rev"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("cur_rev") < F.col("prv_rev"))
+                    & (F.col("cur_rev") != zero),
+                    F.col("prv_rev") - F.col("cur_rev"),
+                ).otherwise(zero)
+            ).cast("double"),
+            2,
+        ).alias("contraction_rev"),
+        F.round(
+            (F.sum("cur_rev") - F.sum("prv_rev")).cast("double"), 2
+        ).alias("net_change"),
+    )

@@ -357,3 +357,20 @@ def test_projected_rerank_recall_floor(spark):
     # two-stage plumbing ranks sanely; IVF/PQ carry the >=0.8 floors on
     # their own entries.
     assert recall >= 0.5, (recall, approx, exact)
+
+
+def test_revenue_bridge_identity_holds_to_the_cent(spark):
+    """new - churned + expansion - contraction == net_change exactly
+    (every bucket is a DECIMAL-exact sum, rounded only on output)."""
+    rows = (
+        harness.REGISTRY["revenue_bridge_waterfall"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        lhs = round(
+            r.new_rev - r.churned_rev + r.expansion_rev - r.contraction_rev,
+            2,
+        )
+        assert abs(lhs - r.net_change) < 0.011, (r.mon, lhs, r.net_change)
