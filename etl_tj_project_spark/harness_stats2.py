@@ -1584,3 +1584,92 @@ def revenue_bridge_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cur_rev") - F.sum("prv_rev")).cast("double"), 2
         ).alias("net_change"),
     )
+
+
+# =========================================================================
+# Cohort LTV curve (cumulative revenue by acquisition cohort x age)
+# =========================================================================
+
+@register(
+    "cohort_ltv_curve",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cohort,
+             CAST(date_diff('month', f.cohort,
+                            date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS age_months,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY cohort
+    )
+    SELECT CAST(r.cohort AS DATE) AS cohort, r.age_months,
+           s.cohort_users,
+           round(CAST(SUM(r.rev) OVER (
+                    PARTITION BY r.cohort ORDER BY r.age_months
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE), 2) AS cum_rev,
+           CAST(CAST(SUM(r.rev) OVER (
+                    PARTITION BY r.cohort ORDER BY r.age_months
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) * 100 AS BIGINT) // s.cohort_users AS DOUBLE) / 100.0
+             AS ltv_per_user
+    FROM rev r JOIN sizes s ON s.cohort = r.cohort
+    """,
+    doc="Cohort LTV curve: cumulative revenue per acquisition cohort "
+        "(first-order month) by months-since-acquisition, normalized "
+        "per cohort user — the payback/LTV table cohort_retention's "
+        "engagement counts don't answer (WHO stays is not WHO pays). "
+        "Aggregate-first ordering: the running sum windows over the "
+        "|cohorts|x|ages| aggregate, never the fact; DECIMAL sums "
+        "keep cum_rev exact, month arithmetic is calendar-aware "
+        "date_diff. Cohort sizes join in broadcast-sized",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mon = F.date_trunc("month", "o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min(mon).alias("cohort"))
+    joined = o.join(firsts, "o_custkey")
+    age = F.months_between(
+        F.date_trunc("month", "o_orderdate"), F.col("cohort")
+    ).cast("long")
+    rev = joined.groupBy("cohort", age.alias("age_months")).agg(
+        F.sum(F.col("o_totalprice").cast(PRICE)).alias("rev")
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("rev").over(w)
+    return (
+        rev.join(F.broadcast(sizes), "cohort")
+        .withColumn("cum", cum)
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            "age_months",
+            "cohort_users",
+            F.round(F.col("cum").cast("double"), 2).alias("cum_rev"),
+            # Per-user LTV in integer CENTS with floor division: a
+            # double division lands on exact .005 ties (2-decimal cum
+            # over small integer cohorts) where engine tie-rounding
+            # diverges; floored cents are tie-free and exact.
+            (
+                F.expr("CAST(cum * 100 AS BIGINT) div cohort_users").cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("ltv_per_user"),
+        )
+    )
