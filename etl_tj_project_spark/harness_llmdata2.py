@@ -1485,3 +1485,66 @@ def lang_label_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("declared", "detected")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@register(
+    "text_zipf_head_share",
+    f"""
+    WITH tok AS ({_TOK_SQL}),
+    vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+    ),
+    ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rn,
+             SUM(cnt) OVER () AS total
+      FROM vocab
+    )
+    SELECT k,
+           CAST(SUM(cnt) AS BIGINT) AS head_tokens,
+           CAST(MIN(total) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(cnt) AS DOUBLE) / CAST(MIN(total) AS DOUBLE), 6)
+             AS head_share
+    FROM ranked
+    CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k) ks
+    WHERE rn <= k
+    GROUP BY k
+    """,
+    doc="Zipf head-share curve: the fraction of all corpus tokens "
+        "covered by the top-10/100/1000 terms — the three-point "
+        "summary of the frequency curve that sizes stopword lists, "
+        "vocabulary truncation, and CMS sketch width (a corpus whose "
+        "top-1000 covers 95% compresses very differently from one at "
+        "60%). One vocabulary shuffle + one rank window; the three "
+        "thresholds share a single scan via cross join + filter "
+        "instead of three passes",
+)
+def text_zipf_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    vocab = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ranked = vocab.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "term"))
+        .alias("rn"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    ks = d.sparkSession.createDataFrame(
+        [(10,), (100,), (1000,)], "k int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum("cnt").cast("long").alias("head_tokens"),
+            F.min("total").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("cnt").cast("double") / F.min("total").cast("double"),
+                6,
+            ).alias("head_share"),
+        )
+    )

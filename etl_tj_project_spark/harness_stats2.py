@@ -1673,3 +1673,65 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+# =========================================================================
+# Gini coefficient of revenue concentration (scalar inequality measure)
+# =========================================================================
+
+@register(
+    "gini_coefficient_revenue",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             SUM(cents) OVER () AS tot
+      FROM cust
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+           round(
+             CAST(2 * SUM(i * cents) - (MIN(n) + 1) * MIN(tot) AS DOUBLE)
+             / (CAST(MIN(n) AS DOUBLE) * CAST(MIN(tot) AS DOUBLE)), 6)
+             AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of customer revenue: the scalar inequality "
+        "measure the Lorenz table (pareto_revenue_concentration) "
+        "plots, via the rank formula G = (2*Sum(i*x_i) - (n+1)*Sum(x))"
+        " / (n*Sum(x)) over ascending-sorted exact integer cents — "
+        "every term is an integer (rank x cents products sum exactly; "
+        "DuckDB widens to HUGEINT, Spark stays < 2^63 at these "
+        "magnitudes), IEEE enters once. Ties broken by custkey make "
+        "the ranks deterministic, and the rank formula is "
+        "tie-insensitive in value (equal x_i swap ranks without "
+        "changing Sum(i*x_i)'s total). One aggregate + one global "
+        "window over |customers| rows",
+)
+def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cust = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    ranked = cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .cast("long")
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+        F.sum("cents").over(Window.partitionBy()).alias("tot"),
+    )
+    num = (
+        F.lit(2) * F.sum(F.col("i") * F.col("cents"))
+        - (F.min("n") + 1) * F.min("tot")
+    ).cast("double")
+    den = F.min("n").cast("double") * F.min("tot").cast("double")
+    return ranked.agg(
+        F.min("n").cast("long").alias("n_customers"),
+        F.round(num / den, 6).alias("gini"),
+    )
