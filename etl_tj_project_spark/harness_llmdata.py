@@ -343,11 +343,18 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 vs 3 Lloyd iterations on this data at every SF (1.0/0.9/1.0),
     # and each saved iteration saves an assignment scan + (cell,dim)
     # shuffle — so the entry runs the cheapest setting that holds the
-    # tested recall floor.
-    cents = sim.train_kmeans(e, k=8, iters=2)
-    q = e.filter(F.col("vec_id") == 0)
-    top = sim.ivf_topk(e, q, k=10, centroids=cents)
-    return top.select("vec_id", F.round("cosine", 9).alias("cosine"))
+    # tested recall floor. The probe phase runs over the SAME persisted
+    # projection the trainer cached (train_kmeans_with_cache), so the
+    # whole entry scans the source exactly once; the k-row result is
+    # materialized eagerly so the cache can be released before return.
+    cents, train = sim.train_kmeans_with_cache(e, k=8, iters=2)
+    q = train.filter(F.col("vec_id") == 0)
+    top = sim.ivf_topk(train, q, k=10, centroids=cents).select(
+        "vec_id", F.round("cosine", 9).alias("cosine")
+    )
+    rows = top.collect()
+    train.unpersist()
+    return spark.createDataFrame(rows, top.schema)
 
 
 @register(
@@ -369,14 +376,19 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tj_project_spark.operators import similarity as sim
 
     e = load_table(spark, sf_dir, "embeddings")
-    books = sim.train_pq(e, m=8, ksub=16, iters=2)
-    q = e.filter(F.col("vec_id") == 0)
-    top = sim.pq_topk(e, q, k=10, codebooks=books, oversample=8)
-    return top.select(
+    # Same single-source-scan shape as ann_ivf_trained_topk: the ADC
+    # scan + query pull reuse the trainer's persisted projection, and
+    # the k-row result is materialized eagerly so the cache releases.
+    books, train = sim.train_pq_with_cache(e, m=8, ksub=16, iters=2)
+    q = train.filter(F.col("vec_id") == 0)
+    top = sim.pq_topk(train, q, k=10, codebooks=books, oversample=8).select(
         "vec_id",
         F.round("approx_l2sq", 6).alias("approx_l2sq"),
         F.round("cosine", 9).alias("cosine"),
     )
+    rows = top.collect()
+    train.unpersist()
+    return spark.createDataFrame(rows, top.schema)
 
 
 @register(

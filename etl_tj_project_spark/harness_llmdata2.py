@@ -623,16 +623,65 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merges_oracle(n_merges: int = 8) -> str:
+    """Chained-CTE DuckDB twin of the iterative BPE trainer (the
+    PageRank/PCA fixed-point move applied to the merge loop, per the r5
+    verdict). Each token is rendered as a ``|tok|`` wrapped segment, so
+    SQL ``replace(seq, '|a||b|', '|ab|')`` — non-overlapping,
+    left-to-right — reproduces ``operators/bpe.merge_pair``'s greedy
+    fold exactly (adjacent matches share no characters, and a token can
+    never match a pattern mid-token). One best{i}/seq{i} CTE pair per
+    merge; the argmax tie-break (total DESC, a, b) matches
+    ``operators/bpe.top_pair``."""
+    parts = ["""WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+), vocab AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+seq0 AS (
+  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, freq FROM vocab
+)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"seq{i - 1}"
+        parts.append(f""",
+best{i} AS (
+  SELECT a, b, total FROM (
+    SELECT t.toks[CAST(u.i AS INTEGER)] AS a,
+           t.toks[CAST(u.i AS INTEGER) + 1] AS b,
+           SUM(t.freq) AS total
+    FROM (SELECT str_split(trim(seq, '|'), '||') AS toks, freq
+          FROM {prev}) t,
+         unnest(range(1, len(t.toks))) AS u(i)
+    GROUP BY 1, 2
+  ) ORDER BY total DESC, a, b LIMIT 1
+),
+seq{i} AS (
+  SELECT replace(s.seq, '|' || b.a || '||' || b.b || '|',
+                 '|' || b.a || b.b || '|') AS seq, s.freq
+  FROM {prev} s, best{i} b
+)""")
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS step, a, b, a || b AS merged, "
+        f"CAST(total AS BIGINT) AS pair_count FROM best{i + 1}"
+        for i in range(n_merges)
+    )
+    parts.append(
+        f"\nSELECT step, a, b, merged, pair_count FROM ({unions}) x"
+    )
+    return "".join(parts)
+
+
 @register(
     "bpe_learned_merges",
-    None,  # iterative argmax loop — not one SQL statement; rows-only
+    _bpe_merges_oracle(8),
     doc="The learned BPE merge table itself: 8 iterations of "
         "count-pairs → argmax → fold-merge over the vocabulary, all "
         "JVM-side expressions with a one-row collect per iteration "
         "(Lloyd-trainer discipline). Deterministic tie-breaks make the "
-        "merge sequence reproducible; tests/test_bpe.py proves the "
-        "distributed loop equals a pure-Python reference trainer "
-        "merge-for-merge, and the driver records the rows-only check",
+        "merge sequence reproducible. Was rows-only through r5; now "
+        "hash-checked against a chained-CTE DuckDB twin where each merge "
+        "is a delimiter-safe string replace — see _bpe_merges_oracle. "
+        "tests/test_bpe.py additionally proves the distributed loop "
+        "equals a pure-Python reference trainer merge-for-merge",
 )
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -536,53 +536,73 @@ def connected_components(
     # Symmetrize with ONE pass over the edge plan: a union of two selects
     # would execute the (possibly expensive — e.g. an LSH self-join)
     # upstream plan twice; explode duplicates each row map-side instead.
-    sym = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col(src).alias("n"), F.col(dst).alias("m")),
-                F.struct(F.col(dst).alias("n"), F.col(src).alias("m")),
-            )
-        ).alias("__e")
-    ).select("__e.n", "__e.m")
+    # sym itself is persisted for the setup phase: nodes AND withself both
+    # read it, and without the cache each would re-execute the upstream
+    # plan (the LSH self-join ran twice per call before this — measured
+    # at sf0.1 it was the largest single cost of the operator).
+    sym = _persist_once(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("n"), F.col(dst).alias("m")),
+                    F.struct(F.col(dst).alias("n"), F.col(src).alias("m")),
+                )
+            ).alias("__e")
+        ).select("__e.n", "__e.m")
+    )
+    # One action materializes the upstream plan AND yields the edge count
+    # used to size the iteration tables below.
+    n_sym = sym.count()
     nodes = _persist_once(sym.select("n").distinct())
     # Self-loops fold "own label" into the neighborhood aggregate, so
     # each round's closed-neighborhood minimum is ONE join + groupBy
     # (no separate least(own, neighbor_min) join).
-    withself = _persist_once(sym.union(nodes.select("n", F.col("n").alias("m"))))
-    labels = _persist_once(nodes.withColumn("lab", F.col("n")))
-
-    # Seed the monotone probe with the initial label sum (one aggregate
-    # over the persisted init table) so a round that changes nothing is
-    # detected immediately, round 1 included.
-    prev_sum = labels.agg(F.sum("lab")).collect()[0][0] or 0
+    withself = sym.union(nodes.select("n", F.col("n").alias("m")))
+    labels = nodes.withColumn("lab", F.col("n"))
 
     # Size the iteration tables to the GRAPH, not to the session default:
     # every round launches one map task per cached partition of the edge
     # and label tables, so a small graph that inherits the session's full
     # shuffle width (64 map tasks for a few-MB cache at local[32]) makes
     # the loop pure task-scheduling overhead — rounds are action-barrier
-    # bound, so task count per round IS the wall clock. One count over the
-    # about-to-be-cached edge table (round 1 would materialize it anyway)
-    # sizes partitions to ~2M edges each, capped by the configured shuffle
-    # width so cluster-scale graphs keep their parallelism. Measured at
-    # sf0.1 (58k LSH pairs): loop 8.2 s -> 3.5 s, identical labels.
-    n_edges = withself.count()
+    # bound, so task count per round IS the wall clock. Partitions target
+    # ~2M edges each (sized from the already-counted symmetric edge
+    # table; self-loops add at most one row per node, sizing is a
+    # heuristic), capped by the configured shuffle width so cluster-scale
+    # graphs keep their parallelism. The narrowing is decided BEFORE
+    # anything is persisted so the wide variants never materialize.
+    # Measured at sf0.1 (58k LSH pairs): loop 8.2 s -> 3.5 s, identical
+    # labels.
     cap = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    parts = max(1, min(cap, int(n_edges // 2_000_000) + 1))
+    parts = max(1, min(cap, int(n_sym // 2_000_000) + 1))
     if parts < withself.rdd.getNumPartitions():
-        narrow_edges = _persist_once(withself.repartition(parts, "m"))
-        narrow_labels = _persist_once(labels.repartition(parts, "n"))
-        narrow_edges.count()
-        narrow_labels.count()
-        withself.unpersist()
-        labels.unpersist()
-        withself = narrow_edges
-        labels = narrow_labels
+        withself = withself.repartition(parts, "m")
+        labels = labels.repartition(parts, "n")
+    withself = _persist_once(withself)
+    labels = _persist_once(labels)
+    # Seed the monotone probe with the initial label sum so a round that
+    # changes nothing is detected immediately. Padding the edge table
+    # into the same aggregate (NULL labels are sum-neutral) makes this
+    # ONE action that materializes BOTH iteration caches off the cached
+    # sym — the whole setup phase is two jobs: sym.count() + this.
+    prev_sum = (
+        labels.select("lab")
+        .unionByName(withself.select(F.lit(None).cast("long").alias("lab")))
+        .agg(F.sum("lab"))
+        .collect()[0][0]
+        or 0
+    )
+    sym.unpersist()
 
     converged = False
-    for _ in range(max_iter):
+    # Label tables whose dependents have not yet been materialized: a
+    # lazily-checkpointed RDD cannot be recomputed once its parent's
+    # blocks are dropped, so unpersist is deferred until the next probe
+    # action has materialized everything downstream of the table.
+    pending_unpersist: list[DataFrame] = []
+    for it in range(max_iter):
         new_labels = (
             withself.join(labels.withColumnRenamed("n", "m"), on="m")
             .groupBy("n")
@@ -598,20 +618,40 @@ def connected_components(
         new_labels = new_labels.join(parent, on="lab", how="left").select(
             "n", F.coalesce(F.col("lab2"), F.col("lab")).alias("lab")
         )
-        # localCheckpoint truncates the growing lineage (localCheckpoint
-        # persists its RDD itself — an extra .persist() here would leave
-        # one orphaned cache entry per iteration). eager=False so the
-        # convergence probe below is what materializes it: ONE job per
-        # round covers both the checkpoint and the probe, where eager
-        # checkpoint + probe cost two (iteration rounds at small scale
-        # are action-barrier-bound, so job count is the wall clock).
-        new_labels = new_labels.localCheckpoint(eager=False)
-        # Monotone probe: labels only ever decrease, so an unchanged sum
-        # means a fixed point. One aggregate action — no join with the
-        # previous round's labels needed.
-        cur_sum = new_labels.agg(F.sum("lab")).collect()[0][0] or 0
-        labels.unpersist()
+        # Probe every SECOND round (plus the last): labels are monotone
+        # non-increasing, so sum unchanged across TWO rounds still
+        # implies a fixed point; the skipped round materializes inside
+        # the next probe's job, so one action covers two rounds of
+        # computation. Iteration rounds at toy scale are
+        # action-barrier-bound — job count IS the wall clock — and the
+        # worst case is one extra no-op round, far cheaper than the
+        # probes it saves. Convergence stays exact, never heuristic.
+        probe_round = it % 2 == 1 or it + 1 == max_iter
+        if probe_round:
+            # localCheckpoint truncates the lineage, which otherwise
+            # grows without bound across rounds (localCheckpoint
+            # persists its RDD itself — an extra .persist() here would
+            # leave one orphaned cache entry per round). eager=False so
+            # the probe below is what materializes it.
+            new_labels = new_labels.localCheckpoint(eager=False)
+        # Skip rounds deliberately do NOT checkpoint or persist:
+        # localCheckpoint forces full physical planning eagerly on the
+        # driver (measured 0.3-0.5 s/round at sf0.1, pure Catalyst/py4j
+        # with zero cluster work — half the loop's wall clock), and a
+        # persist() makes the probe job pay an InMemoryRelation build
+        # for a table that is read exactly once (measured strictly
+        # slower). The pointer-doubling self-join subtree inside the
+        # unmaterialized round is deduplicated at execution by exchange
+        # reuse, and the lineage stays <= 2 rounds deep because every
+        # probe round checkpoints.
+        pending_unpersist.append(labels)
         labels = new_labels
+        if not probe_round:
+            continue
+        cur_sum = labels.agg(F.sum("lab")).collect()[0][0] or 0
+        for stale in pending_unpersist:
+            stale.unpersist()
+        pending_unpersist.clear()
         if cur_sum == prev_sum:
             converged = True
             break

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_tj_project_spark.functions.vectors import cosine_similarity
+from etl_tj_project_spark.operators.dedup import _ensure_parallelism
 
 
 def brute_force_topk(
@@ -40,7 +41,7 @@ def brute_force_topk(
     is a free per-partition constant. Ties broken by id for determinism.
     """
     q = F.broadcast(query_vec.select(F.col(qvec_col).alias("__qv")))
-    scored = df.crossJoin(q).select(
+    scored = _ensure_parallelism(df).crossJoin(q).select(
         F.col(id_col),
         cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
     )
@@ -125,7 +126,7 @@ def lsh_topk(
             lsh_bucket(F.col(qvec_col), planes).alias("__qbucket"),
         )
     )
-    bucketed = df.select(
+    bucketed = _ensure_parallelism(df).select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
@@ -283,7 +284,10 @@ def ivf_topk(
     cents_df = df.sparkSession.createDataFrame(
         [(cents,)], schema="__cents array<array<double>>"
     )
-    bucketed = df.crossJoin(F.broadcast(cents_df)).select(
+    # _ensure_parallelism: the assignment expression is the per-row hot
+    # path; an under-split source would run it on one core (no-op when
+    # df is already well-partitioned, e.g. the trainer's cache).
+    bucketed = _ensure_parallelism(df).crossJoin(F.broadcast(cents_df)).select(
         F.col(id_col),
         F.col(vec_col),
         _cell_expr(F.col(vec_col), F.col("__cents")).alias("__cell"),
@@ -354,19 +358,43 @@ def train_kmeans(
     so the cap is rarely reached; each saved iteration saves one full
     assignment scan + one (cell, dim) shuffle.
     """
-    init = df.orderBy(id_col).select(vec_col).limit(k).collect()
+    cents, train = train_kmeans_with_cache(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, tol=tol
+    )
+    train.unpersist()
+    return cents
+
+
+def train_kmeans_with_cache(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-4,
+) -> tuple[list[list[float]], DataFrame]:
+    """:func:`train_kmeans`, but also returns the STILL-PERSISTED
+    ``(id, vec)`` training projection so the caller can run the
+    search/probe phase (``ivf_topk``'s assignment scan, the query-vector
+    pull) over the same cache instead of re-scanning the source — the
+    trained-ANN entries went from four source scans per run (init, cache
+    materialization, query pull, probe scan) to ONE. The caller owns the
+    unpersist. MEMORY_AND_DISK via the default persist(): at 10^10
+    vectors the working set spills rather than recomputes, and
+    partially-cached partitions stay correct.
+    """
+    # The init collect doubles as the cache materialization: TakeOrdered
+    # over the to-be-persisted projection scans the source exactly once.
+    # _ensure_parallelism: a small parquet source scans as ONE split,
+    # which would run every Lloyd assignment + the caller's probe scan
+    # on a single core (measured at sf0.1: each iteration ~1.2 s on one
+    # task); at lake scale the input is already well-split and this is
+    # a no-op.
+    train = _ensure_parallelism(df.select(id_col, vec_col)).persist()
+    init = train.orderBy(id_col).select(vec_col).limit(k).collect()
     cents: list[list[float]] = [[float(x) for x in r[0]] for r in init]
     if len(cents) < k:
         raise ValueError(f"need at least k={k} vectors, found {len(cents)}")
-
-    # Persist the training projection for the duration of the loop (the
-    # MLlib convention for iterative training): every Lloyd iteration
-    # re-scans the SAME (id, vec) rows, so without this each round pays
-    # the full source scan again — measured at sf0.1, caching alone cut
-    # 2-iteration training 8.2 s -> 3.3 s. MEMORY_AND_DISK via the
-    # default persist(): at 10^10 vectors the working set spills rather
-    # than recomputing, and partially-cached partitions stay correct.
-    train = df.select(vec_col).persist()
 
     spark = df.sparkSession
     for _ in range(iters):
@@ -405,8 +433,7 @@ def train_kmeans(
         cents = new_cents
         if moved < tol:
             break
-    train.unpersist()
-    return cents
+    return cents, train
 
 
 # --- PQ (product quantization) ANN ----------------------------------------
@@ -469,7 +496,32 @@ def train_pq(
     the first ksub vectors by id, so retrains reproduce. ``iters`` is a
     cap with a movement-threshold early exit like train_kmeans.
     """
-    first = df.orderBy(id_col).select(vec_col).limit(ksub).collect()
+    books, train = train_pq_with_cache(
+        df, m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col, tol=tol,
+    )
+    train.unpersist()
+    return books
+
+
+def train_pq_with_cache(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-4,
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """:func:`train_pq`, but also returns the STILL-PERSISTED
+    ``(id, vec)`` training projection for the caller's encode/ADC scan —
+    same single-source-scan contract as :func:`train_kmeans_with_cache`;
+    the caller owns the unpersist."""
+    # Init collect doubles as the cache materialization (one source
+    # scan); _ensure_parallelism spreads the per-row encode work across
+    # cores when the source is under-split (no-op at lake scale).
+    train = _ensure_parallelism(df.select(id_col, vec_col)).persist()
+    first = train.orderBy(id_col).select(vec_col).limit(ksub).collect()
     if len(first) < ksub:
         raise ValueError(f"need at least ksub={ksub} vectors, found {len(first)}")
     dim = len(first[0][0])
@@ -480,10 +532,6 @@ def train_pq(
         [[float(x) for x in r[0][j * dsub:(j + 1) * dsub]] for r in first]
         for j in range(m)
     ]
-
-    # Same iterative-training persist as train_kmeans: every iteration
-    # re-scans the identical projection, so cache it for the loop.
-    train = df.select(vec_col).persist()
 
     spark = df.sparkSession
     for _ in range(iters):
@@ -535,8 +583,7 @@ def train_pq(
         books = new_books
         if moved < tol:
             break
-    train.unpersist()
-    return books
+    return books, train
 
 
 def pq_topk(
@@ -590,7 +637,10 @@ def pq_topk(
             F.col(qvec_col).alias("__qv"), lut.alias("__lut")
         )
     )
-    encoded = df.select(
+    # _ensure_parallelism: the m-subspace encode is the per-row hot path
+    # (no-op when df is already well-partitioned, e.g. the trainer's
+    # cache).
+    encoded = _ensure_parallelism(df).select(
         F.col(id_col),
         F.col(vec_col),
         _pq_codes(F.col(vec_col), books_lit, dsub).alias("__codes"),

@@ -60,6 +60,40 @@ def normalize_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def driver_canonicalize_check(columns: list[str], rows: list[tuple]) -> None:
+    """Emulate the driver's pandas canonicalization path and reject any
+    result shape it would crash on.
+
+    The round-4 ``array_agg_sorted`` lesson: the local gate's
+    ``_norm_cell`` happily stringifies list cells, but the driver loads
+    both results into pandas, sorts columns by name, lexsorts the rows,
+    and hashes cell values — and that crashed with ``TypeError:
+    unhashable type: 'numpy.ndarray'`` on an array output column, so a
+    query can pass locally and still go red driver-side. Run the same
+    factorize/lexsort moves here so the local gate is at least as strict
+    as the driver: any column whose cells pandas cannot hash (ndarray,
+    list, dict, set, bytearray) is rejected outright.
+    """
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=columns)
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        try:
+            # factorize is pandas' hash-based codepath; unhashable cell
+            # values raise TypeError exactly like the driver's hasher.
+            pd.factorize(df[c])
+        except TypeError as e:
+            raise AssertionError(
+                f"column {c!r} would crash the driver canonicalizer "
+                f"(unhashable cells): {e}"
+            ) from e
+    if len(df):
+        # The lexsort the driver applies before hashing; mixed
+        # incomparable object cells raise here just like driver-side.
+        df.sort_values(list(df.columns), kind="mergesort")
+
+
 def compare_pinned(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """Pin both sides' output representation (DECIMAL→DOUBLE etc.), then
     compare. For tests whose DataFrames are internal warehouse tables that
@@ -95,6 +129,22 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
         f.name for f in spark_df.schema.fields if _has_decimal(f.dataType)
     ]
     assert not bad_spark, f"unpinned DECIMAL output columns (spark): {bad_spark}"
+    # Complex-typed output columns crash the driver's pandas canonicalizer
+    # (the r4 array_agg_sorted red row) — reject them at the schema level
+    # so even a 0-row result can't smuggle one past the gate. Every
+    # registry entry returns scalar columns only (flatten arrays to a
+    # deterministic CSV string like array_agg_sorted does).
+    complex_spark = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+        )
+    ]
+    assert not complex_spark, (
+        f"complex-typed output columns would crash the driver "
+        f"canonicalizer: {complex_spark} — flatten to scalars"
+    )
     # Substring, not prefix: catches STRUCT(x DECIMAL(18,2)),
     # MAP(VARCHAR, DECIMAL), DECIMAL[] — any nesting DuckDB can print.
     bad_duck = [
@@ -109,6 +159,11 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     rel = con.sql(sql)
     d_cols = [c for c in rel.columns]
     d_rows = rel.fetchall()
+
+    # Cell-level driver-canonicalizer emulation on BOTH sides (schema
+    # check above can't see what the DuckDB client materializes).
+    driver_canonicalize_check(s_cols, s_rows)
+    driver_canonicalize_check(d_cols, d_rows)
 
     assert sorted(c.lower() for c in s_cols) == sorted(
         c.lower() for c in d_cols

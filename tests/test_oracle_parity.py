@@ -9,7 +9,11 @@ import pytest
 
 from etl_tj_project_spark import harness
 from tests.conftest import SF_SMOKE
-from tests.oracle_compare import compare, duck_connection
+from tests.oracle_compare import (
+    compare,
+    driver_canonicalize_check,
+    duck_connection,
+)
 
 
 @pytest.fixture(scope="module")
@@ -39,9 +43,12 @@ def test_query_matches_oracle(spark, duck, name, pinned_pairs):
     df = qs[name](spark, SF_SMOKE)
     if name not in oracles:
         # Non-SQL-expressible: execute and require a stable schema + rows.
-        rows = df.collect()
+        # The driver still pandas-canonicalizes rows-only results for its
+        # row-count record, so they must survive that path too.
+        rows = [tuple(r) for r in df.collect()]
         assert df.columns, name
         assert rows, f"{name}: rows-only entry returned 0 rows (vacuous)"
+        driver_canonicalize_check(df.columns, rows)
         return
     # Non-vacuity (the tpch_q22ish lesson): a hash match on an empty
     # result proves nothing — require rows unless explicitly exempted.
@@ -57,6 +64,37 @@ def test_driver_window_is_first_50():
     assert ordered[:50] == harness.DRIVER_WINDOW
     assert len(harness.DRIVER_WINDOW) == 50
     assert set(ordered) == set(harness.REGISTRY)
+
+
+def test_driver_window_all_oracle_backed():
+    """Round-5 lesson: a window slot burned on err=no_oracle proves
+    nothing. Every windowed entry must carry an oracle so the driver can
+    hash-check it."""
+    rows_only = [
+        n for n in harness.DRIVER_WINDOW if harness.REGISTRY[n].oracle is None
+    ]
+    assert not rows_only, f"rows-only entries in DRIVER_WINDOW: {rows_only}"
+
+
+def test_canonicalizer_rejects_array_cells():
+    """Regression for the r4 array_agg_sorted driver crash: a raw array
+    column must be REJECTED by the local gate (the driver's pandas
+    canonicalizer dies on unhashable cells; the local gate must be at
+    least as strict)."""
+    import numpy as np
+
+    with pytest.raises(AssertionError, match="driver canonicalizer"):
+        driver_canonicalize_check(
+            ["k", "vals"], [(1, [1, 2]), (2, [3])]
+        )
+    with pytest.raises(AssertionError, match="driver canonicalizer"):
+        driver_canonicalize_check(
+            ["k", "vals"], [(1, np.array([1.0, 2.0])), (2, np.array([3.0]))]
+        )
+    # Scalar shapes (incl. None/NaN) must keep passing.
+    driver_canonicalize_check(
+        ["a", "b"], [(1, "x"), (None, "y"), (2, None)]
+    )
 
 
 # ---------------------------------------------------------------------------
