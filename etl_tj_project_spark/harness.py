@@ -1244,70 +1244,77 @@ from etl_tj_project_spark import parity  # noqa: E402
 
 
 # The driver runs CORRECTNESS on the FIRST 50 registry entries only, in
-# iteration order — so iteration order is the coverage lever. Rounds 1-5
-# proved 157 distinct entries green. Round 6 is a pure proof round per
-# VERDICT r5: registry growth is frozen, and the window is (a) the
-# six-entry §2 stability core, (b) slot 7 = array_agg_sorted — the only
-# entry ever red under the driver (r4 canonicalizer crash on its old
-# array output; fixed to scalar columns in r4 but never re-proven), and
-# (c) the 43 longest-waiting oracle-backed never-driver-checked entries
-# in registration order. Rows-only-by-policy entries are excluded from
-# the window until the oracle-backed backlog clears (r5 lesson:
-# bpe_learned_merges burned a slot on err=no_oracle).
+# iteration order — so iteration order is the coverage lever. Rounds 1-6
+# proved 201 distinct entries green (202 ever checked). Round 7 finishes
+# the proof per VERDICT r6: registry frozen at 238, and the window is
+# (a) the four-entry §2 stability core, (b) slot 5 = bpe_learned_merges
+# — the ONLY entry with a red driver history (r5 err=no_oracle) and the
+# only one never driver-green; its chained-CTE oracle landed in r6 and
+# is driver-exercised here for the first time, (c) ALL 29 remaining
+# oracle-backed never-driver-checked entries, (d) the 7
+# rows-only-by-policy sketch/trained-ANN entries, scheduled once for
+# their rows+schema confirmation per VERDICT r6 item 6 (their value
+# bounds are pytest-pinned locally; the driver records the weaker
+# rows-only check and the judge sees which), and (e) re-proofs of the
+# three dedup heavies whose r7 perf work must not have changed answers.
+# After this window every registry entry has a driver CORRECTNESS row.
 DRIVER_WINDOW: list[str] = [
-    # §2 stability core (driver-green every round, one per operator family)
+    # §2 stability core (driver-green r2-r6, one per operator family)
     "p1_typed_projection",
     "j1_inner_join_fanout",
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
+    # slot 5: the only entry never driver-green; new r6 oracle, first check
+    "bpe_learned_merges",
+    # (c) all 29 remaining oracle-backed never-driver-checked entries
+    "full_outer_reconcile",
+    "not_in_null_semantics",
+    "variant_json_extract",
+    "try_arithmetic_pack",
+    "yoy_growth_accounts",
+    "wau_rolling_distinct",
+    "skewed_distinct_two_phase",
+    "cms_heavy_hitters",
+    "spearman_rank_corr",
+    "impute_group_mean",
+    "rebase_index_100",
+    "vocab_jaccard_sources",
+    "assoc_rules_support_lift",
+    "interval_prorate_weekly",
+    "winsorize_price_p05_p95",
+    "running_max_drawdown",
+    "churned_users_by_day",
+    "coverage_set_80pct",
+    "order_fill_sla",
+    "duplicate_shipment_pairs",
+    "purchase_attribution_last_touch",
+    "interarrival_histogram",
+    "supplier_concentration_hhi",
+    "time_to_convert_histogram",
+    "growth_accounting_daily",
+    "benford_first_digit",
+    "revenue_bridge_waterfall",
+    "cohort_ltv_curve",
+    "gini_coefficient_revenue",
+    # (d) rows-only-by-policy entries: one scheduled rows+schema pass
+    "approx_count_distinct",
+    "approx_percentile_profile",
+    "ann_ivf_trained_topk",
+    "ann_pq_trained_topk",
+    "hll_sketch_union_daily",
+    "theta_audience_overlap",
+    "kll_quantile_merge_profile",
+    # (e) re-proofs: entries touched by r7 perf/leak work keep their green
+    "dedup_connected_components",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_incremental_lsh_candidates",
+    # remaining slots: high-traffic shapes re-proven opportunistically
     "w2_running_sum",
     "rollup_agg",
-    # slot 7: the one ever-red entry, fixed in r4, re-proven here
     "array_agg_sorted",
-    # oracle-backed never-driver-checked backlog, oldest first
-    "manifest_snapshot_roundtrip",
-    "multimodal_audio_features",
-    "embedding_int8_quantize",
-    "tpch_q2ish_min_cost_supplier",
-    "tpch_q11ish_value_concentration",
-    "tpch_q16ish_supplier_cnt_by_part",
-    "tpch_q20ish_excess_stock_suppliers",
-    "dedup_rate_by_source",
-    "uniform_sample_k_per_group",
-    "truncate_head_tail_budget",
-    "decontaminate_13gram",
-    "interval_containment_join",
-    "asof_join_tolerance",
-    "scd2_apply_changes",
-    "zorder_key_2d",
-    "bigram_top50",
-    "histogram_fixed_buckets",
-    "dedup_repeated_ngram_spans",
-    "corpus_mixture_plan",
-    "posexplode_tokens",
-    "regexp_extract_all_numbers",
-    "text_corpus_stopword_fraction",
-    "text_unigram_commonness",
-    "doc_length_percentile_band",
-    "embedding_q8_norm_profile",
-    "dedup_incremental_lsh_candidates",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "dedup_semantic_semdedup",
-    "minhash_accuracy_audit",
-    "embedding_pca_power_fixedpoint",
-    "embedding_random_projection_16",
-    "ann_projected_rerank_topk",
-    "text_bigram_coverage",
-    "ann_filtered_topk_per_label",
-    "lang_label_confusion_matrix",
-    "text_zipf_head_share",
-    "bitwise_agg_pack",
-    "median_iqr_pack",
-    "mode_top1_per_group",
-    "moving_agg_rows_frame",
-    "running_distinct_count",
-    "approx_distinct_kmv",
+    "f_scalar_pack",
+    "tpch_q21ish_lone_late_supplier",
 ]
 
 
