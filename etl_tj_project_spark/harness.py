@@ -791,7 +791,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
-    return dd.connected_components(pairs, "doc_a", "doc_b")
+    labels = dd.connected_components(pairs, "doc_a", "doc_b")
+    # The result frame is backed by the final convergence checkpoint's
+    # blocks; materialize eagerly so the blocks can be released before
+    # return (same cache-ownership pattern as ann_ivf_trained_topk).
+    # Label tables are ~one row per LSH-graph node — bounded at bench
+    # scale; a production 100 TB caller would write the labels out and
+    # then call release_components.
+    rows = labels.collect()
+    dd.release_components(labels)
+    return spark.createDataFrame(rows, labels.schema)
 
 
 @register(

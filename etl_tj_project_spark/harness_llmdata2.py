@@ -659,9 +659,17 @@ seq{i} AS (
                  '|' || b.a || b.b || '|') AS seq, s.freq
   FROM {prev} s, best{i} b
 )""")
+    # total >= 2 mirrors train_bpe's early stop (it breaks when the best
+    # pair occurs fewer than twice). Best totals are NON-INCREASING
+    # across merges — a post-merge pair (x, ab)'s occurrences are a
+    # subset of the pre-merge (x, a) occurrences — so filtering each
+    # step is exactly equivalent to truncating at the first sub-2 step,
+    # and the two sides return identical row sets even on a degenerate
+    # corpus where the trainer stops before n_merges.
     unions = " UNION ALL ".join(
         f"SELECT {i} AS step, a, b, a || b AS merged, "
-        f"CAST(total AS BIGINT) AS pair_count FROM best{i + 1}"
+        f"CAST(total AS BIGINT) AS pair_count FROM best{i + 1} "
+        f"WHERE total >= 2"
         for i in range(n_merges)
     )
     parts.append(

@@ -493,11 +493,42 @@ def drop_near_duplicates(
 # Connected components (dedup cluster assignment)
 # --------------------------------------------------------------------------
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of every RDD the JVM currently holds persisted (cache or
+    local-checkpoint blocks). ``DataFrame.unpersist()`` only clears
+    CacheManager entries, so local-checkpoint persists are invisible to
+    it — this JVM-level census is the only way to see (and free) them."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_rdd_ids(sc, ids) -> None:
+    """Free persisted RDDs by id at the JVM level. A freed
+    local-checkpoint RDD is NOT recomputable (lineage was truncated), so
+    call only once nothing will read the blocks again."""
+    m = sc._jsc.getPersistentRDDs()
+    for i in m.keySet().toArray():
+        if int(i) in ids:
+            m.get(i).unpersist(False)
+
+
+def release_components(labels: DataFrame) -> None:
+    """Free the local-checkpoint blocks backing a
+    ``connected_components`` result. The result frame is UNREADABLE
+    afterwards (checkpoint blocks cannot be recomputed) — call only
+    after the labels have been fully consumed (collected or written
+    out). No-op for results that carry no checkpoint (reliable mode)."""
+    ids = getattr(labels, "_cc_checkpoint_ids", None)
+    if ids:
+        _unpersist_rdd_ids(labels.sparkSession.sparkContext, ids)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    probe_every: int = 1,
+    reliable: bool = False,
 ) -> DataFrame:
     """(node, component_id) for every node in ``edges``, where
     component_id is the MINIMUM node id reachable in the undirected
@@ -525,8 +556,36 @@ def connected_components(
     scan-and-aggregate of the checkpointed label table (no join
     against the previous round's labels, no extra shuffle).
 
-    Labels are checkpointed to truncate lineage (iterative plans
-    otherwise grow exponentially in Catalyst).
+    Labels are checkpointed each probe round to truncate lineage
+    (each round references the previous label table twice — the
+    neighborhood join and the doubling self-join — so the un-truncated
+    plan tree doubles per round). ``probe_every`` sets the probe/
+    checkpoint cadence: 1 probes (and checkpoints) every round; 2
+    leaves alternate rounds unmaterialized inside the next probe's
+    job. 1 is the measured winner and the default — a controlled
+    interleaved A/B at sf0.1 (see SCALE.md §16) showed the cadence-2
+    variant ~1.4x SLOWER because the unmaterialized round's
+    pointer-doubling subtree is NOT deduplicated by exchange reuse in
+    the skip+probe mega-plan, so its join work executes twice.
+
+    Checkpoint regimes: ``reliable=False`` (default) uses
+    ``localCheckpoint`` — fastest, but blocks live only on their
+    executor, so an executor loss kills the job; fine on local[*].
+    ``reliable=True`` writes each probe round's labels to the
+    SparkContext checkpoint dir (set one via
+    ``sc.setCheckpointDir``; falls back to a process-local temp dir,
+    which is only correct single-node) — survives executor loss, the
+    right regime for a long dedup job on a 1000-executor cluster with
+    dynamic allocation or spot instances.
+
+    Cache contract: ``DataFrame.unpersist()`` cannot free
+    local-checkpoint blocks (they bypass the CacheManager), so stale
+    rounds are freed JVM-side by RDD id as soon as their successor is
+    materialized. The RETURNED frame is backed by the final
+    checkpoint's blocks; callers that are done reading it should pass
+    it to :func:`release_components`, after which it must not be read
+    again. If never released, the blocks live until the session's
+    ContextCleaner garbage-collects the frame.
 
     Raises ``RuntimeError`` if labels are still changing when
     ``max_iter`` is exhausted — returning silently would violate the
@@ -595,13 +654,25 @@ def connected_components(
         or 0
     )
     sym.unpersist()
+    sc = edges.sparkSession.sparkContext
+    if reliable and sc._jsc.sc().getCheckpointDir().isEmpty():
+        import tempfile
+
+        # Single-node fallback ONLY: on a cluster the checkpoint dir
+        # must be shared storage (HDFS/S3) — set it up front.
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc-ckpt-"))
 
     converged = False
-    # Label tables whose dependents have not yet been materialized: a
-    # lazily-checkpointed RDD cannot be recomputed once its parent's
-    # blocks are dropped, so unpersist is deferred until the next probe
-    # action has materialized everything downstream of the table.
-    pending_unpersist: list[DataFrame] = []
+    # Every persisted-RDD id the JVM holds right now (the setup caches,
+    # plus whatever else the session has cached). Anything that appears
+    # AFTER a probe materializes is that probe's checkpoint blocks —
+    # the previous probe's blocks are then freed JVM-side by id, since
+    # DataFrame.unpersist() cannot see local-checkpoint persists.
+    # Id-diffing assumes no concurrent caching in the same session
+    # during the loop (true for this engine's single-query entries).
+    known_ids = _persistent_rdd_ids(sc)
+    ckpt_ids: set[int] = set()
+    init_labels = labels
     for it in range(max_iter):
         new_labels = (
             withself.join(labels.withColumnRenamed("n", "m"), on="m")
@@ -618,40 +689,38 @@ def connected_components(
         new_labels = new_labels.join(parent, on="lab", how="left").select(
             "n", F.coalesce(F.col("lab2"), F.col("lab")).alias("lab")
         )
-        # Probe every SECOND round (plus the last): labels are monotone
-        # non-increasing, so sum unchanged across TWO rounds still
-        # implies a fixed point; the skipped round materializes inside
-        # the next probe's job, so one action covers two rounds of
-        # computation. Iteration rounds at toy scale are
-        # action-barrier-bound — job count IS the wall clock — and the
-        # worst case is one extra no-op round, far cheaper than the
-        # probes it saves. Convergence stays exact, never heuristic.
-        probe_round = it % 2 == 1 or it + 1 == max_iter
+        # Probe cadence: labels are monotone non-increasing, so sum
+        # unchanged across probe_every rounds still implies a fixed
+        # point — convergence stays exact at any cadence. Skip rounds
+        # stay unmaterialized inside the next probe's job. Measured
+        # (SCALE.md §16): cadence 1 wins — the skip round's join
+        # subtree is not exchange-reused and executes twice.
+        probe_round = it % probe_every == probe_every - 1 or it + 1 == max_iter
         if probe_round:
-            # localCheckpoint truncates the lineage, which otherwise
-            # grows without bound across rounds (localCheckpoint
-            # persists its RDD itself — an extra .persist() here would
-            # leave one orphaned cache entry per round). eager=False so
-            # the probe below is what materializes it.
-            new_labels = new_labels.localCheckpoint(eager=False)
-        # Skip rounds deliberately do NOT checkpoint or persist:
-        # localCheckpoint forces full physical planning eagerly on the
-        # driver (measured 0.3-0.5 s/round at sf0.1, pure Catalyst/py4j
-        # with zero cluster work — half the loop's wall clock), and a
-        # persist() makes the probe job pay an InMemoryRelation build
-        # for a table that is read exactly once (measured strictly
-        # slower). The pointer-doubling self-join subtree inside the
-        # unmaterialized round is deduplicated at execution by exchange
-        # reuse, and the lineage stays <= 2 rounds deep because every
-        # probe round checkpoints.
-        pending_unpersist.append(labels)
+            # Checkpoint truncates the lineage, which otherwise doubles
+            # per round (two references to the previous labels).
+            # eager=False so the probe below is what materializes it;
+            # localCheckpoint persists its RDD itself — an extra
+            # .persist() would just orphan a cache entry per round.
+            if reliable:
+                new_labels = new_labels.checkpoint(eager=False)
+            else:
+                new_labels = new_labels.localCheckpoint(eager=False)
         labels = new_labels
         if not probe_round:
             continue
         cur_sum = labels.agg(F.sum("lab")).collect()[0][0] or 0
-        for stale in pending_unpersist:
-            stale.unpersist()
-        pending_unpersist.clear()
+        # The probe materialized this round's checkpoint; the previous
+        # round's blocks (and, after the first probe, the initial label
+        # cache) are now unreachable — free them deterministically.
+        if init_labels is not None:
+            init_labels.unpersist()
+            init_labels = None
+        now_ids = _persistent_rdd_ids(sc)
+        fresh = now_ids - known_ids
+        _unpersist_rdd_ids(sc, ckpt_ids)
+        known_ids = (known_ids | fresh) - ckpt_ids
+        ckpt_ids = fresh
         if cur_sum == prev_sum:
             converged = True
             break
@@ -659,12 +728,19 @@ def connected_components(
     withself.unpersist()
     nodes.unpersist()
     if not converged:
+        _unpersist_rdd_ids(sc, ckpt_ids)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "— raise max_iter (each round covers one hop of graph "
             "diameter)"
         )
-    return labels.select(F.col("n").alias("node"), F.col("lab").alias("component_id"))
+    out = labels.select(
+        F.col("n").alias("node"), F.col("lab").alias("component_id")
+    )
+    # Ownership handoff: the final checkpoint's blocks back `out`.
+    # release_components(out) frees them once the caller is done.
+    out._cc_checkpoint_ids = frozenset(ckpt_ids)
+    return out
 
 
 # --------------------------------------------------------------------------

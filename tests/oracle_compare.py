@@ -89,9 +89,15 @@ def driver_canonicalize_check(columns: list[str], rows: list[tuple]) -> None:
                 f"(unhashable cells): {e}"
             ) from e
     if len(df):
-        # The lexsort the driver applies before hashing; mixed
-        # incomparable object cells raise here just like driver-side.
-        df.sort_values(list(df.columns), kind="mergesort")
+        try:
+            # The lexsort the driver applies before hashing; mixed
+            # incomparable object cells raise here just like driver-side.
+            df.sort_values(list(df.columns), kind="mergesort")
+        except TypeError as e:
+            raise AssertionError(
+                "a column would crash the driver canonicalizer's lexsort "
+                f"(mixed incomparable cells): {e}"
+            ) from e
 
 
 def compare_pinned(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:

@@ -175,6 +175,55 @@ def test_connected_components_raises_when_unconverged(spark):
     assert {r.component_id for r in out} == {0}
 
 
+def test_connected_components_probe_cadence_and_reliable_equivalent(spark):
+    """probe_every=1 (default, measured faster — SCALE.md §16) and
+    probe_every=2 must produce identical labels, as must the
+    reliable-checkpoint cluster regime — the cadence/checkpoint dials
+    are performance/fault-tolerance knobs, never semantic ones."""
+    from etl_tj_project_spark.operators.dedup import (
+        connected_components,
+        release_components,
+    )
+
+    # two chains + an isolated pair: exercises multi-round convergence
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(10, 11), (11, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    results = []
+    for kwargs in ({"probe_every": 1}, {"probe_every": 2}, {"reliable": True}):
+        labels = connected_components(edges, **kwargs)
+        results.append(sorted((r.node, r.component_id) for r in labels.collect()))
+        release_components(labels)
+    assert results[0] == results[1] == results[2]
+    comp = dict(results[0])
+    assert comp[5] == 0 and comp[12] == 10 and comp[21] == 20
+
+
+def test_connected_components_releases_all_caches(spark):
+    """Repeated collect+release cycles must not grow the JVM's
+    persistent-RDD set: DataFrame.unpersist() is a no-op for
+    local-checkpoint blocks, so the operator frees stale rounds by RDD
+    id and hands the final round's blocks to release_components."""
+    from etl_tj_project_spark.operators.dedup import (
+        _persistent_rdd_ids,
+        connected_components,
+        release_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(9, 10)], ["doc_a", "doc_b"]
+    )
+    sc = spark.sparkContext
+    baseline = _persistent_rdd_ids(sc)
+    for _ in range(2):
+        labels = connected_components(edges)
+        labels.collect()
+        release_components(labels)
+    leaked = _persistent_rdd_ids(sc) - baseline
+    assert not leaked, f"leaked persistent RDD ids: {leaked}"
+
+
 def test_resize_thumbnail_clamps_longer_side(spark):
     """Portrait media (h > w) must clamp height to max_side, not scale it
     off the width — the round-1 clamp-width-only bug."""

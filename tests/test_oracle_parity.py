@@ -66,14 +66,25 @@ def test_driver_window_is_first_50():
     assert set(ordered) == set(harness.REGISTRY)
 
 
-def test_driver_window_all_oracle_backed():
+def test_driver_window_rows_only_slots_are_the_scheduled_seven():
     """Round-5 lesson: a window slot burned on err=no_oracle proves
-    nothing. Every windowed entry must carry an oracle so the driver can
-    hash-check it."""
-    rows_only = [
+    nothing — so rows-only entries were barred from the window while the
+    oracle-backed backlog existed. Round 7 cleared that backlog and
+    deliberately schedules the 7 rows-only-by-policy sketch/trained-ANN
+    entries for their one rows+schema driver confirmation (VERDICT r6
+    item 6). Exactly those 7, no accidental additions."""
+    rows_only = {
         n for n in harness.DRIVER_WINDOW if harness.REGISTRY[n].oracle is None
-    ]
-    assert not rows_only, f"rows-only entries in DRIVER_WINDOW: {rows_only}"
+    }
+    assert rows_only == {
+        "approx_count_distinct",
+        "approx_percentile_profile",
+        "ann_ivf_trained_topk",
+        "ann_pq_trained_topk",
+        "hll_sketch_union_daily",
+        "theta_audience_overlap",
+        "kll_quantile_merge_profile",
+    }, f"unexpected rows-only window set: {sorted(rows_only)}"
 
 
 def test_canonicalizer_rejects_array_cells():
