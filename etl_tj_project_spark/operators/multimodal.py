@@ -103,10 +103,11 @@ def decode_features(media_df: DataFrame) -> DataFrame:
 
 def codec_backend() -> str:
     """'pil' when PIL is importable, else 'minipng' — the stdlib fallback
-    codec (:mod:`.minipng`) that lets the real-decode branch run in
+    codecs (:mod:`.minipng` for PNG, :mod:`.minijpeg` for baseline JPEG,
+    dispatched on magic bytes) that let the real-decode branch run in
     containers without image libraries. Dimension and luma math are
     PIL-identical in both backends; only resample pixel values differ
-    (bicubic vs nearest)."""
+    (bicubic vs nearest), and JPEG pixel values by IDCT rounding."""
     try:
         import PIL.Image  # noqa: F401
 
@@ -134,13 +135,15 @@ def decode_features_real(media_df: DataFrame) -> DataFrame:
             from PIL import Image
         except ImportError:
             Image = None
-        from etl_tj_project_spark.operators import minipng
+        from etl_tj_project_spark.operators import minijpeg, minipng
 
         def luma(b: bytes) -> float | None:
             if Image is not None:
                 img = Image.open(io.BytesIO(b)).convert("L")
                 px = list(img.getdata())
                 return sum(px) / len(px) if px else None
+            if minijpeg.is_jpeg(b):
+                return minijpeg.mean_luma(b)
             return minipng.mean_luma(b)
 
         for pdf in batches:
@@ -180,7 +183,7 @@ def resize_thumbnail_real(media_df: DataFrame, max_side: int = 64) -> DataFrame:
             from PIL import Image
         except ImportError:
             Image = None
-        from etl_tj_project_spark.operators import minipng
+        from etl_tj_project_spark.operators import minijpeg, minipng
 
         def thumb(b: bytes) -> tuple[int, int, bytes]:
             if Image is not None:
@@ -191,6 +194,8 @@ def resize_thumbnail_real(media_df: DataFrame, max_side: int = 64) -> DataFrame:
                 buf = io.BytesIO()
                 img.save(buf, format="PNG")
                 return img.width, img.height, buf.getvalue()
+            if minijpeg.is_jpeg(b):
+                return minijpeg.thumbnail(b, max_side)
             return minipng.thumbnail(b, max_side)
 
         for pdf in batches:

@@ -1,0 +1,160 @@
+"""Baseline JPEG codec (operators/minijpeg.py): self-contained
+encode→decode roundtrips (no image library in the container — the same
+strategy as miniwav/minipng), error-path rejection, and the multimodal
+dispatch that routes JPEG payloads to it.
+
+Tolerances are DCT-quantization bounds, not fuzz: a solid color is a
+DC-only block (error ≤ quant/16 + rounding → ±2), smooth gradients at
+q90 stay within a few levels, and 4:2:0 additionally pays chroma
+subsampling on chroma-varying content.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.operators import minijpeg as mj
+from etl_tj_project_spark.operators import minipng
+
+
+def _rgb_rows(width, height, fn):
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(fn(x, y))
+        rows.append(row)
+    return rows
+
+
+def _max_err(a_rows, b_rows):
+    return max(
+        abs(a - b)
+        for ra, rb in zip(a_rows, b_rows)
+        for a, b in zip(ra, rb)
+    )
+
+
+def test_solid_color_roundtrip_is_dc_exact():
+    rows = _rgb_rows(24, 16, lambda x, y: (200, 60, 90))
+    data = mj.encode(24, 16, 3, rows, quality=90)
+    assert mj.is_jpeg(data)
+    w, h, ch, out = mj.decode(data)
+    assert (w, h, ch) == (24, 16, 3)
+    assert _max_err(rows, out) <= 2
+
+
+def test_gradient_roundtrip_444_and_420_odd_dims():
+    # Odd dims exercise MCU edge padding; the gradient exercises AC
+    # coefficients and (in 420) chroma subsampling loss.
+    rows = _rgb_rows(
+        37, 21, lambda x, y: (min(255, 7 * x), min(255, 11 * y), 128)
+    )
+    for sub, bound in (("444", 8), ("420", 14)):
+        data = mj.encode(37, 21, 3, rows, quality=90, subsampling=sub)
+        w, h, ch, out = mj.decode(data)
+        assert (w, h, ch) == (37, 21, 3)
+        assert _max_err(rows, out) <= bound, sub
+
+
+def test_grayscale_roundtrip():
+    rows = [
+        bytearray(min(255, 16 * y + x) for x in range(16)) for y in range(16)
+    ]
+    data = mj.encode(16, 16, 1, rows, quality=95)
+    w, h, ch, out = mj.decode(data)
+    assert (w, h, ch) == (16, 16, 1)
+    assert _max_err(rows, out) <= 2
+
+
+def test_restart_intervals_decode_identically():
+    """DRI/RSTn must be a pure framing change: same quantized blocks →
+    bit-identical pixels vs the unrestarted stream, at every interval
+    (including 1 = a marker between every MCU)."""
+    rows = _rgb_rows(
+        43, 27,
+        lambda x, y: (min(255, 6 * x), (3 * x + 5 * y) % 256, min(255, 9 * y)),
+    )
+    base = mj.decode(mj.encode(43, 27, 3, rows, quality=92))[3]
+    for dri in (1, 2, 5):
+        for sub in ("444", "420"):
+            got = mj.decode(
+                mj.encode(
+                    43, 27, 3, rows, quality=92, subsampling=sub,
+                    restart_interval=dri,
+                )
+            )[3]
+            if sub == "444":
+                assert got == base, (dri, sub)
+            else:  # different subsampling, same framing invariance
+                no_dri = mj.decode(
+                    mj.encode(43, 27, 3, rows, quality=92, subsampling="420")
+                )[3]
+                assert got == no_dri, (dri, sub)
+
+
+def test_mean_luma_matches_itu601_of_solid():
+    rows = _rgb_rows(16, 8, lambda x, y: (10, 200, 30))
+    data = mj.encode(16, 8, 3, rows, quality=95)
+    expect = (10 * 19595 + 200 * 38470 + 30 * 7471 + 0x8000) >> 16
+    assert abs(mj.mean_luma(data) - expect) <= 2
+
+
+def test_thumbnail_emits_png_with_pil_dims():
+    rows = _rgb_rows(100, 40, lambda x, y: (5, 5, 5))
+    data = mj.encode(100, 40, 3, rows, quality=90)
+    tw, th, png = mj.thumbnail(data, 64)
+    # PIL round-aspect: 100x40 → 64x26 (same rule as minipng).
+    assert (tw, th) == (64, 26)
+    pw, ph, ch, prows = minipng.decode(png)
+    assert (pw, ph, ch) == (64, 26, 3)
+    assert _max_err([prows[0]], [bytearray([5, 5, 5] * 64)]) <= 2
+
+
+def test_rejects_non_jpeg_and_unsupported_modes():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        mj.decode(b"\x89PNG\r\n\x1a\n")
+    data = bytearray(mj.encode(8, 8, 1, [bytearray(8) for _ in range(8)]))
+    # Flip SOF0 (FFC0) to SOF2 (progressive) — must be rejected loudly,
+    # not misdecoded.
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        mj.decode(bytes(data))
+    full = bytes(mj.encode(8, 8, 1, [bytearray(8)] * 8))
+    with pytest.raises(ValueError, match="truncated"):
+        mj.decode(full[:10])  # cut mid-APP0 segment
+    with pytest.raises(ValueError, match="without SOS"):
+        mj.decode(full[:20])  # cut at a segment boundary, before SOS
+
+
+def test_multimodal_real_path_decodes_jpeg(spark):
+    """The real-decode branch must treat a JPEG payload exactly like a
+    PNG one: brightness from actually-decoded pixels, thumbnails
+    re-encoded as PNG — PIL-free via the magic-byte dispatch."""
+    from etl_tj_project_spark.operators.multimodal import (
+        codec_backend,
+        decode_features_real,
+        resize_thumbnail_real,
+    )
+
+    jpg = mj.encode(
+        100, 40, 3, _rgb_rows(100, 40, lambda x, y: (10, 200, 30)),
+        quality=95,
+    )
+    df = spark.createDataFrame(
+        [(1, jpg), (2, b"not an image")], ["doc_id", "media_bytes"]
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "media_bytes")
+    out = {r.doc_id: r for r in decode_features_real(df).collect()}
+    assert out[1].header_hex == "FFD8FFE0"
+    expect = (10 * 19595 + 200 * 38470 + 30 * 7471 + 0x8000) >> 16
+    # PIL (if present) and minijpeg may differ by IDCT rounding; both
+    # must land on the uniform color's luma within codec tolerance.
+    assert abs(out[1].brightness - expect) <= 2, codec_backend()
+    assert out[2].brightness is None
+
+    thumbs = {r.doc_id: r for r in resize_thumbnail_real(df, 64).collect()}
+    assert (thumbs[1].thumb_w, thumbs[1].thumb_h) == (64, 26)
+    assert thumbs[1].thumb_header == "89504E47"  # PNG out, both backends
+    assert thumbs[2].thumb_w == 0 and thumbs[2].thumb_header is None
