@@ -169,16 +169,19 @@ def test_connected_components_raises_when_unconverged(spark):
         [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, strategy="distributed")
     # and a sufficient max_iter resolves the same chain to component 0
-    out = connected_components(chain, max_iter=10).collect()
+    out = connected_components(
+        chain, max_iter=10, strategy="distributed"
+    ).collect()
     assert {r.component_id for r in out} == {0}
 
 
-def test_connected_components_probe_cadence_and_reliable_equivalent(spark):
-    """probe_every=1 (default, measured faster — SCALE.md §16) and
-    probe_every=2 must produce identical labels, as must the
-    reliable-checkpoint cluster regime — the cadence/checkpoint dials
+def test_connected_components_strategies_and_dials_equivalent(spark):
+    """All execution shapes must produce identical labels: the local
+    single-task union-find (auto's pick for small graphs), the
+    distributed loop at probe_every 1 and 2, and the
+    reliable-checkpoint cluster regime — strategy/cadence/checkpoint
     are performance/fault-tolerance knobs, never semantic ones."""
     from etl_tj_project_spark.operators.dedup import (
         connected_components,
@@ -191,20 +194,28 @@ def test_connected_components_probe_cadence_and_reliable_equivalent(spark):
         ["doc_a", "doc_b"],
     )
     results = []
-    for kwargs in ({"probe_every": 1}, {"probe_every": 2}, {"reliable": True}):
+    for kwargs in (
+        {"strategy": "local"},
+        {"strategy": "distributed", "probe_every": 1},
+        {"strategy": "distributed", "probe_every": 2},
+        {"strategy": "distributed", "reliable": True},
+    ):
         labels = connected_components(edges, **kwargs)
         results.append(sorted((r.node, r.component_id) for r in labels.collect()))
         release_components(labels)
-    assert results[0] == results[1] == results[2]
+    assert all(r == results[0] for r in results[1:])
     comp = dict(results[0])
     assert comp[5] == 0 and comp[12] == 10 and comp[21] == 20
+    with pytest.raises(ValueError, match="strategy"):
+        connected_components(edges, strategy="bogus")
 
 
 def test_connected_components_releases_all_caches(spark):
     """Repeated collect+release cycles must not grow the JVM's
-    persistent-RDD set: DataFrame.unpersist() is a no-op for
-    local-checkpoint blocks, so the operator frees stale rounds by RDD
-    id and hands the final round's blocks to release_components."""
+    persistent-RDD set, in EITHER strategy: DataFrame.unpersist() is a
+    no-op for local-checkpoint blocks, so the distributed loop frees
+    stale rounds by RDD id and hands the final round's blocks (local
+    strategy: the symmetrized-edge cache) to release_components."""
     from etl_tj_project_spark.operators.dedup import (
         _persistent_rdd_ids,
         connected_components,
@@ -216,12 +227,13 @@ def test_connected_components_releases_all_caches(spark):
     )
     sc = spark.sparkContext
     baseline = _persistent_rdd_ids(sc)
-    for _ in range(2):
-        labels = connected_components(edges)
-        labels.collect()
-        release_components(labels)
-    leaked = _persistent_rdd_ids(sc) - baseline
-    assert not leaked, f"leaked persistent RDD ids: {leaked}"
+    for strategy in ("local", "distributed"):
+        for _ in range(2):
+            labels = connected_components(edges, strategy=strategy)
+            labels.collect()
+            release_components(labels)
+        leaked = _persistent_rdd_ids(sc) - baseline
+        assert not leaked, f"{strategy}: leaked persistent RDD ids: {leaked}"
 
 
 def test_resize_thumbnail_clamps_longer_side(spark):
