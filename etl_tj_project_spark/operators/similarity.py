@@ -327,6 +327,7 @@ def train_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tol: float = 1e-4,
+    strategy: str = "auto",
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means over an embedding column; returns the
     trained centroids (feed them to :func:`ivf_topk` for trained IVF
@@ -359,10 +360,80 @@ def train_kmeans(
     assignment scan + one (cell, dim) shuffle.
     """
     cents, train = train_kmeans_with_cache(
-        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, tol=tol
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, tol=tol,
+        strategy=strategy,
     )
     train.unpersist()
     return cents
+
+
+# Vector-elements budget (n_vectors x dim) at or below which k-means
+# training runs as ONE executor-side task instead of the iterative
+# distributed loop: ~30 MB of float64 — trivially one task's memory,
+# and below it every distributed Lloyd stage is barrier overhead
+# around sub-millisecond numpy work (the connected-components §16
+# lesson applied to the trainer).
+_KMEANS_SINGLE_TASK_ELEMENTS = 4_000_000
+
+
+def _lloyd_local_task(
+    train: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    tol: float,
+) -> list[list[float]]:
+    """Full Lloyd training in ONE executor task (``coalesce(1)`` +
+    ``mapInPandas``): init = first k vectors by id, assignment = argmax
+    cosine with the same larger-cell tie-break as :func:`_cell_expr`,
+    empty cells keep their centroid, ``tol`` early-exit — the exact
+    update rule of the distributed loop, differing only in float
+    summation order (documented: trained centroids are value- but not
+    bitwise-reproducible either way). Driver traffic is the k x dim
+    centroid collect, same as one distributed iteration's means."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        ids: list = []
+        vecs: list = []
+        for pdf in batches:
+            ids.extend(pdf[id_col].tolist())
+            vecs.extend([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        order = np.argsort(np.asarray(ids), kind="stable")
+        x = np.vstack([vecs[i] for i in order])
+        cents = x[:k].copy()
+        xn = np.linalg.norm(x, axis=1)
+        for _ in range(iters):
+            cn = np.linalg.norm(cents, axis=1)
+            denom = np.outer(xn, cn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(denom > 0, (x @ cents.T) / denom, -np.inf)
+            # argmax with ties to the LARGER cell id — the struct-max
+            # ordering of _cell_expr.
+            rev = scores[:, ::-1]
+            cell = k - 1 - np.argmax(rev, axis=1)
+            new_cents = cents.copy()
+            for c in range(k):
+                members = x[cell == c]
+                if len(members):
+                    new_cents[c] = members.mean(axis=0)
+            moved = float(np.max(np.abs(new_cents - cents)))
+            cents = new_cents
+            if moved < tol:
+                break
+        yield pd.DataFrame(
+            {"cell": list(range(k)), "centroid": [c.tolist() for c in cents]}
+        )
+
+    rows = (
+        train.coalesce(1)
+        .mapInPandas(run, schema="cell long, centroid array<double>")
+        .collect()
+    )
+    return [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cell"])]
 
 
 def train_kmeans_with_cache(
@@ -372,6 +443,7 @@ def train_kmeans_with_cache(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tol: float = 1e-4,
+    strategy: str = "auto",
 ) -> tuple[list[list[float]], DataFrame]:
     """:func:`train_kmeans`, but also returns the STILL-PERSISTED
     ``(id, vec)`` training projection so the caller can run the
@@ -382,7 +454,17 @@ def train_kmeans_with_cache(
     unpersist. MEMORY_AND_DISK via the default persist(): at 10^10
     vectors the working set spills rather than recomputes, and
     partially-cached partitions stay correct.
+
+    ``strategy``: ``"auto"`` trains in ONE executor-side task when
+    n_vectors x dim fits the ~30 MB single-task budget (at that size
+    every distributed stage is job-barrier overhead — measured at
+    sf0.1's 2,000x64 embeddings the whole trainer is barriers), else
+    the distributed per-iteration (cell, dim) shuffle loop that scales
+    to 10^10 vectors. ``"local"`` / ``"distributed"`` pin it. Both
+    produce the same centroids up to float summation order.
     """
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown train_kmeans strategy {strategy!r}")
     # The init collect doubles as the cache materialization: TakeOrdered
     # over the to-be-persisted projection scans the source exactly once.
     # _ensure_parallelism: a small parquet source scans as ONE split,
@@ -395,6 +477,21 @@ def train_kmeans_with_cache(
     cents: list[list[float]] = [[float(x) for x in r[0]] for r in init]
     if len(cents) < k:
         raise ValueError(f"need at least k={k} vectors, found {len(cents)}")
+    if strategy == "auto":
+        # count() runs over the just-materialized cache — cheap, and the
+        # honest size signal (row width comes from the init vectors).
+        n_vec = train.count()
+        dim = len(cents[0])
+        strategy = (
+            "local"
+            if n_vec * dim <= _KMEANS_SINGLE_TASK_ELEMENTS
+            else "distributed"
+        )
+    if strategy == "local":
+        return (
+            _lloyd_local_task(train, k, iters, id_col, vec_col, tol),
+            train,
+        )
 
     spark = df.sparkSession
     for _ in range(iters):
@@ -477,6 +574,7 @@ def train_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tol: float = 1e-4,
+    strategy: str = "auto",
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: the vector is split into
     ``m`` contiguous subspaces and each gets its own ``ksub``-codeword
@@ -498,10 +596,79 @@ def train_pq(
     """
     books, train = train_pq_with_cache(
         df, m=m, ksub=ksub, iters=iters,
-        id_col=id_col, vec_col=vec_col, tol=tol,
+        id_col=id_col, vec_col=vec_col, tol=tol, strategy=strategy,
     )
     train.unpersist()
     return books
+
+
+def _pq_local_task(
+    train: DataFrame,
+    m: int,
+    ksub: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    tol: float,
+    dsub: int,
+) -> list[list[list[float]]]:
+    """Joint PQ training in ONE executor task — the
+    :func:`_lloyd_local_task` move applied to the m-subspace loop:
+    same update rule as the distributed path (L2 argmin per subspace
+    with ties to the SMALLER codeword, mirroring ``_pq_codes``'s
+    array_min; empty codewords keep their centroid; ``tol`` early
+    exit), differing only in float summation order."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        ids: list = []
+        vecs: list = []
+        for pdf in batches:
+            ids.extend(pdf[id_col].tolist())
+            vecs.extend([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        order = np.argsort(np.asarray(ids), kind="stable")
+        x = np.vstack([vecs[i] for i in order])
+        subs = [x[:, j * dsub : (j + 1) * dsub] for j in range(m)]
+        books = [s[:ksub].copy() for s in subs]
+        for _ in range(iters):
+            moved = 0.0
+            new_books = []
+            for j in range(m):
+                s = subs[j]
+                b = books[j]
+                # pairwise L2^2; np.argmin ties to the smaller codeword
+                # id, matching _pq_codes' array_min struct ordering.
+                d2 = (
+                    (s * s).sum(axis=1)[:, None]
+                    - 2.0 * (s @ b.T)
+                    + (b * b).sum(axis=1)[None, :]
+                )
+                code = np.argmin(d2, axis=1)
+                nb = b.copy()
+                for c in range(ksub):
+                    members = s[code == c]
+                    if len(members):
+                        nb[c] = members.mean(axis=0)
+                moved = max(moved, float(np.max(np.abs(nb - b))))
+                new_books.append(nb)
+            books = new_books
+            if moved < tol:
+                break
+        yield pd.DataFrame(
+            {
+                "j": list(range(m)),
+                "book": [[c.tolist() for c in b] for b in books],
+            }
+        )
+
+    rows = (
+        train.coalesce(1)
+        .mapInPandas(run, schema="j long, book array<array<double>>")
+        .collect()
+    )
+    return [list(r["book"]) for r in sorted(rows, key=lambda r: r["j"])]
 
 
 def train_pq_with_cache(
@@ -512,11 +679,16 @@ def train_pq_with_cache(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tol: float = 1e-4,
+    strategy: str = "auto",
 ) -> tuple[list[list[list[float]]], DataFrame]:
     """:func:`train_pq`, but also returns the STILL-PERSISTED
     ``(id, vec)`` training projection for the caller's encode/ADC scan —
     same single-source-scan contract as :func:`train_kmeans_with_cache`;
-    the caller owns the unpersist."""
+    the caller owns the unpersist. ``strategy`` as in
+    :func:`train_kmeans_with_cache`: auto trains single-task under the
+    ~30 MB element budget, distributed above it."""
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown train_pq strategy {strategy!r}")
     # Init collect doubles as the cache materialization (one source
     # scan); _ensure_parallelism spreads the per-row encode work across
     # cores when the source is under-split (no-op at lake scale).
@@ -532,6 +704,18 @@ def train_pq_with_cache(
         [[float(x) for x in r[0][j * dsub:(j + 1) * dsub]] for r in first]
         for j in range(m)
     ]
+    if strategy == "auto":
+        n_vec = train.count()
+        strategy = (
+            "local"
+            if n_vec * dim <= _KMEANS_SINGLE_TASK_ELEMENTS
+            else "distributed"
+        )
+    if strategy == "local":
+        return (
+            _pq_local_task(train, m, ksub, iters, id_col, vec_col, tol, dsub),
+            train,
+        )
 
     spark = df.sparkSession
     for _ in range(iters):

@@ -420,18 +420,25 @@ def test_kmeans_recovers_planted_clusters(spark):
             vid += 1
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
 
-    cents = train_kmeans(df, k=3, iters=5)
-    # Each trained centroid must align (cosine ~1) with exactly one anchor.
+    # Both execution shapes must converge: the single-task numpy path
+    # (auto's pick at this size) and the distributed per-iteration
+    # (cell, dim)-shuffle loop — same update rule, different summation
+    # order, so assert convergence per strategy, not bitwise equality.
     import math
 
     def cos(a, b):
         dot = sum(x * y for x, y in zip(a, b))
         return dot / (math.hypot(*a) * math.hypot(*b))
 
-    matched = {max(range(3), key=lambda i: cos(c, anchors[i])) for c in cents}
-    assert matched == {0, 1, 2}
-    for c in cents:
-        assert max(cos(c, a) for a in anchors) > 0.99
+    cents = None
+    for strategy in ("local", "distributed"):
+        cents = train_kmeans(df, k=3, iters=5, strategy=strategy)
+        matched = {
+            max(range(3), key=lambda i: cos(c, anchors[i])) for c in cents
+        }
+        assert matched == {0, 1, 2}, strategy
+        for c in cents:
+            assert max(cos(c, a) for a in anchors) > 0.99, strategy
 
     # And the assignment column expression puts every vector with its
     # planted cluster (purity 1.0 on this separation).
