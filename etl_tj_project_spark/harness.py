@@ -782,11 +782,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM walk GROUP BY n
     """,
     doc="Connected components over the LSH candidate graph: cluster id = "
-        "min reachable doc_id (iterative min-label propagation, "
-        "O(diameter) rounds, one label-table shuffle per round — the "
-        "iterative-algorithm surface). Oracle: recursive-CTE transitive "
-        "closure — exponential state the iterative form avoids, fine at "
-        "oracle scale, unusable at 100 TB",
+        "min reachable doc_id. Size-dispatched (SCALE.md §16): graphs "
+        "within one partition (<=2M edges) run as ONE executor-side "
+        "union-find task; larger graphs run iterative pointer-doubling "
+        "min-label propagation, O(log diameter) rounds — the "
+        "iterative-algorithm surface, strategy-equality tested. Oracle: "
+        "recursive-CTE transitive closure — exponential state both "
+        "strategies avoid, fine at oracle scale, unusable at 100 TB",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

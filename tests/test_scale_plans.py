@@ -856,3 +856,36 @@ def test_prefix_filter_never_plans_allpairs(spark):
     plan = _plan(prefix_filter_jaccard_pairs(d, "doc_id", "text", 4, 5))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cc_local_strategy_is_one_python_stage(spark):
+    """The small-graph strategy must be exactly the promised shape: one
+    MapInPandas task over a coalesced single partition — no joins, no
+    aggregate exchanges (the distributed loop's signature operators)."""
+    from etl_tj_project_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["doc_a", "doc_b"]
+    )
+    plan = _plan(connected_components(edges, strategy="local"))
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_kmeans_local_strategy_runs_no_lloyd_shuffle(spark):
+    """Single-task training must not submit the distributed loop's
+    (cell, dim) aggregation jobs: trained centroids come from one
+    MapInPandas collect, with only the init/count jobs beside it."""
+    from etl_tj_project_spark.operators.similarity import train_kmeans
+
+    rows = [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    cents = train_kmeans(df, k=3, iters=5, strategy="local")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert len(cents) == 3 and len(cents[0]) == 3
+    # init collect + the single training task: 2 jobs, never the
+    # 2-jobs-per-Lloyd-iteration of the distributed loop.
+    assert after - before <= 3, f"local trainer submitted {after - before} jobs"
