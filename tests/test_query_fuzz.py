@@ -420,3 +420,116 @@ def test_random_string_expr_matches_oracle(spark, duck, o_view, idx):
     )
     sdf = spark.sql(sql.format(o=o_view))
     compare(sdf, duck, sql.format(o="orders"))
+
+
+# ---------------------------------------------------------------------------
+# Conditional-expression differential fuzzing (round 7)
+# ---------------------------------------------------------------------------
+#
+# CASE WHEN / COALESCE / NULLIF over INTEGER-exact operands (the
+# existing predicate grammar supplies the conditions): probes lazy
+# branch evaluation, NULL propagation through conditionals, and
+# branch-type unification — all engine codepaths the registry's chosen
+# queries exercise only at fixed shapes. Integer operands keep the
+# comparison bit-exact by construction.
+
+_INT_TERMS = [
+    "CAST(l_quantity AS BIGINT)",
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT)",
+    "CAST(l_linenumber AS BIGINT)",
+    "(l_suppkey % 7)",
+]
+
+
+def _int_expr(rng: random.Random, depth: int) -> str:
+    if depth <= 0 or rng.random() < 0.45:
+        if rng.random() < 0.8:
+            return rng.choice(_INT_TERMS)
+        return str(rng.randint(-20, 100))
+    op = rng.choice(["+", "-", "*"])
+    return f"({_int_expr(rng, depth - 1)} {op} {_int_expr(rng, depth - 1)})"
+
+
+def _case_cols(rng: random.Random) -> str:
+    branches = "".join(
+        f"WHEN {_pred(rng, 1)} THEN {_int_expr(rng, 1)} "
+        for _ in range(rng.randint(1, 3))
+    )
+    case = f"CASE {branches}ELSE {_int_expr(rng, 1)} END"
+    # NULLIF introduces NULLs mid-expression; COALESCE must swallow
+    # them identically in both engines.
+    coal = (
+        f"COALESCE(NULLIF({_int_expr(rng, 1)}, {rng.randint(0, 30)}), "
+        f"{_int_expr(rng, 0)})"
+    )
+    # A CASE with no ELSE: the implicit NULL arm.
+    noelse = f"CASE WHEN {_pred(rng, 1)} THEN {_int_expr(rng, 1)} END"
+    return (
+        f"CAST({case} AS BIGINT) AS c0, CAST({coal} AS BIGINT) AS c1, "
+        f"CAST({noelse} AS BIGINT) AS c2"
+    )
+
+
+def _gen_cases(n: int) -> list[str]:
+    rng = random.Random(20260819)
+    return [_case_cols(rng) for _ in range(n)]
+
+
+CASE_COLS = _gen_cases(12)
+
+
+@pytest.mark.parametrize("idx", range(len(CASE_COLS)))
+def test_random_conditional_matches_oracle(spark, duck, li_view, idx):
+    sql = (
+        "SELECT l_orderkey, l_linenumber, " + CASE_COLS[idx] + " FROM {t}"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Date-part differential fuzzing (round 7)
+# ---------------------------------------------------------------------------
+#
+# EXTRACT and date_trunc over the timestamp column, grouped with
+# integer aggregates: probes calendar math (year/month/quarter/week
+# boundaries, truncation) where engines classically diverge. Output
+# columns are BIGINT counts and extracted parts — bit-exact by
+# construction. (week is EXCLUDED: Spark counts ISO weeks of the year
+# starting at the year's first Thursday; DuckDB's `week` differs on
+# year-boundary days.)
+
+_DATE_PARTS = ["year", "month", "day", "quarter"]
+_TRUNC_UNITS = ["year", "month", "quarter"]
+
+
+def _date_case(rng: random.Random) -> tuple[str, str, str]:
+    part = rng.choice(_DATE_PARTS)
+    unit = rng.choice(_TRUNC_UNITS)
+    keys = (
+        f"CAST(EXTRACT({part} FROM l_shipdate) AS BIGINT) AS k0, "
+        f"CAST(date_trunc('{unit}', l_shipdate) AS DATE) AS k1"
+    )
+    grp = f"EXTRACT({part} FROM l_shipdate), date_trunc('{unit}', l_shipdate)"
+    qty = "CAST(l_quantity AS BIGINT)"
+    aggs = (
+        f"CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM({qty}) AS BIGINT) AS sq, "
+        f"CAST(MIN(l_shipdate) AS DATE) AS d0"
+    )
+    return keys, grp, aggs
+
+
+def _gen_dates(n: int) -> list[tuple[str, str, str]]:
+    rng = random.Random(20260820)
+    return [_date_case(rng) for _ in range(n)]
+
+
+DATE_CASES = _gen_dates(10)
+
+
+@pytest.mark.parametrize("idx", range(len(DATE_CASES)))
+def test_random_datepart_matches_oracle(spark, duck, li_view, idx):
+    keys, grp, aggs = DATE_CASES[idx]
+    sql = f"SELECT {keys}, {aggs} FROM {{t}} GROUP BY {grp}"
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
