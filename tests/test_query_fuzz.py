@@ -533,3 +533,101 @@ def test_random_datepart_matches_oracle(spark, duck, li_view, idx):
     sql = f"SELECT {keys}, {aggs} FROM {{t}} GROUP BY {grp}"
     sdf = spark.sql(sql.format(t=li_view))
     compare(sdf, duck, sql.format(t="lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Set-membership & range differential fuzzing (round 7)
+# ---------------------------------------------------------------------------
+#
+# IN / NOT IN / BETWEEN with and without a NULL in the list: NOT IN
+# against a list containing NULL is three-valued-logic's classic trap
+# (never TRUE, so rows vanish) — both engines must agree row-for-row.
+# The registry pins the subquery form (not_in_null_semantics); this
+# probes the literal-list form at random shapes.
+
+def _member_pred(rng: random.Random) -> str:
+    col = rng.choice(["(l_suppkey % 11)", "CAST(l_quantity AS BIGINT)",
+                      "CAST(l_linenumber AS BIGINT)"])
+    vals = sorted(rng.sample(range(0, 30), rng.randint(2, 5)))
+    lst = ", ".join(str(v) for v in vals)
+    r = rng.random()
+    if r < 0.3:
+        return f"{col} IN ({lst})"
+    if r < 0.55:
+        return f"{col} NOT IN ({lst})"
+    if r < 0.7:
+        # The trap arm: NULL in the NOT IN list.
+        return f"(NOT ({col} IN ({lst}, NULL)) OR {col} IS NULL)"
+    lo, hi = sorted(rng.sample(range(0, 40), 2))
+    if r < 0.85:
+        return f"{col} BETWEEN {lo} AND {hi}"
+    return f"{col} NOT BETWEEN {lo} AND {hi}"
+
+
+def _gen_members(n: int) -> list[str]:
+    rng = random.Random(20260821)
+    return [
+        f"({_member_pred(rng)} {'AND' if rng.random() < 0.5 else 'OR'} "
+        f"{_member_pred(rng)})"
+        for _ in range(n)
+    ]
+
+
+MEMBER_PREDS = _gen_members(12)
+
+
+@pytest.mark.parametrize("idx", range(len(MEMBER_PREDS)))
+def test_random_membership_matches_oracle(spark, duck, li_view, idx):
+    sql = (
+        "SELECT l_orderkey, l_linenumber FROM {t} WHERE "
+        + MEMBER_PREDS[idx]
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation differential fuzzing (round 7)
+# ---------------------------------------------------------------------------
+#
+# ROLLUP / CUBE / GROUPING SETS over random key subsets: probes the
+# NULL-marker semantics of super-aggregate rows (a NULL key cell must
+# mean "all values" identically in both engines) beyond the registry's
+# fixed rollup_agg shape. Keys are chosen non-null so NULL cells are
+# unambiguous markers.
+
+_GS_KEYS = ["l_returnflag", "l_linestatus", "(l_suppkey % 3)"]
+
+
+def _gs_case(rng: random.Random) -> tuple[str, str]:
+    ks = rng.sample(_GS_KEYS, rng.randint(2, 3))
+    form = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    if form == "SETS":
+        subsets = ["(" + ", ".join(ks) + ")", "()"]
+        if rng.random() < 0.7:
+            subsets.insert(1, "(" + ks[0] + ")")
+        grp = f"GROUPING SETS ({', '.join(subsets)})"
+    else:
+        grp = f"{form} ({', '.join(ks)})"
+    sel = ", ".join(f"{k} AS k{i}" for i, k in enumerate(ks))
+    return sel, grp
+
+
+def _gen_gs(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260822)
+    return [_gs_case(rng) for _ in range(n)]
+
+
+GS_CASES = _gen_gs(10)
+
+
+@pytest.mark.parametrize("idx", range(len(GS_CASES)))
+def test_random_grouping_sets_matches_oracle(spark, duck, li_view, idx):
+    sel, grp = GS_CASES[idx]
+    qty = "CAST(l_quantity AS BIGINT)"
+    sql = (
+        f"SELECT {sel}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM({qty}) AS BIGINT) AS sq FROM {{t}} GROUP BY {grp}"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
