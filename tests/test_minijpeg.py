@@ -129,6 +129,30 @@ def test_rejects_non_jpeg_and_unsupported_modes():
         mj.decode(full[:20])  # cut at a segment boundary, before SOS
 
 
+def test_edge_dimensions_roundtrip():
+    """MCU padding edges: 1-pixel strips, primes, exact-multiple and
+    off-by-one block sizes must all roundtrip with exact dimensions and
+    bounded error, in every channel/subsampling combination."""
+    for (w, h) in [(1, 1), (1, 8), (8, 1), (1, 17), (17, 1), (7, 7),
+                   (9, 9), (15, 16), (17, 33), (31, 2), (40, 8)]:
+        for ch, sub in [(1, "444"), (3, "444"), (3, "420")]:
+            rows = []
+            for y in range(h):
+                row = bytearray()
+                for x in range(w):
+                    base = (2 * x + 3 * y) % 200 + 20
+                    px = (
+                        [base] if ch == 1
+                        else [base, (base + 40) % 240, (base + 80) % 240]
+                    )
+                    row += bytes(px)
+                rows.append(row)
+            data = mj.encode(w, h, ch, rows, quality=93, subsampling=sub)
+            dw, dh, dch, drows = mj.decode(data)
+            assert (dw, dh, dch) == (w, h, ch), (w, h, ch, sub)
+            assert _max_err(rows, drows) <= 30, (w, h, ch, sub)
+
+
 def test_multimodal_real_path_decodes_jpeg(spark):
     """The real-decode branch must treat a JPEG payload exactly like a
     PNG one: brightness from actually-decoded pixels, thumbnails
