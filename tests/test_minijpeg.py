@@ -182,3 +182,51 @@ def test_multimodal_real_path_decodes_jpeg(spark):
     assert (thumbs[1].thumb_w, thumbs[1].thumb_h) == (64, 26)
     assert thumbs[1].thumb_header == "89504E47"  # PNG out, both backends
     assert thumbs[2].thumb_w == 0 and thumbs[2].thumb_header is None
+
+
+# ---------------------------------------------------------------------------
+# Property-based roundtrip (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    ch=st.sampled_from([1, 3]),
+    sub=st.sampled_from(["444", "420"]),
+    dri=st.sampled_from([0, 2]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_property_roundtrip_any_dims(w, h, ch, sub, dri, seed):
+    """For ANY dimensions/channels/subsampling/restart framing and any
+    smooth content: encode→decode preserves dimensions exactly and
+    pixels within DCT-quantization error. Smoothness (neighboring
+    pixels differ by <=5) keeps the q93 error bound tight and
+    deterministic; arbitrary noise is covered separately by the fixed
+    tests at loose bounds."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows = []
+    val = [rng.randrange(30, 220) for _ in range(ch)]
+    for _y in range(h):
+        row = bytearray()
+        base = list(val)
+        for _x in range(w):
+            for c in range(ch):
+                base[c] = min(219, max(30, base[c] + rng.randint(-5, 5)))
+            row += bytes(base)
+        val = [min(219, max(30, v + rng.randint(-5, 5))) for v in val]
+        rows.append(row)
+    data = mj.encode(
+        w, h, ch, rows, quality=93, subsampling=sub, restart_interval=dri
+    )
+    dw, dh, dch, drows = mj.decode(data)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert _max_err(rows, drows) <= 40
+    lv = mj.mean_luma(data)
+    assert lv is not None and 0 <= lv <= 255
