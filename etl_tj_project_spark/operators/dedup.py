@@ -537,6 +537,37 @@ def release_components(labels: DataFrame) -> None:
 _CC_SINGLE_TASK_EDGES = 2_000_000
 
 
+def union_find_labels(edge_iter) -> dict:
+    """Min-representative union-find over an iterable of (n, m) pairs:
+    {node: minimum reachable node}. The pure-Python core of the local
+    strategy — module-level so it is property-testable without Spark
+    (the executor task below feeds it Arrow batches)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for n, m in edge_iter:
+        if n not in parent:
+            parent[n] = n
+        if m not in parent:
+            parent[m] = m
+        rn, rm = find(n), find(m)
+        if rn != rm:
+            # Union by MIN id so the final find() chain always
+            # terminates at the component's minimum node.
+            if rn < rm:
+                parent[rm] = rn
+            else:
+                parent[rn] = rm
+    return {x: find(x) for x in parent}
+
+
 def _cc_union_find_single_task(sym: DataFrame) -> DataFrame:
     """Union-find over the full symmetrized edge list in ONE executor
     task (``coalesce(1)`` + ``mapInPandas``): exact min-reachable-node
@@ -552,33 +583,14 @@ def _cc_union_find_single_task(sym: DataFrame) -> DataFrame:
     )
 
     def run(batches):
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for pdf in batches:
-            for n, m in zip(pdf["n"], pdf["m"]):
-                if n not in parent:
-                    parent[n] = n
-                if m not in parent:
-                    parent[m] = m
-                rn, rm = find(n), find(m)
-                if rn != rm:
-                    # Union by MIN id so the final find() chain always
-                    # terminates at the component's minimum node.
-                    if rn < rm:
-                        parent[rm] = rn
-                    else:
-                        parent[rn] = rm
-        nodes = sorted(parent)
+        labels = union_find_labels(
+            (n, m)
+            for pdf in batches
+            for n, m in zip(pdf["n"], pdf["m"])
+        )
+        nodes = sorted(labels)
         yield pd.DataFrame(
-            {"node": nodes, "component_id": [find(x) for x in nodes]}
+            {"node": nodes, "component_id": [labels[x] for x in nodes]}
         )
 
     return sym.coalesce(1).mapInPandas(run, schema=out_schema)

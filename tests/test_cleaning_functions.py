@@ -271,3 +271,46 @@ def test_resize_thumbnail_clamps_longer_side(spark):
     assert got[3] == (10, 8)
     assert got[4][0] >= 1 and got[4][1] == 64
     assert all(tw <= 64 and th <= 64 for tw, th in got.values())
+
+
+def test_union_find_labels_property_random_graphs():
+    """Pure-Python property check of the local strategy's core: on 300
+    random graphs, union_find_labels must equal a brute-force BFS
+    min-reachable-node labeling (the Spark-level strategy equality test
+    covers the plumbing; this covers the algorithm at volume)."""
+    import random
+
+    from etl_tj_project_spark.operators.dedup import union_find_labels
+
+    rng = random.Random(20260814)
+    for _ in range(300):
+        n_nodes = rng.randint(1, 25)
+        n_edges = rng.randint(0, 40)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        sym = edges + [(b, a) for a, b in edges]
+        got = union_find_labels(sym)
+        # brute-force BFS reference
+        adj: dict[int, set[int]] = {}
+        for a, b in sym:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        seen: set[int] = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp, frontier = {start}, [start]
+            while frontier:
+                x = frontier.pop()
+                for y in adj[x]:
+                    if y not in comp:
+                        comp.add(y)
+                        frontier.append(y)
+            seen |= comp
+            rep = min(comp)
+            for x in comp:
+                want[x] = rep
+        assert got == want, (edges, got, want)
