@@ -631,3 +631,73 @@ def test_random_grouping_sets_matches_oracle(spark, duck, li_view, idx):
     )
     sdf = spark.sql(sql.format(t=li_view))
     compare(sdf, duck, sql.format(t="lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# HAVING & deterministic top-k differential fuzzing (round 7)
+# ---------------------------------------------------------------------------
+#
+# HAVING filters over aggregate values, and ORDER BY ... LIMIT with a
+# TOTAL sort key (unique tiebreak columns appended — cross-engine tie
+# order is undefined otherwise, so the grammar makes ties impossible
+# rather than hoping).
+
+def _having_case(rng: random.Random) -> tuple[str, str, str, str]:
+    key = rng.choice(["l_returnflag", "l_linestatus", "(l_suppkey % 5)"])
+    qty = "CAST(l_quantity AS BIGINT)"
+    agg = rng.choice(
+        ["CAST(COUNT(*) AS BIGINT)", f"CAST(SUM({qty}) AS BIGINT)",
+         f"MAX({qty})"]
+    )
+    hav = rng.choice(
+        [f"COUNT(*) > {rng.randint(1, 2000)}",
+         f"SUM({qty}) > {rng.randint(100, 60000)}",
+         f"MIN({qty}) >= {rng.randint(1, 10)}"]
+    )
+    return key, agg, hav, ""
+
+
+def _gen_having(n: int) -> list[tuple[str, str, str, str]]:
+    rng = random.Random(20260823)
+    return [_having_case(rng) for _ in range(n)]
+
+
+HAVING_CASES = _gen_having(8)
+
+
+@pytest.mark.parametrize("idx", range(len(HAVING_CASES)))
+def test_random_having_matches_oracle(spark, duck, li_view, idx):
+    key, agg, hav, _ = HAVING_CASES[idx]
+    sql = (
+        f"SELECT {key} AS k, {agg} AS a FROM {{t}} "
+        f"GROUP BY {key} HAVING {hav}"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+def _gen_topk(n: int) -> list[tuple[str, str, int]]:
+    rng = random.Random(20260824)
+    out = []
+    for _ in range(n):
+        expr = _int_expr(rng, 1)
+        direction = rng.choice(["ASC", "DESC"])
+        out.append((expr, direction, rng.randint(3, 50)))
+    return out
+
+
+TOPK_CASES = _gen_topk(8)
+
+
+@pytest.mark.parametrize("idx", range(len(TOPK_CASES)))
+def test_random_ordered_limit_matches_oracle(spark, duck, li_view, idx):
+    expr, direction, k = TOPK_CASES[idx]
+    # l_orderkey+l_linenumber appended: a total order, so LIMIT is
+    # deterministic in both engines.
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, CAST({expr} AS BIGINT) AS v "
+        f"FROM {{t}} ORDER BY v {direction}, l_orderkey, l_linenumber "
+        f"LIMIT {k}"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
