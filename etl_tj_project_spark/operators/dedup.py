@@ -512,21 +512,74 @@ def _unpersist_rdd_ids(sc, ids) -> None:
             m.get(i).unpersist(False)
 
 
+def _hadoop_delete(sc, paths) -> None:
+    """Recursively delete paths through the Hadoop FileSystem API so
+    reliable-checkpoint cleanup works on whatever storage the checkpoint
+    dir lives on (local FS on local[*], HDFS/S3 on a cluster)."""
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    for p in paths:
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jp.getFileSystem(conf)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+
+
+def _ckpt_child_dirs(sc) -> set[str]:
+    """Current children of the SparkContext checkpoint dir (one
+    ``rdd-<id>`` subdir per reliably-checkpointed RDD) — the file-level
+    census the reliable regime diffs to find (and later delete) each
+    probe round's checkpoint data, mirroring what ``_persistent_rdd_ids``
+    does for in-memory local-checkpoint blocks."""
+    opt = sc._jsc.sc().getCheckpointDir()
+    if opt.isEmpty():
+        return set()
+    jvm = sc._jvm
+    root = jvm.org.apache.hadoop.fs.Path(opt.get())
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return set()
+    return {st.getPath().toString() for st in fs.listStatus(root)}
+
+
 def release_components(labels: DataFrame) -> None:
     """Free the cached state backing a ``connected_components`` result:
-    the final local-checkpoint blocks (distributed strategy) or the
-    symmetrized-edge cache (local strategy). After release the frame
-    must not be read again — checkpoint blocks cannot be recomputed,
-    and the local-strategy plan would re-execute the full upstream
-    (e.g. the LSH self-join) uncached. Call once the labels have been
-    fully consumed (collected or written out). No-op for results with
-    nothing persisted (reliable mode)."""
+    the final local-checkpoint blocks (distributed strategy), the
+    symmetrized-edge cache (local strategy), or the final round's
+    checkpoint FILES plus any operator-created temp checkpoint dir
+    (reliable regime). After release the frame must not be read again —
+    checkpoint blocks/files cannot be recomputed, and the local-strategy
+    plan would re-execute the full upstream (e.g. the LSH self-join)
+    uncached. Call once the labels have been fully consumed (collected
+    or written out).
+
+    Accepts ONLY the exact frame ``connected_components`` returned: any
+    transformation (select/filter/rename) produces a new DataFrame
+    without the ownership markers, and silently skipping the release
+    would leak the blocks until ContextCleaner GC — so that misuse
+    raises instead."""
     ids = getattr(labels, "_cc_checkpoint_ids", None)
-    if ids:
-        _unpersist_rdd_ids(labels.sparkSession.sparkContext, ids)
     cache = getattr(labels, "_cc_setup_cache", None)
+    dirs = getattr(labels, "_cc_ckpt_dirs", None)
+    tmpdir = getattr(labels, "_cc_ckpt_tmpdir", None)
+    if ids is None and cache is None and dirs is None and tmpdir is None:
+        raise ValueError(
+            "release_components must be passed the exact DataFrame "
+            "returned by connected_components (transformations drop the "
+            "cache-ownership markers; release BEFORE select/filter/etc, "
+            "or write the labels out first)"
+        )
+    sc = labels.sparkSession.sparkContext
+    if ids:
+        _unpersist_rdd_ids(sc, ids)
     if cache is not None:
         cache.unpersist()
+    if dirs:
+        _hadoop_delete(sc, dirs)
+    if tmpdir is not None:
+        import shutil
+
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 # Edge count at or below which the whole component computation runs as
@@ -765,12 +818,18 @@ def connected_components(
     )
     sym.unpersist()
     sc = edges.sparkSession.sparkContext
+    own_tmpdir: str | None = None
     if reliable and sc._jsc.sc().getCheckpointDir().isEmpty():
         import tempfile
 
         # Single-node fallback ONLY: on a cluster the checkpoint dir
-        # must be shared storage (HDFS/S3) — set it up front.
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc-ckpt-"))
+        # must be shared storage (HDFS/S3) — set it up front. The dir is
+        # operator-owned and rmtree'd by release_components; reliable
+        # checkpoint FILES (one label table per probe round) are deleted
+        # as each round is superseded, so repeated calls don't accrete
+        # a machine-lifetime pile of checkpoint data.
+        own_tmpdir = tempfile.mkdtemp(prefix="cc-ckpt-")
+        sc.setCheckpointDir(own_tmpdir)
 
     converged = False
     # Every persisted-RDD id the JVM holds right now (the setup caches,
@@ -782,6 +841,12 @@ def connected_components(
     # during the loop (true for this engine's single-query entries).
     known_ids = _persistent_rdd_ids(sc)
     ckpt_ids: set[int] = set()
+    # Reliable regime twin of the id census: which rdd-<id> subdirs the
+    # checkpoint dir holds now. Fresh dirs after a probe are that
+    # round's files; the previous round's files are then unreferenced
+    # (lineage was truncated) and deleted through the Hadoop FS API.
+    known_dirs = _ckpt_child_dirs(sc) if reliable else set()
+    ckpt_dirs: set[str] = set()
     init_labels = labels
     for it in range(max_iter):
         new_labels = (
@@ -831,6 +896,12 @@ def connected_components(
         _unpersist_rdd_ids(sc, ckpt_ids)
         known_ids = (known_ids | fresh) - ckpt_ids
         ckpt_ids = fresh
+        if reliable:
+            now_dirs = _ckpt_child_dirs(sc)
+            fresh_dirs = now_dirs - known_dirs
+            _hadoop_delete(sc, ckpt_dirs)
+            known_dirs = (known_dirs | fresh_dirs) - ckpt_dirs
+            ckpt_dirs = fresh_dirs
         if cur_sum == prev_sum:
             converged = True
             break
@@ -839,6 +910,12 @@ def connected_components(
     nodes.unpersist()
     if not converged:
         _unpersist_rdd_ids(sc, ckpt_ids)
+        if reliable:
+            _hadoop_delete(sc, ckpt_dirs)
+            if own_tmpdir is not None:
+                import shutil
+
+                shutil.rmtree(own_tmpdir, ignore_errors=True)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "— raise max_iter (each round covers one hop of graph "
@@ -847,9 +924,14 @@ def connected_components(
     out = labels.select(
         F.col("n").alias("node"), F.col("lab").alias("component_id")
     )
-    # Ownership handoff: the final checkpoint's blocks back `out`.
-    # release_components(out) frees them once the caller is done.
+    # Ownership handoff: the final checkpoint's blocks (and, reliable
+    # regime, the final round's checkpoint files + the operator-created
+    # temp dir) back `out`. release_components(out) frees them once the
+    # caller is done.
     out._cc_checkpoint_ids = frozenset(ckpt_ids)
+    if reliable:
+        out._cc_ckpt_dirs = frozenset(ckpt_dirs)
+        out._cc_ckpt_tmpdir = own_tmpdir
     return out
 
 

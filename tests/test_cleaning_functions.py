@@ -236,6 +236,53 @@ def test_connected_components_releases_all_caches(spark):
         assert not leaked, f"{strategy}: leaked persistent RDD ids: {leaked}"
 
 
+def test_release_components_rejects_transformed_frame(spark):
+    """Transformations drop the cache-ownership markers, so releasing a
+    derived frame would silently leak the blocks — it must raise, not
+    no-op (ADVICE r7)."""
+    import pytest
+
+    from etl_tj_project_spark.operators.dedup import (
+        connected_components,
+        release_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    labels = connected_components(edges)
+    with pytest.raises(ValueError, match="exact DataFrame"):
+        release_components(labels.select("node"))
+    release_components(labels)  # the exact frame still releases fine
+
+
+def test_reliable_checkpoint_files_are_cleaned(spark, tmp_path):
+    """The reliable regime must not accrete one checkpoint-file set per
+    probe round for the life of the machine (ADVICE r7): superseded
+    rounds' rdd-* dirs are deleted as each probe completes, and
+    release_components removes the final round's files."""
+    from etl_tj_project_spark.operators.dedup import (
+        _ckpt_child_dirs,
+        connected_components,
+        release_components,
+    )
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    # A 7-chain needs several pointer-doubling rounds -> several probes.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], ["doc_a", "doc_b"]
+    )
+    labels = connected_components(
+        edges, strategy="distributed", reliable=True
+    )
+    got = sorted((r.node, r.component_id) for r in labels.collect())
+    assert got == [(i, 0) for i in range(8)]
+    # Only the final round's checkpoint files may remain live.
+    live = _ckpt_child_dirs(sc)
+    assert len(live) <= 1, f"superseded checkpoint dirs leaked: {live}"
+    release_components(labels)
+    assert not _ckpt_child_dirs(sc), "final checkpoint files leaked"
+
+
 def test_resize_thumbnail_clamps_longer_side(spark):
     """Portrait media (h > w) must clamp height to max_side, not scale it
     off the width — the round-1 clamp-width-only bug."""

@@ -452,6 +452,61 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert len(set().union(*groups.values())) == 3
 
 
+def test_pq_strategies_agree_and_distributed_stays_exercised(spark):
+    """ADVICE r7: train_pq's auto strategy sends every small input down
+    the single-task path, so without this test the distributed PQ Lloyd
+    loop had zero coverage and no local-vs-distributed equivalence
+    check. Both strategies share one update rule (L2 argmin, ties to the
+    smaller codeword, empty codewords keep their centroid) and differ
+    only in float summation order — codebooks must agree within float
+    tolerance, and a planted-structure check pins that the DISTRIBUTED
+    loop itself converges to the planted subspace codewords."""
+    import random
+
+    from etl_tj_project_spark.operators.similarity import train_pq
+
+    # Planted structure per subspace: dim=8, m=4 subspaces of 2 dims,
+    # each vector's subspace slice drawn near one of 2 anchors.
+    rng = random.Random(11)
+    anchors = [(-5.0, -5.0), (5.0, 5.0)]
+    rows = []
+    for vid in range(60):
+        vec = []
+        for _ in range(4):
+            ax, ay = anchors[rng.randint(0, 1)]
+            vec += [ax + rng.uniform(-0.3, 0.3), ay + rng.uniform(-0.3, 0.3)]
+        rows.append((vid, vec))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    books = {}
+    for strategy in ("local", "distributed"):
+        books[strategy] = train_pq(
+            df, m=4, ksub=2, iters=6, strategy=strategy
+        )
+    for bl, bd in zip(books["local"], books["distributed"]):
+        for cl, cd in zip(bl, bd):
+            for a, b in zip(cl, cd):
+                assert abs(a - b) < 1e-6, (books["local"], books["distributed"])
+    # The distributed loop's codebooks must recover the planted anchors
+    # (convergence, not just agreement-with-local).
+    for book in books["distributed"]:
+        found = {
+            min(
+                range(2),
+                key=lambda i: sum(
+                    (x - a) ** 2 for x, a in zip(c, anchors[i])
+                ),
+            )
+            for c in book
+        }
+        assert found == {0, 1}
+        for c in book:
+            best = min(
+                sum((x - a) ** 2 for x, a in zip(c, anc)) for anc in anchors
+            )
+            assert best < 0.25, book
+
+
 def test_chunked_running_sum_equals_naive_window_on_adversarial_data(spark):
     """Property check: the two-phase rewrite equals the plain window on
     random data with duplicate order keys, ties, single-row chunks, and
