@@ -288,6 +288,15 @@ def decode(data: bytes) -> tuple[int, int, int, list[bytearray]]:
 
 def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     w, h, comps = frame
+    # T.81 §A.2.2: a single-component scan is NON-interleaved — one 8x8
+    # block per MCU in raster order over ceil(w/8) x ceil(h/8) blocks,
+    # REGARDLESS of the sampling factors the SOF declares (grayscale
+    # files chroma-dropped by jpegtran keep 2x2 factors). Decoding such
+    # a file with the interleaved hi*vi-blocks-per-MCU layout desyncs
+    # the Huffman stream / garbles pixels, so force 1x1 here.
+    if len(comps) == 1:
+        cid0, _hi0, _vi0, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

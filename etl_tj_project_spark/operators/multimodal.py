@@ -559,3 +559,63 @@ def image_luma_histogram(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "media_bytes").mapInPandas(
         run, schema=IMAGE_HIST_SCHEMA
     )
+
+
+JPEG_LUMA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("mean_luma", T.DoubleType(), False),
+])
+
+
+def jpeg_luma_features(docs: DataFrame) -> DataFrame:
+    """Real JPEG decode stage: a solid-gray image per doc is encoded
+    into ACTUAL baseline-JFIF bytes by the :mod:`.minijpeg` writer
+    (FDCT, quantization, per-image Huffman tables, DRI/RSTn framing
+    varied by doc) and decoded back by the same codec's full path
+    (marker walk, Huffman, dequant, IDCT) inside one Arrow-batched
+    ``mapInPandas`` stage — the JPEG twin of the PNG
+    :func:`image_luma_histogram` branch.
+
+    Exactness argument (what lets a lossy codec carry a hash-checked
+    oracle): a flat 8x8 block has ONLY a DC coefficient, DC = 8*(L-128);
+    at quality 50 the luma DC quant step is exactly the Annex-K base 16,
+    so the quantized DC is round((L-128)/2) — exact for EVEN gray
+    levels — and dequant+IDCT returns 2*DC_q + 128 = L with no rounding
+    anywhere. Gray levels are pinned even (2*((doc_id*37) % 128)), so
+    decoded mean_luma == synthesized level, closed-form in SQL, while
+    Spark's number still came through a genuine encode→decode trip.
+    restart_interval = doc_id % 3 additionally exercises the RSTn
+    resync path on a third of the corpus."""
+    from etl_tj_project_spark.operators import minijpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_out: dict[str, list] = {f.name: [] for f in JPEG_LUMA_SCHEMA}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 * (1 + d % 3)
+                h = 8 * (1 + d % 2)
+                level = 2 * ((d * 37) % 128)
+                img = [bytearray([level] * w) for _ in range(h)]
+                blob = minijpeg.encode(
+                    w, h, 1, img, quality=50, restart_interval=d % 3
+                )
+                wd, hd, ch, out = minijpeg.decode(blob)
+                if (wd, hd, ch) != (w, h, 1):
+                    raise ValueError(
+                        f"JPEG roundtrip dims diverged for doc {d}: "
+                        f"{(wd, hd, ch)} != {(w, h, 1)}"
+                    )
+                n = wd * hd
+                mean = sum(sum(r) for r in out) / n
+                rows_out["doc_id"].append(d)
+                rows_out["width"].append(wd)
+                rows_out["height"].append(hd)
+                rows_out["mean_luma"].append(mean)
+            out_pdf = pd.DataFrame(rows_out)
+            rows_out = {f.name: [] for f in JPEG_LUMA_SCHEMA}
+            yield out_pdf
+
+    return docs.select("doc_id").mapInPandas(run, schema=JPEG_LUMA_SCHEMA)

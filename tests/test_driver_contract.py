@@ -58,3 +58,28 @@ def test_worker_unpickle_without_repo_on_worker_path(tmp_path):
     assert "WORKER_IMPORT_OK" in proc.stdout, (
         f"stdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
     )
+
+
+def test_coverage_md_totals_match_registry():
+    """VERDICT r7 item 5: COVERAGE.md's totals line went stale once
+    (177 vs the real 238). Pin the stated totals to the live registry
+    so the doc can never drift silently again."""
+    import re
+
+    from etl_tj_project_spark import harness
+
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    m = re.search(
+        r"Totals: \*\*(\d+) registered queries, (\d+) with DuckDB-oracle",
+        text,
+    )
+    assert m, "COVERAGE.md totals line missing or reformatted"
+    stated_total, stated_oracle = int(m.group(1)), int(m.group(2))
+    real_total = len(harness.REGISTRY)
+    real_oracle = sum(
+        1 for e in harness.REGISTRY.values() if e.oracle is not None
+    )
+    assert (stated_total, stated_oracle) == (real_total, real_oracle), (
+        f"COVERAGE.md says {stated_total}/{stated_oracle}, registry has "
+        f"{real_total}/{real_oracle} — update the totals line"
+    )

@@ -68,6 +68,28 @@ def test_grayscale_roundtrip():
     assert _max_err(rows, out) <= 2
 
 
+def test_grayscale_with_declared_2x2_sampling_decodes_noninterleaved():
+    """T.81 §A.2.2 (ADVICE r7): a single-component scan is NON-
+    interleaved — one block per MCU in raster order — regardless of the
+    SOF's declared sampling factors. jpegtran-chroma-dropped files keep
+    2x2 factors on the lone gray component; patching our encoder's SOF
+    from 1x1 to 2x2 must decode to the SAME pixels (the entropy stream
+    is identical for a correct non-interleaved decoder)."""
+    rows = [
+        bytearray((5 * y + 3 * x) % 256 for x in range(24)) for y in range(19)
+    ]
+    data = mj.encode(24, 19, 1, rows, quality=90)
+    base = mj.decode(data)
+    sof = data.find(b"\xff\xc0")
+    assert sof >= 0
+    # SOF0 layout: FF C0 LL LL P HH HH WW WW N (cid hv tq) — the lone
+    # component's sampling byte sits at offset 11.
+    assert data[sof + 11] == 0x11
+    patched = data[: sof + 11] + b"\x22" + data[sof + 12 :]
+    got = mj.decode(patched)
+    assert got == base
+
+
 def test_restart_intervals_decode_identically():
     """DRI/RSTn must be a pure framing change: same quantized blocks →
     bit-identical pixels vs the unrestarted stream, at every interval

@@ -66,25 +66,36 @@ def test_driver_window_is_first_50():
     assert set(ordered) == set(harness.REGISTRY)
 
 
-def test_driver_window_rows_only_slots_are_the_scheduled_seven():
+def test_driver_window_has_no_rows_only_slots():
     """Round-5 lesson: a window slot burned on err=no_oracle proves
-    nothing — so rows-only entries were barred from the window while the
-    oracle-backed backlog existed. Round 7 cleared that backlog and
-    deliberately schedules the 7 rows-only-by-policy sketch/trained-ANN
-    entries for their one rows+schema driver confirmation (VERDICT r6
-    item 6). Exactly those 7, no accidental additions."""
+    nothing. The 7 rows-only-by-policy sketch/trained-ANN entries got
+    their one scheduled rows+schema confirmation in round 7; from round
+    8 on the window runs the staleness rotation over oracle-backed
+    entries only, so rows-only entries are barred again."""
     rows_only = {
         n for n in harness.DRIVER_WINDOW if harness.REGISTRY[n].oracle is None
     }
-    assert rows_only == {
-        "approx_count_distinct",
-        "approx_percentile_profile",
-        "ann_ivf_trained_topk",
-        "ann_pq_trained_topk",
-        "hll_sketch_union_daily",
-        "theta_audience_overlap",
-        "kll_quantile_merge_profile",
-    }, f"unexpected rows-only window set: {sorted(rows_only)}"
+    assert rows_only == set(), (
+        f"rows-only entries waste window slots: {sorted(rows_only)}"
+    )
+
+
+def test_driver_window_is_oldest_green_first():
+    """The rotation's point (VERDICT r7 item 2): beyond the stability
+    core and this round's changed entries, window slots go to the
+    entries whose last driver green is OLDEST. Pin that the r1 cohort
+    (the stalest greens) is fully inside the window."""
+    r1_cohort = {
+        "text_token_count", "text_quality", "text_lang_id",
+        "text_fingerprint", "dedup_simhash", "dedup_ngram_jaccard",
+        "ann_brute_force_topk", "ann_lsh_bucketed_topk",
+        "dedup_embedding_cosine", "multimodal_decode",
+        "multimodal_resize", "multimodal_frame_sample", "sessionize",
+        "asof_join", "semi_join_exists", "anti_join_not_exists",
+        "percentile_by_group", "count_distinct_by_group",
+    }
+    missing = r1_cohort - set(harness.DRIVER_WINDOW)
+    assert not missing, f"stalest entries missing from window: {missing}"
 
 
 def test_canonicalizer_rejects_array_cells():
