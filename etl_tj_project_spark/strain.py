@@ -1,0 +1,282 @@
+"""Strain datasets: deterministic seeded expansions of the sf tables
+that genuinely cross the size-dispatch budgets, so the DISTRIBUTED
+strategies — the only code that runs at corpus scale — execute under
+measurement instead of only inside equality tests (VERDICT r7 item 1).
+
+Round 7's size dispatch was the right call at sf0.1 (every stage of the
+iterative loops is job-barrier overhead below one partition of work),
+but it removed the pointer-doubling connected-components loop and the
+distributed Lloyd trainers from the bench entirely: their constants
+could regress invisibly. ``/root/testdata`` is read-only and tops out
+at sf0.1, so the strain inputs are derived IN-PLAN from the sf tables:
+
+* :func:`strain_edges` — each ``doc_id`` expands into ``replicas``
+  chained nodes (chains of ``chain`` nodes, so convergence needs
+  ~log2(chain) pointer-doubling rounds, not 1). At the default 260
+  replicas over sf0.1's 5,000 docs: 1,285,000 pairs = 2,570,000
+  symmetrized edges > the 2M single-task budget
+  (``operators/dedup._CC_SINGLE_TASK_EDGES``) — auto dispatches to the
+  distributed loop with no strategy forcing.
+* :func:`strain_embeddings` — each vector expands into ``replicas``
+  deterministically perturbed copies. At the default 40 replicas over
+  sf0.1's 2,000 x 64-d vectors: 80,000 x 64 = 5,120,000 elements > the
+  4M single-task budget (``operators/similarity.
+  _KMEANS_SINGLE_TASK_ELEMENTS``) — auto trains distributed.
+
+Everything is a pure column expression over the parquet scan (explode
+of a literal sequence + integer/float arithmetic): no RNG, no driver
+materialization, reproducible across runs — and because the expansion
+is part of the plan, the measured runs include a realistic scan ->
+expand -> iterate pipeline, not a pre-collected in-memory toy.
+
+The runners assert the expansion crossed the budget (a strain bench
+that silently fell back to the single-task branch would measure the
+wrong code) and assert answer equality between the distributed result
+and the local strategy on the same input (CC: full label comparison on
+one doc's block; trainers: codebook/centroid agreement within float
+tolerance across the strategies, which differ only in summation order).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.operators import dedup as dd
+from etl_tj_project_spark.operators import similarity as sim
+from etl_tj_project_spark.sources.testdata import load_table
+
+
+def strain_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int = 260,
+    chain: int = 100,
+) -> DataFrame:
+    """(doc_a, doc_b) edge table: per document, ``replicas`` nodes
+    ``doc_id*replicas + r`` linked ``r -> r+1`` except across ``chain``
+    boundaries — components are chains of depth ``chain``, the
+    adversarial shape for label propagation (an LSH graph over
+    boilerplate-heavy corpora chains exactly like this)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    node = F.col("doc_id") * replicas + F.col("r")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(replicas - 2))).alias("r"),
+        )
+        .filter((F.col("r") % chain) != (chain - 1))
+        .select(node.alias("doc_a"), (node + 1).alias("doc_b"))
+    )
+
+
+def strain_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int = 40,
+) -> DataFrame:
+    """(vec_id, embedding) with each source vector expanded into
+    ``replicas`` copies, each deterministically perturbed per (replica,
+    dimension) so centroids/codebooks are not degenerate duplicates."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = F.transform(
+        "embedding",
+        lambda x, i: x.cast("double")
+        + ((F.col("r") * 31 + i) % 13).cast("double") * F.lit(0.01),
+    )
+    return e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+    ).select(
+        (F.col("vec_id") * replicas + F.col("r")).alias("vec_id"),
+        pert.alias("embedding"),
+    )
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise AssertionError(msg)
+
+
+def run_cc_strain(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int | None = None,
+    chain: int = 100,
+    check_equality: bool = True,
+) -> dict:
+    """Auto-dispatched connected components over the strain graph —
+    crosses the single-task budget, so this IS the pointer-doubling
+    distributed loop. Labels are forced with a noop-equivalent count;
+    equality vs the local union-find strategy is asserted on the first
+    document's full block (260 labels)."""
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    if replicas is None:
+        # Auto-scale to the source table so the budget is crossed by
+        # ~1.3x at ANY sf dir (sf0.1: 263 replicas -> 2.6M sym edges;
+        # smaller SFs get proportionally more replicas, same total).
+        replicas = -(-13 * dd._CC_SINGLE_TASK_EDGES
+                     // (20 * n_docs * (chain - 1) // chain))
+    edges = strain_edges(spark, sf_dir, replicas, chain)
+    per_doc = (replicas - 1) - (replicas - 1) // chain
+    n_sym = 2 * n_docs * per_doc
+    _require(
+        n_sym > dd._CC_SINGLE_TASK_EDGES,
+        f"strain graph too small to cross the dispatch budget: {n_sym}",
+    )
+    t0 = time.perf_counter()
+    labels = dd.connected_components(edges, "doc_a", "doc_b", max_iter=40)
+    n_labels = labels.count()
+    sec_distributed = round(time.perf_counter() - t0, 4)
+    _require(
+        n_labels == n_docs * replicas,
+        f"label count {n_labels} != node count {n_docs * replicas}",
+    )
+    result = {
+        "edges_sym": n_sym,
+        "nodes": n_labels,
+        "sec_distributed": sec_distributed,
+    }
+    if check_equality:
+        # Distributed labels for one doc's block vs the local strategy
+        # run on just that block — full 260-node comparison.
+        t0 = time.perf_counter()
+        first = edges.agg(F.min("doc_a").alias("m")).collect()[0]["m"]
+        lo, hi = first, first + replicas
+        got = {
+            r["node"]: r["component_id"]
+            for r in labels.filter(
+                (F.col("node") >= lo) & (F.col("node") < hi)
+            ).collect()
+        }
+        block_local = dd.connected_components(
+            edges.filter((F.col("doc_a") >= lo) & (F.col("doc_b") < hi)),
+            "doc_a",
+            "doc_b",
+            strategy="local",
+        )
+        want = {
+            r["node"]: r["component_id"] for r in block_local.collect()
+        }
+        dd.release_components(block_local)
+        _require(
+            got == want,
+            f"distributed labels diverge from local on block [{lo},{hi})",
+        )
+        result["equality_checked_nodes"] = len(want)
+        result["sec_equality_check"] = round(time.perf_counter() - t0, 4)
+    dd.release_components(labels)
+    return result
+
+
+def run_ivf_strain(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int | None = None,
+    check_equality: bool = True,
+) -> dict:
+    """Auto-dispatched trained-IVF top-k over the strain vectors — the
+    distributed per-iteration (cell, dim)-shuffle Lloyd loop feeding
+    the same probe plan as ann_ivf_trained_topk. Centroid equality vs
+    the local strategy (same data, same update rule, different float
+    summation order) asserted within 1e-6."""
+    n_src = load_table(spark, sf_dir, "embeddings").count()
+    dim = 64
+    if replicas is None:
+        # ~1.25x over the element budget at any sf dir (sf0.1: 40
+        # replicas -> 80k x 64 = 5.12M elements).
+        replicas = -(-5 * sim._KMEANS_SINGLE_TASK_ELEMENTS
+                     // (4 * n_src * dim))
+    e = strain_embeddings(spark, sf_dir, replicas)
+    _require(
+        n_src * replicas * dim > sim._KMEANS_SINGLE_TASK_ELEMENTS,
+        f"strain vectors too small: {n_src * replicas} x {dim}",
+    )
+    t0 = time.perf_counter()
+    cents, train = sim.train_kmeans_with_cache(e, k=8, iters=2)
+    q = train.filter(F.col("vec_id") == 0)
+    top = sim.ivf_topk(train, q, k=10, centroids=cents)
+    n_top = top.count()
+    result = {
+        "vectors": n_src * replicas,
+        "topk_rows": n_top,
+        "sec_distributed": round(time.perf_counter() - t0, 4),
+    }
+    if check_equality:
+        # The equality pass doubles as the local-vs-distributed A/B at
+        # strain scale: same data, same update rule, single-task path.
+        t0 = time.perf_counter()
+        local_cents = sim.train_kmeans(
+            e, k=8, iters=2, strategy="local"
+        )
+        worst = max(
+            abs(a - b)
+            for ca, cb in zip(cents, local_cents)
+            for a, b in zip(ca, cb)
+        )
+        _require(
+            worst < 1e-6,
+            f"distributed/local centroid divergence {worst}",
+        )
+        result["centroid_max_abs_diff"] = worst
+        result["sec_local_strategy"] = round(time.perf_counter() - t0, 4)
+    train.unpersist()
+    return result
+
+
+def run_pq_strain(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int | None = None,
+    check_equality: bool = True,
+) -> dict:
+    """Auto-dispatched trained-PQ top-k over the strain vectors — the
+    distributed joint (subspace, codeword, dim)-shuffle Lloyd loop plus
+    the ADC scan of ann_pq_trained_topk. Codebook equality vs the local
+    strategy asserted within 1e-6."""
+    n_src = load_table(spark, sf_dir, "embeddings").count()
+    dim = 64
+    if replicas is None:
+        # ~1.25x over the element budget at any sf dir (sf0.1: 40
+        # replicas -> 80k x 64 = 5.12M elements).
+        replicas = -(-5 * sim._KMEANS_SINGLE_TASK_ELEMENTS
+                     // (4 * n_src * dim))
+    e = strain_embeddings(spark, sf_dir, replicas)
+    _require(
+        n_src * replicas * dim > sim._KMEANS_SINGLE_TASK_ELEMENTS,
+        f"strain vectors too small: {n_src * replicas} x {dim}",
+    )
+    t0 = time.perf_counter()
+    books, train = sim.train_pq_with_cache(e, m=8, ksub=16, iters=2)
+    q = train.filter(F.col("vec_id") == 0)
+    top = sim.pq_topk(train, q, k=10, codebooks=books, oversample=8)
+    n_top = top.count()
+    result = {
+        "vectors": n_src * replicas,
+        "topk_rows": n_top,
+        "sec_distributed": round(time.perf_counter() - t0, 4),
+    }
+    if check_equality:
+        t0 = time.perf_counter()
+        local_books = sim.train_pq(
+            e, m=8, ksub=16, iters=2, strategy="local"
+        )
+        worst = max(
+            abs(a - b)
+            for bj, lj in zip(books, local_books)
+            for cb, cl in zip(bj, lj)
+            for a, b in zip(cb, cl)
+        )
+        _require(
+            worst < 1e-6,
+            f"distributed/local codebook divergence {worst}",
+        )
+        result["codebook_max_abs_diff"] = worst
+        result["sec_local_strategy"] = round(time.perf_counter() - t0, 4)
+    train.unpersist()
+    return result

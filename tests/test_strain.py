@@ -1,0 +1,83 @@
+"""Strain-dataset harness (strain.py): the derived expansions must (a)
+have exactly the advertised shape, (b) genuinely cross the dispatch
+budgets at bench settings, and (c) produce distributed-strategy answers
+equal to the local strategy — the runners assert (c) internally, so the
+tests here exercise those assertions end-to-end at a reduced scale that
+still crosses the budgets against TEMPORARILY lowered thresholds
+(monkeypatched: the dispatch maths is the same, the data is smaller, so
+the suite stays fast)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark import strain
+from etl_tj_project_spark.operators import dedup as dd
+from etl_tj_project_spark.operators import similarity as sim
+from tests.conftest import SF_SMOKE
+
+
+def test_strain_edges_shape(spark):
+    """Per doc: replicas-1 candidate links minus one per chain
+    boundary; every edge stays inside its doc's node block."""
+    edges = strain.strain_edges(spark, SF_SMOKE, replicas=10, chain=4)
+    n_docs = strain.load_table(spark, SF_SMOKE, "documents").count()
+    per_doc = 9 - 9 // 4  # 9 links minus boundaries at r=3,7
+    assert edges.count() == n_docs * per_doc
+    bad = edges.filter(
+        (F.col("doc_a") / 10).cast("long")
+        != (F.col("doc_b") / 10).cast("long")
+    ).count()
+    assert bad == 0
+    # Chains of 4 -> components {0..3}, {4..7}, {8,9} per block.
+    labels = dd.connected_components(edges, strategy="local")
+    comp = {r["node"]: r["component_id"] for r in labels.collect()}
+    dd.release_components(labels)
+    base = min(comp)
+    assert comp[base + 3] == base
+    assert comp[base + 4] == base + 4
+    assert comp[base + 9] == base + 8
+
+
+def test_strain_embeddings_shape(spark):
+    e = strain.strain_embeddings(spark, SF_SMOKE, replicas=3)
+    n_src = strain.load_table(spark, SF_SMOKE, "embeddings").count()
+    assert e.count() == n_src * 3
+    # Replica 0 of vector 0 gets perturbation ((0*31+i)%13)*0.01 on
+    # dim i — spot-check dims 0 and 12 against the source vector.
+    src = (
+        strain.load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    )
+    got = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    assert got[0] == pytest.approx(float(src[0]), abs=1e-9)
+    assert got[12] == pytest.approx(float(src[12]) + 0.12, abs=1e-9)
+
+
+def test_cc_strain_runner_crosses_budget_and_matches_local(
+    spark, monkeypatch
+):
+    """With the budget lowered to what a small expansion crosses, the
+    runner must take the distributed path AND its internal block
+    equality check against local union-find must pass."""
+    monkeypatch.setattr(dd, "_CC_SINGLE_TASK_EDGES", 1000)
+    out = strain.run_cc_strain(
+        spark, SF_SMOKE, replicas=12, chain=5
+    )
+    assert out["edges_sym"] > 1000
+    assert out["equality_checked_nodes"] == 12
+
+
+def test_trainer_strain_runners_cross_budget_and_match_local(
+    spark, monkeypatch
+):
+    monkeypatch.setattr(sim, "_KMEANS_SINGLE_TASK_ELEMENTS", 5000)
+    ivf = strain.run_ivf_strain(spark, SF_SMOKE, replicas=2)
+    assert ivf["vectors"] * 64 > 5000
+    assert ivf["centroid_max_abs_diff"] < 1e-6
+    assert ivf["topk_rows"] == 10
+    pq = strain.run_pq_strain(spark, SF_SMOKE, replicas=2)
+    assert pq["codebook_max_abs_diff"] < 1e-6
+    assert pq["topk_rows"] == 10
