@@ -589,6 +589,17 @@ def release_components(labels: DataFrame) -> None:
 # job-barrier overhead.
 _CC_SINGLE_TASK_EDGES = 2_000_000
 
+# Edge rows per iteration-table partition for the distributed loop.
+# NOT the same number as the single-task budget above: once the loop
+# runs at all, each round does real join/aggregate work, and an
+# interleaved A/B on the 2.6M-edge strain graph (SCALE.md §17) showed
+# per-partition targets of 250k edges beating the old 2M target (which
+# left a 32-core machine running 2-task rounds) 11.9s vs 18.1s (1.5x),
+# with 125k a tie and 500k 10% behind — identical labels throughout.
+# 250k keeps tasks well above scheduling noise while filling the
+# machine; the shuffle-width cap still bounds it above.
+_CC_EDGES_PER_PARTITION = 250_000
+
 
 def union_find_labels(edge_iter) -> dict:
     """Min-representative union-find over an iterable of (n, m) pairs:
@@ -794,11 +805,12 @@ def connected_components(
     # graphs keep their parallelism. The narrowing is decided BEFORE
     # anything is persisted so the wide variants never materialize.
     # Measured at sf0.1 (58k LSH pairs): loop 8.2 s -> 3.5 s, identical
-    # labels.
+    # labels. Target per partition: _CC_EDGES_PER_PARTITION (250k, A/B
+    # at 2.6M strain edges — see the constant's comment).
     cap = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    parts = max(1, min(cap, int(n_sym // 2_000_000) + 1))
+    parts = max(1, min(cap, int(n_sym // _CC_EDGES_PER_PARTITION) + 1))
     if parts < withself.rdd.getNumPartitions():
         withself = withself.repartition(parts, "m")
         labels = labels.repartition(parts, "n")
