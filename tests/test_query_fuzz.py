@@ -701,3 +701,159 @@ def test_random_ordered_limit_matches_oracle(spark, duck, li_view, idx):
     )
     sdf = spark.sql(sql.format(t=li_view))
     compare(sdf, duck, sql.format(t="lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# String ordering in window frames (round 8): empty string vs NULL
+# under both NULLS options and both directions
+# ---------------------------------------------------------------------------
+#
+# Both engines use binary collation by default, so '' < 'A' everywhere;
+# the hazard is NULL placement (default NULLS ordering differs by
+# engine and direction) and frame composition when NULLs/empties sit at
+# frame edges. The grammar always SPELLS the NULLS option explicitly
+# (the repo-wide rule: never rely on an engine default) and appends a
+# unique tiebreak so every window order is total.
+
+_STR_WITH_HOLES = (
+    "CASE WHEN l_linenumber % 7 = 0 THEN NULL "
+    "WHEN l_suppkey % 5 = 0 THEN '' "
+    "ELSE l_returnflag || CAST(l_suppkey % 10 AS STRING) END"
+)
+
+
+def _strwin_case(rng: random.Random) -> tuple[str, str]:
+    part = rng.choice(["l_returnflag", "l_linestatus", "(l_suppkey % 4)"])
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    order_s = f"s {direction} {nulls}"
+    total = f"{order_s}, l_orderkey, l_linenumber"
+    fn = rng.choice(
+        [
+            # rank over s alone: deterministic under ties by definition
+            f"RANK() OVER (PARTITION BY {part} ORDER BY {order_s})",
+            f"DENSE_RANK() OVER (PARTITION BY {part} ORDER BY {order_s})",
+            f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {total})",
+            f"FIRST_VALUE(s) OVER (PARTITION BY {part} ORDER BY {total} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+            f"LAST_VALUE(s) OVER (PARTITION BY {part} ORDER BY {total} "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+            f"LEAD(s, 1) OVER (PARTITION BY {part} ORDER BY {total})",
+            f"LAG(s, 1, '<none>') OVER (PARTITION BY {part} ORDER BY {total})",
+            f"COUNT(s) OVER (PARTITION BY {part} ORDER BY {total} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        ]
+    )
+    return part, fn
+
+
+def _gen_strwin(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260825)
+    return [_strwin_case(rng) for _ in range(n)]
+
+
+STRWIN_CASES = _gen_strwin(12)
+
+
+@pytest.mark.parametrize("idx", range(len(STRWIN_CASES)))
+def test_random_string_window_matches_oracle(spark, duck, li_view, idx):
+    part, fn = STRWIN_CASES[idx]
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, s, {fn} AS w FROM "
+        f"(SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, "
+        f"l_suppkey, {_STR_WITH_HOLES} AS s FROM {{t}}) base"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+def test_string_window_source_has_nulls_and_empties(spark, li_view):
+    """The class is vacuous unless the derived column actually contains
+    NULL, '' and regular values in the smoke data."""
+    row = spark.sql(
+        f"SELECT COUNT(CASE WHEN s IS NULL THEN 1 END) AS n_null, "
+        f"COUNT(CASE WHEN s = '' THEN 1 END) AS n_empty, "
+        f"COUNT(CASE WHEN s > '' THEN 1 END) AS n_str FROM "
+        f"(SELECT {_STR_WITH_HOLES} AS s FROM {li_view}) b"
+    ).collect()[0]
+    assert row.n_null > 0 and row.n_empty > 0 and row.n_str > 0, row
+
+
+# ---------------------------------------------------------------------------
+# Decimal precision/rounding boundaries (round 8): wide-precision sums
+# and ROUND at digit boundaries
+# ---------------------------------------------------------------------------
+#
+# Engines diverge on decimal arithmetic in two places: result-type
+# inference for products (Spark p1+p2+1, DuckDB p1+p2) and rounding
+# mode. The grammar normalizes every intermediate with an explicit CAST
+# (the repo-wide convention) and exercises ROUND on exact DECIMAL
+# digits, where both engines do HALF_UP away from zero — a divergence
+# here is a real bug, not a representation artifact. Sums run at
+# DECIMAL(38,x), the max-precision boundary.
+
+def _dec_case(rng: random.Random) -> tuple[str, str, int]:
+    key = rng.choice(["l_returnflag", "l_linestatus", "(l_partkey % 3)"])
+    a = rng.choice(["l_extendedprice", "l_quantity"])
+    b = rng.choice(["l_discount", "l_tax"])
+    expr = rng.choice(
+        [
+            f"CAST(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)) "
+            "AS DECIMAL(38,4))",
+            f"CAST(CAST({a} AS DECIMAL(18,2)) + CAST({b} AS DECIMAL(18,2)) "
+            "AS DECIMAL(38,4))",
+            f"CAST(CAST({a} AS DECIMAL(18,2)) - "
+            f"CAST({rng.randint(0, 40)}.{rng.randint(0, 9)}5 "
+            "AS DECIMAL(18,3)) AS DECIMAL(38,4))",
+        ]
+    )
+    d = rng.randint(0, 3)
+    return key, expr, d
+
+
+def _gen_dec(n: int) -> list[tuple[str, str, int]]:
+    rng = random.Random(20260826)
+    return [_dec_case(rng) for _ in range(n)]
+
+
+DEC_CASES = _gen_dec(12)
+
+
+@pytest.mark.parametrize("idx", range(len(DEC_CASES)))
+def test_random_decimal_rounding_matches_oracle(spark, duck, li_view, idx):
+    # All arithmetic, rounding and summation happen EXACTLY in decimal;
+    # only the final representation pins to DOUBLE (repo convention —
+    # compare() rejects DECIMAL outputs), which is lossless here: every
+    # aggregate fits 2^53 at scale 4.
+    key, expr, d = DEC_CASES[idx]
+    sql = (
+        f"SELECT {key} AS k, "
+        f"CAST(CAST(SUM({expr}) AS DECIMAL(38,4)) AS DOUBLE) AS s38, "
+        f"CAST(CAST(SUM(CAST(ROUND({expr}, {d}) AS DECIMAL(38,4))) "
+        f"AS DECIMAL(38,4)) AS DOUBLE) AS sr, "
+        f"CAST(CAST(MIN(ROUND({expr}, {d})) AS DECIMAL(38,4)) AS DOUBLE) "
+        f"AS mn, "
+        f"CAST(CAST(MAX(ROUND({expr}, {d})) AS DECIMAL(38,4)) AS DOUBLE) "
+        f"AS mx "
+        f"FROM {{t}} GROUP BY {key}"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+def test_decimal_round_exercises_half_boundary(spark, li_view):
+    """At least one generated subtraction case lands values ending in
+    exactly .x5 (the 5-at-the-boundary digits ROUND must decide), so
+    the class genuinely probes the rounding mode."""
+    hits = 0
+    for _key, expr, d in DEC_CASES:
+        if "AS DECIMAL(18,3))" in expr:
+            # expr = value(scale 2) - const whose scale-2 digit is 5:
+            # rows whose difference still ends in 5 at scale 2 put
+            # ROUND(expr, 1) exactly on the half boundary.
+            n = spark.sql(
+                f"SELECT COUNT(*) AS n FROM __fuzz_lineitem "
+                f"WHERE ABS(CAST(({expr}) * 100 AS BIGINT)) % 10 = 5"
+            ).collect()[0].n
+            hits += n
+    assert hits > 0, "no half-boundary digits generated"
