@@ -136,6 +136,11 @@ def main() -> None:
         ("cc_distributed", strain_mod.run_cc_strain),
         ("ivf_distributed", strain_mod.run_ivf_strain),
         ("pq_distributed", strain_mod.run_pq_strain),
+        # The flagship write path end-to-end (VERDICT r7 item 8): raw
+        # strings -> typed -> union -> 3 aggregates -> atomic partition
+        # commit, INCLUDING the parquet sink the noop-forced headline
+        # queries deliberately skip.
+        ("daily_pipeline_e2e", strain_mod.run_daily_pipeline_strain),
     ):
         try:
             strain_out[key] = runner(spark, sf_dir)
