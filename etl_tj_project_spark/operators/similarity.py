@@ -459,9 +459,10 @@ def train_kmeans_with_cache(
     n_vectors x dim fits the ~30 MB single-task budget (at that size
     every distributed stage is job-barrier overhead — measured at
     sf0.1's 2,000x64 embeddings the whole trainer is barriers), else
-    the distributed per-iteration (cell, dim) shuffle loop that scales
-    to 10^10 vectors. ``"local"`` / ``"distributed"`` pin it. Both
-    produce the same centroids up to float summation order.
+    the distributed loop that scales to 10^10 vectors: Arrow-batched
+    numpy partial sums per partition combined by a (cell, dim) shuffle
+    of k rows per partition. ``"local"`` / ``"distributed"`` pin it.
+    Both produce the same centroids up to float summation order.
     """
     if strategy not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown train_kmeans strategy {strategy!r}")
@@ -493,29 +494,70 @@ def train_kmeans_with_cache(
             train,
         )
 
-    spark = df.sparkSession
+    # Distributed iteration = Arrow-batched PARTIAL SUMS: each task runs
+    # the numpy assignment (same argmax-cosine rule as _cell_expr,
+    # ties to the LARGER cell) over its cached partition and emits k
+    # rows of (cell, count, per-dim sum); a (cell, dim) shuffle of those
+    # partials — k rows per partition, not one row per VECTOR element —
+    # combines them, and the driver divides. This replaced the pure
+    # column-expression iteration (higher-order transform/aggregate
+    # lambdas + posexplode of every vector element): an interleaved A/B
+    # on the 80k x 64-d strain set measured 3.4 s -> 0.5 s per
+    # iteration (SCALE.md §22) — HOF lambdas evaluate per ELEMENT with
+    # no whole-stage codegen, while the Arrow batch does the same
+    # arithmetic as one numpy matmul. Per-row Python stays banned; this
+    # is the sanctioned vectorized-batch path, and at 10^10 vectors the
+    # shuffle carries k*dim*partitions doubles instead of n*dim.
+    import numpy as np
+    import pandas as pd
+
+    dim = len(cents[0])
+
     for _ in range(iters):
-        cents_df = spark.createDataFrame(
-            [(cents,)], schema="__cents array<array<double>>"
-        )
-        assigned = train.crossJoin(F.broadcast(cents_df)).select(
-            _cell_expr(F.col(vec_col), F.col("__cents")).alias("__cell"),
-            F.col(vec_col).alias("__v"),
-        )
-        longf = assigned.select(
-            "__cell", F.posexplode("__v").alias("__dim", "__val")
-        )
-        means = (
-            longf.groupBy("__cell", "__dim")
-            .agg(F.avg("__val").alias("__m"))
+        cents_np = np.asarray(cents, dtype=np.float64)
+
+        def partials(batches, _c=cents_np):
+            sums = np.zeros((k, dim))
+            cnts = np.zeros(k, dtype=np.int64)
+            cn = np.linalg.norm(_c, axis=1)
+            for pdf in batches:
+                x = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                xn = np.linalg.norm(x, axis=1)
+                denom = np.outer(xn, cn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = np.where(denom > 0, (x @ _c.T) / denom, -np.inf)
+                # argmax with ties to the LARGER cell id — the
+                # struct-max ordering of _cell_expr.
+                cell = k - 1 - np.argmax(scores[:, ::-1], axis=1)
+                for c in np.unique(cell):
+                    m = cell == c
+                    sums[c] += x[m].sum(axis=0)
+                    cnts[c] += int(m.sum())
+            yield pd.DataFrame(
+                {
+                    "cell": list(range(k)),
+                    "cnt": cnts.tolist(),
+                    "s": [row.tolist() for row in sums],
+                }
+            )
+
+        rows = (
+            train.mapInPandas(partials, schema="cell long, cnt long, s array<double>")
+            .select("cell", "cnt", F.posexplode("s").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("v").alias("sv"), F.sum("cnt").alias("cn"))
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["__cell"], {})[r["__dim"]] = r["__m"]
+        cnt_by_cell: dict[int, int] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["sv"]
+            cnt_by_cell[r["cell"]] = r["cn"]
         new_cents = [
-            [by_cell[c][d] for d in sorted(by_cell[c])]
-            if c in by_cell
+            [by_cell[c][d] / cnt_by_cell[c] for d in sorted(by_cell[c])]
+            if cnt_by_cell.get(c)
             else cents[c]
             for c in range(k)
         ]
@@ -582,17 +624,17 @@ def train_pq(
     subspace j`` (list of m lists of ksub vectors of dim/m doubles).
 
     All m subspaces train JOINTLY in one Lloyd loop: per iteration ONE
-    scan assigns every row its m nearest codewords (pure column
-    expression, no UDF) and ONE (subspace, codeword, dim) shuffle of
-    map-side-combined partials computes every codebook's means — cost
-    per iteration is independent of m (the exploded row count is
-    m * dsub = dim per vector, the same as full-vector k-means).
-    Driver traffic is m * ksub * dsub doubles per iteration — constant
-    in table size. Centroids enter via a broadcast one-row table so
-    every iteration submits the IDENTICAL plan (codegen cache hit —
-    the train_kmeans lesson). Deterministic init: subspace j seeds from
-    the first ksub vectors by id, so retrains reproduce. ``iters`` is a
-    cap with a movement-threshold early exit like train_kmeans.
+    Arrow-batched scan encodes every row (numpy d2 matrices per
+    subspace inside mapInPandas — the vectorized-batch path, never
+    per-row Python) and emits m*ksub partial (sum, count) rows per
+    partition; ONE (subspace, codeword, dim) shuffle of those partials
+    computes every codebook's means — shuffle volume is
+    m*ksub*partitions rows, independent of the table size, and cost
+    per iteration is independent of m. Driver traffic is
+    m * ksub * dsub doubles per iteration — constant in table size.
+    Deterministic init: subspace j seeds from the first ksub vectors by
+    id, so retrains reproduce. ``iters`` is a cap with a
+    movement-threshold early exit like train_kmeans.
     """
     books, train = train_pq_with_cache(
         df, m=m, ksub=ksub, iters=iters,
@@ -717,39 +759,76 @@ def train_pq_with_cache(
             train,
         )
 
-    spark = df.sparkSession
+    # Distributed iteration = Arrow-batched PARTIAL SUMS per (subspace,
+    # codeword) — the same rewrite as train_kmeans_with_cache's loop
+    # (see the comment there; interleaved A/B on the strain set:
+    # 3.4 s -> 0.5 s per k-means iteration, same mechanism here): each
+    # task encodes its cached partition with one numpy d2 matrix per
+    # subspace (argmin ties to the SMALLER codeword, mirroring
+    # _pq_codes' array_min struct ordering) and emits m*ksub partial
+    # rows; a (j, code, dim) shuffle of partials combines them and the
+    # driver divides. Shuffle volume: m*ksub*partitions rows, not one
+    # row per vector element.
+    import numpy as np
+    import pandas as pd
+
     for _ in range(iters):
-        books_df = spark.createDataFrame(
-            [(books,)], schema="__cb array<array<array<double>>>"
-        )
-        assigned = train.crossJoin(F.broadcast(books_df)).select(
-            _pq_codes(F.col(vec_col), F.col("__cb"), dsub).alias("__codes"),
-            F.col(vec_col).alias("__v"),
-        )
-        # (subspace, codeword, dim_within_subspace) partials: explode the
-        # full vector ONCE; subspace = dim // dsub, no second explode.
-        longf = assigned.select(
-            "__codes", F.posexplode("__v").alias("__pos", "__val")
-        ).select(
-            (F.col("__pos") / dsub).cast("int").alias("__j"),
-            F.element_at(
-                F.col("__codes"), (F.col("__pos") / dsub).cast("int") + 1
-            ).alias("__code"),
-            (F.col("__pos") % dsub).alias("__dim"),
-            F.col("__val").cast("double").alias("__val"),
-        )
-        means = (
-            longf.groupBy("__j", "__code", "__dim")
-            .agg(F.avg("__val").alias("__m"))
+        books_np = [np.asarray(b, dtype=np.float64) for b in books]
+
+        def partials(batches, _b=books_np):
+            sums = np.zeros((m, ksub, dsub))
+            cnts = np.zeros((m, ksub), dtype=np.int64)
+            for pdf in batches:
+                x = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                for j in range(m):
+                    s = x[:, j * dsub : (j + 1) * dsub]
+                    b = _b[j]
+                    d2 = (
+                        (s * s).sum(axis=1)[:, None]
+                        - 2.0 * (s @ b.T)
+                        + (b * b).sum(axis=1)[None, :]
+                    )
+                    code = np.argmin(d2, axis=1)
+                    for c in np.unique(code):
+                        mask = code == c
+                        sums[j, c] += s[mask].sum(axis=0)
+                        cnts[j, c] += int(mask.sum())
+            yield pd.DataFrame(
+                {
+                    "j": [j for j in range(m) for _ in range(ksub)],
+                    "code": [c for _ in range(m) for c in range(ksub)],
+                    "cnt": cnts.reshape(-1).tolist(),
+                    "s": [
+                        sums[j, c].tolist()
+                        for j in range(m)
+                        for c in range(ksub)
+                    ],
+                }
+            )
+
+        rows = (
+            train.mapInPandas(
+                partials, schema="j long, code long, cnt long, s array<double>"
+            )
+            .select("j", "code", "cnt", F.posexplode("s").alias("dim", "v"))
+            .groupBy("j", "code", "dim")
+            .agg(F.sum("v").alias("sv"), F.sum("cnt").alias("cn"))
             .collect()
         )
         by_key: dict[tuple[int, int], dict[int, float]] = {}
-        for r in means:
-            by_key.setdefault((r["__j"], r["__code"]), {})[r["__dim"]] = r["__m"]
+        cnt_by_key: dict[tuple[int, int], int] = {}
+        for r in rows:
+            by_key.setdefault((r["j"], r["code"]), {})[r["dim"]] = r["sv"]
+            cnt_by_key[(r["j"], r["code"])] = r["cn"]
         new_books = [
             [
-                [by_key[(j, c)][d] for d in sorted(by_key[(j, c)])]
-                if (j, c) in by_key
+                [
+                    by_key[(j, c)][d] / cnt_by_key[(j, c)]
+                    for d in sorted(by_key[(j, c)])
+                ]
+                if cnt_by_key.get((j, c))
                 else books[j][c]
                 for c in range(ksub)
             ]
