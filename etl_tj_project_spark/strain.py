@@ -12,11 +12,12 @@ at sf0.1, so the strain inputs are derived IN-PLAN from the sf tables:
 
 * :func:`strain_edges` — each ``doc_id`` expands into ``replicas``
   chained nodes (chains of ``chain`` nodes, so convergence needs
-  ~log2(chain) pointer-doubling rounds, not 1). At the default 260
-  replicas over sf0.1's 5,000 docs: 1,285,000 pairs = 2,570,000
-  symmetrized edges > the 2M single-task budget
-  (``operators/dedup._CC_SINGLE_TASK_EDGES``) — auto dispatches to the
-  distributed loop with no strategy forcing.
+  ~log2(chain) pointer-doubling rounds, not 1). The cc runner
+  auto-sizes replicas to 1.3x the single-task budget
+  (``operators/dedup._CC_SINGLE_TASK_EDGES``; 16M symmetrized edges
+  since the numpy single-task core landed — ~2,100 replicas / 20.8M
+  sym edges at sf0.1) so auto dispatches to the distributed loop with
+  no strategy forcing.
 * :func:`strain_embeddings` — each vector expands into ``replicas``
   deterministically perturbed copies. At the default 40 replicas over
   sf0.1's 2,000 x 64-d vectors: 80,000 x 64 = 5,120,000 elements > the
@@ -32,9 +33,10 @@ expand -> iterate pipeline, not a pre-collected in-memory toy.
 The runners assert the expansion crossed the budget (a strain bench
 that silently fell back to the single-task branch would measure the
 wrong code) and assert answer equality between the distributed result
-and the local strategy on the same input (CC: full label comparison on
-one doc's block; trainers: codebook/centroid agreement within float
-tolerance across the strategies, which differ only in summation order).
+and the local strategy on the same input (CC: full-graph label
+comparison through a distributed join; trainers: codebook/centroid
+agreement within float tolerance across the strategies, which differ
+only in summation order).
 """
 
 from __future__ import annotations
@@ -112,14 +114,14 @@ def run_cc_strain(
 ) -> dict:
     """Auto-dispatched connected components over the strain graph —
     crosses the single-task budget, so this IS the pointer-doubling
-    distributed loop. Labels are forced with a noop-equivalent count;
-    equality vs the local union-find strategy is asserted on the first
-    document's full block (260 labels)."""
+    distributed loop. Labels are forced with a count; FULL-graph label
+    equality vs the pinned single-task strategy is asserted through a
+    distributed join (and timed, as the local-vs-distributed A/B)."""
     n_docs = load_table(spark, sf_dir, "documents").count()
     if replicas is None:
         # Auto-scale to the source table so the budget is crossed by
-        # ~1.3x at ANY sf dir (sf0.1: 263 replicas -> 2.6M sym edges;
-        # smaller SFs get proportionally more replicas, same total).
+        # ~1.3x at ANY sf dir (smaller SFs get proportionally more
+        # replicas, same total edge count).
         replicas = -(-13 * dd._CC_SINGLE_TASK_EDGES
                      // (20 * n_docs * (chain - 1) // chain))
     edges = strain_edges(spark, sf_dir, replicas, chain)
@@ -143,33 +145,38 @@ def run_cc_strain(
         "sec_distributed": sec_distributed,
     }
     if check_equality:
-        # Distributed labels for one doc's block vs the local strategy
-        # run on just that block — full 260-node comparison.
+        # FULL-graph equality vs the pinned single-task strategy,
+        # compared distributively (join + mismatch count — never a
+        # driver collect of the label tables). Doubles as the
+        # local-vs-distributed wall-clock A/B at strain scale, exactly
+        # like the trainers' sec_local_strategy. The pin slightly
+        # exceeds the single-task memory budget by construction (the
+        # strain graph is sized 1.3x over it) — fine on local[32],
+        # which is where the bench runs.
         t0 = time.perf_counter()
-        first = edges.agg(F.min("doc_a").alias("m")).collect()[0]["m"]
-        lo, hi = first, first + replicas
-        got = {
-            r["node"]: r["component_id"]
-            for r in labels.filter(
-                (F.col("node") >= lo) & (F.col("node") < hi)
-            ).collect()
-        }
-        block_local = dd.connected_components(
-            edges.filter((F.col("doc_a") >= lo) & (F.col("doc_b") < hi)),
-            "doc_a",
-            "doc_b",
-            strategy="local",
+        local = dd.connected_components(
+            edges, "doc_a", "doc_b", strategy="local"
         )
-        want = {
-            r["node"]: r["component_id"] for r in block_local.collect()
-        }
-        dd.release_components(block_local)
+        mismatched = (
+            labels.join(
+                local.withColumnRenamed("component_id", "component_local"),
+                "node",
+                "full_outer",
+            )
+            .filter(
+                F.col("component_id").isNull()
+                | F.col("component_local").isNull()
+                | (F.col("component_id") != F.col("component_local"))
+            )
+            .count()
+        )
+        dd.release_components(local)
         _require(
-            got == want,
-            f"distributed labels diverge from local on block [{lo},{hi})",
+            mismatched == 0,
+            f"distributed labels diverge from local on {mismatched} nodes",
         )
-        result["equality_checked_nodes"] = len(want)
-        result["sec_equality_check"] = round(time.perf_counter() - t0, 4)
+        result["equality_checked_nodes"] = n_labels
+        result["sec_local_strategy"] = round(time.perf_counter() - t0, 4)
     dd.release_components(labels)
     return result
 

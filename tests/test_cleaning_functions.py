@@ -283,6 +283,37 @@ def test_reliable_checkpoint_files_are_cleaned(spark, tmp_path):
     assert not _ckpt_child_dirs(sc), "final checkpoint files leaked"
 
 
+def test_connected_components_string_ids_single_task(spark):
+    """Doc ids are not always integers; the numpy single-task core maps
+    ids to sorted-order indices, so 'min node' must mean lexicographic
+    min for strings — end-to-end through the local strategy."""
+    import numpy as np
+
+    from etl_tj_project_spark.operators.dedup import (
+        connected_components,
+        numpy_min_label_components,
+        release_components,
+    )
+
+    nodes, labs = numpy_min_label_components(
+        np.array(["b", "c", "x"]), np.array(["a", "b", "y"])
+    )
+    assert dict(zip(nodes.tolist(), labs.tolist())) == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x"
+    }
+    edges = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-c", "doc-b"), ("doc-z", "doc-y")],
+        ["doc_a", "doc_b"],
+    )
+    labels = connected_components(edges, strategy="local")
+    got = {r["node"]: r["component_id"] for r in labels.collect()}
+    release_components(labels)
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-y": "doc-y", "doc-z": "doc-y",
+    }
+
+
 def test_resize_thumbnail_clamps_longer_side(spark):
     """Portrait media (h > w) must clamp height to max_side, not scale it
     off the width — the round-1 clamp-width-only bug."""
@@ -322,12 +353,19 @@ def test_resize_thumbnail_clamps_longer_side(spark):
 
 def test_union_find_labels_property_random_graphs():
     """Pure-Python property check of the local strategy's core: on 300
-    random graphs, union_find_labels must equal a brute-force BFS
-    min-reachable-node labeling (the Spark-level strategy equality test
-    covers the plumbing; this covers the algorithm at volume)."""
+    random graphs, union_find_labels AND the vectorized
+    numpy_min_label_components (the single-task implementation since
+    round 8) must equal a brute-force BFS min-reachable-node labeling
+    (the Spark-level strategy equality test covers the plumbing; this
+    covers both algorithms at volume)."""
     import random
 
-    from etl_tj_project_spark.operators.dedup import union_find_labels
+    import numpy as np
+
+    from etl_tj_project_spark.operators.dedup import (
+        numpy_min_label_components,
+        union_find_labels,
+    )
 
     rng = random.Random(20260814)
     for _ in range(300):
@@ -339,6 +377,13 @@ def test_union_find_labels_property_random_graphs():
         ]
         sym = edges + [(b, a) for a, b in edges]
         got = union_find_labels(sym)
+        if sym:
+            nodes_np, labs_np = numpy_min_label_components(
+                np.array([a for a, _ in sym]),
+                np.array([b for _, b in sym]),
+            )
+            got_np = dict(zip(nodes_np.tolist(), labs_np.tolist()))
+            assert got_np == got, (edges, got_np, got)
         # brute-force BFS reference
         adj: dict[int, set[int]] = {}
         for a, b in sym:
