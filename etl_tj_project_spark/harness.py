@@ -782,13 +782,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM walk GROUP BY n
     """,
     doc="Connected components over the LSH candidate graph: cluster id = "
-        "min reachable doc_id. Size-dispatched (SCALE.md §16): graphs "
-        "within one partition (<=2M edges) run as ONE executor-side "
-        "union-find task; larger graphs run iterative pointer-doubling "
-        "min-label propagation, O(log diameter) rounds — the "
-        "iterative-algorithm surface, strategy-equality tested. Oracle: "
-        "recursive-CTE transitive closure — exponential state both "
-        "strategies avoid, fine at oracle scale, unusable at 100 TB",
+        "min reachable doc_id. Size-dispatched (SCALE.md §16/§22): "
+        "graphs within the single-task memory budget (16M sym edges) "
+        "run as ONE executor-side numpy pointer-jumping task; larger "
+        "graphs run iterative pointer-doubling min-label propagation, "
+        "O(log diameter) rounds — the iterative-algorithm surface, "
+        "strategy-equality tested. Oracle: recursive-CTE transitive "
+        "closure — exponential state both strategies avoid, fine at "
+        "oracle scale, unusable at 100 TB",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

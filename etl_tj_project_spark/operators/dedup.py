@@ -725,17 +725,17 @@ def connected_components(
     ``strategy`` picks the execution shape (``"auto"`` by size, or pin
     ``"distributed"`` / ``"local"``):
 
-    * ``"local"`` — ONE executor-side task runs union-find over the
+    * ``"local"`` — ONE executor-side task runs vectorized min-label
+      pointer jumping (:func:`numpy_min_label_components`) over the
       whole (symmetrized) edge list via ``mapInPandas`` after a
-      ``coalesce(1)``. Chosen by auto when the edge count is at most
-      the ~2M-row single-partition budget the distributed loop already
-      sizes its iteration tables by: below that, every one of the
-      loop's 8+ jobs runs single-partition tasks anyway, so the
-      iteration is pure job-barrier overhead — one task computing the
-      exact same labels replaces ~8 barrier rounds (measured at sf0.1:
-      the loop is ~4 s of the operator's ~5 s; union-find on 232k
-      edges is milliseconds). No driver collect — the work runs where
-      the data is, and the result is a plain unpersisted DataFrame.
+      ``coalesce(1)``. Chosen by auto when the edge count fits the
+      single-task MEMORY budget (``_CC_SINGLE_TASK_EDGES`` = 16M sym
+      edges ~ 256 MB of int64 arrays): measured 0.7 s at 2.6M edges
+      and 6 s at 20M on one core, vs 12-15 s for the 32-core
+      distributed loop at 2.6M — below the memory line the single task
+      always wins, because the loop's per-round join/aggregate
+      barriers dominate. No driver collect — the work runs where the
+      data is, and the result is a plain unpersisted DataFrame.
     * ``"distributed"`` — the iterative loop below; the only shape
       that works when the candidate graph itself is beyond one
       executor (billions of LSH pairs at corpus scale). Auto picks it
@@ -847,9 +847,9 @@ def connected_components(
     # shuffle width (64 map tasks for a few-MB cache at local[32]) makes
     # the loop pure task-scheduling overhead — rounds are action-barrier
     # bound, so task count per round IS the wall clock. Partitions target
-    # ~2M edges each (sized from the already-counted symmetric edge
-    # table; self-loops add at most one row per node, sizing is a
-    # heuristic), capped by the configured shuffle width so cluster-scale
+    # _CC_EDGES_PER_PARTITION edges each (sized from the already-counted
+    # symmetric edge table; self-loops add at most one row per node,
+    # sizing is a heuristic), capped by the configured shuffle width so cluster-scale
     # graphs keep their parallelism. The narrowing is decided BEFORE
     # anything is persisted so the wide variants never materialize.
     # Measured at sf0.1 (58k LSH pairs): loop 8.2 s -> 3.5 s, identical
