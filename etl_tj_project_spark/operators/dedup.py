@@ -716,6 +716,7 @@ def connected_components(
     probe_every: int = 1,
     reliable: bool = False,
     strategy: str = "auto",
+    doubling_hops: int = 1,
 ) -> DataFrame:
     """(node, component_id) for every node in ``edges``, where
     component_id is the MINIMUM node id reachable in the undirected
@@ -918,12 +919,17 @@ def connected_components(
         # (labels ARE node ids, and every label value appears as a node
         # in new_labels, so the lookup is a self-join on the label).
         # lab(x) <= x guarantees the hop never increases a label.
-        parent = new_labels.select(
-            F.col("n").alias("lab"), F.col("lab").alias("lab2")
-        )
-        new_labels = new_labels.join(parent, on="lab", how="left").select(
-            "n", F.coalesce(F.col("lab2"), F.col("lab")).alias("lab")
-        )
+        # ``doubling_hops`` applies the hop N times per round — each
+        # extra hop references the current label plan twice, so its
+        # cost compounds; 1 is the measured default at every scale
+        # tried (58k pairs: §16; 20.8M edges: §22 round-8 A/B).
+        for _hop in range(doubling_hops):
+            parent = new_labels.select(
+                F.col("n").alias("lab"), F.col("lab").alias("lab2")
+            )
+            new_labels = new_labels.join(parent, on="lab", how="left").select(
+                "n", F.coalesce(F.col("lab2"), F.col("lab")).alias("lab")
+            )
         # Probe cadence: labels are monotone non-increasing, so sum
         # unchanged across probe_every rounds still implies a fixed
         # point — convergence stays exact at any cadence. Skip rounds
