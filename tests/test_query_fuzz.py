@@ -857,3 +857,77 @@ def test_decimal_round_exercises_half_boundary(spark, li_view):
             ).collect()[0].n
             hits += n
     assert hits > 0, "no half-boundary digits generated"
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic (round 8): dual-SQL class — the engines' syntaxes
+# genuinely differ here (Spark date_add/add_months/datediff(end,start)
+# vs DuckDB date + n / + TO_MONTHS / datediff('day', start, end)), so
+# the generator emits a (spark_sql, duck_sql) PAIR per case and the
+# compare pins that the different spellings agree on values: day
+# arithmetic over year boundaries, month arithmetic with end-of-month
+# clamping (Jan 31 + 1 month), signed offsets, last_day.
+# ---------------------------------------------------------------------------
+
+def _date_source(rng: random.Random) -> tuple[str, str]:
+    """(spark_expr, duck_expr) for a date source. The synthetic
+    lineitem has ONE date column, so the second source is derived by a
+    row-dependent day shift — spelled per-engine."""
+    if rng.random() < 0.5:
+        e = "CAST(l_shipdate AS DATE)"
+        return e, e
+    shift = f"(CAST(l_suppkey % 90 AS INT) - {rng.randint(0, 60)})"
+    return (
+        f"date_add(CAST(l_shipdate AS DATE), {shift})",
+        f"(CAST(l_shipdate AS DATE) + {shift})",
+    )
+
+
+def _datearith_case(rng: random.Random) -> tuple[str, str]:
+    sa, da = _date_source(rng)
+    sb, db = _date_source(rng)
+    kd = rng.randint(-400, 400)
+    km = rng.randint(-25, 25)
+    form = rng.choice(["days", "months", "diff", "lastday"])
+    if form == "days":
+        return f"date_add({sa}, {kd})", f"({da} + ({kd}))"
+    if form == "months":
+        return (
+            f"add_months({sa}, {km})",
+            f"CAST({da} + TO_MONTHS({km}) AS DATE)",
+        )
+    if form == "diff":
+        return (
+            f"CAST(datediff({sa}, {sb}) AS BIGINT)",
+            f"CAST(datediff('day', {db}, {da}) AS BIGINT)",
+        )
+    return f"last_day({sa})", f"last_day({da})"
+
+
+def _gen_datearith(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260827)
+    return [_datearith_case(rng) for _ in range(n)]
+
+
+DATEARITH_CASES = _gen_datearith(12)
+
+
+@pytest.mark.parametrize("idx", range(len(DATEARITH_CASES)))
+def test_random_date_arith_matches_oracle(spark, duck, li_view, idx):
+    s_expr, d_expr = DATEARITH_CASES[idx]
+    s_sql = (
+        f"SELECT l_orderkey, l_linenumber, {s_expr} AS v FROM {li_view}"
+    )
+    d_sql = f"SELECT l_orderkey, l_linenumber, {d_expr} AS v FROM lineitem"
+    sdf = spark.sql(s_sql)
+    compare(sdf, duck, d_sql)
+
+
+def test_date_arith_hits_month_end_clamp(spark, li_view):
+    """The months form is vacuous unless some source dates sit past the
+    28th, where add_months must clamp (e.g. Jan 31 + 1m -> Feb 29/28)."""
+    n = spark.sql(
+        f"SELECT COUNT(*) AS n FROM {li_view} "
+        "WHERE day(CAST(l_shipdate AS DATE)) >= 29"
+    ).collect()[0].n
+    assert n > 0, "no month-end dates in the smoke data"
