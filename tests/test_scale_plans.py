@@ -507,6 +507,39 @@ def test_pq_strategies_agree_and_distributed_stays_exercised(spark):
             assert best < 0.25, book
 
 
+def test_distributed_trainers_empty_cells_and_empty_partitions(spark):
+    """Edge cases of the round-8 Arrow-partials iteration: (a) a cell/
+    codeword that captures no vectors must KEEP its centroid (cnt=0
+    partials must not divide), and (b) empty input partitions must
+    contribute zero partials, not crash or skew. Identical duplicate
+    vectors force (a): ties assign every row to the larger cell, so
+    cell 0 stays empty; over-wide repartitioning forces (b)."""
+    import pytest
+
+    from etl_tj_project_spark.operators.similarity import (
+        train_kmeans,
+        train_pq,
+    )
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(32)
+    for strategy in ("local", "distributed"):
+        cents = train_kmeans(df, k=2, iters=3, strategy=strategy)
+        # All rows tie on cosine -> assigned to the LARGER cell id;
+        # cell 1 converges to the data mean, cell 0 keeps its init.
+        assert cents[1] == pytest.approx([1.0, 2.0, 3.0, 4.0]), strategy
+        assert cents[0] == pytest.approx([1.0, 2.0, 3.0, 4.0]), strategy
+
+    for strategy in ("local", "distributed"):
+        books = train_pq(df, m=2, ksub=2, iters=3, strategy=strategy)
+        # L2 argmin ties to the SMALLER codeword -> codeword 1 empty,
+        # keeps its init (== codeword 0's init here, all dup vectors).
+        for j, book in enumerate(books):
+            want = [1.0, 2.0] if j == 0 else [3.0, 4.0]
+            assert book[0] == pytest.approx(want), (strategy, j)
+            assert book[1] == pytest.approx(want), (strategy, j)
+
+
 def test_chunked_running_sum_equals_naive_window_on_adversarial_data(spark):
     """Property check: the two-phase rewrite equals the plain window on
     random data with duplicate order keys, ties, single-row chunks, and
