@@ -141,6 +141,11 @@ def main() -> None:
         # commit, INCLUDING the parquet sink the noop-forced headline
         # queries deliberately skip.
         ("daily_pipeline_e2e", strain_mod.run_daily_pipeline_strain),
+        # Real Structured-Streaming drain: micro-batches + state store +
+        # exactly-once group-granular sink, equality-pinned to the batch
+        # twin — the headline's stream_window_agg measures the query
+        # SHAPE; this measures the streaming RUNTIME.
+        ("streaming_drain", strain_mod.run_streaming_strain),
     ):
         try:
             strain_out[key] = runner(spark, sf_dir)

@@ -83,3 +83,20 @@ def test_trainer_strain_runners_cross_budget_and_match_local(
     pq = strain.run_pq_strain(spark, SF_SMOKE, replicas=2)
     assert pq["codebook_max_abs_diff"] < 1e-6
     assert pq["topk_rows"] == 10
+
+
+def test_streaming_strain_drains_and_matches_batch_twin(spark):
+    """The streaming drain runner must process every staged row through
+    the real micro-batch pipeline and converge the exactly-once sink to
+    the batch twin (the runner asserts group equality internally)."""
+    out = strain.run_streaming_strain(spark, SF_SMOKE)
+    assert out["rows_in"] > 0
+    assert out["groups_out"] > 0
+    assert out["sec_drain"] > 0
+
+
+def test_daily_pipeline_strain_runs(spark):
+    out = strain.run_daily_pipeline_strain(spark, SF_SMOKE)
+    assert out["rows_agg_by_card"] > 0
+    assert out["rows_agg_by_route"] > 0
+    assert out["rows_agg_by_tariff"] > 0
