@@ -118,13 +118,13 @@ def main() -> None:
     # distributed strategies — the ONLY code that runs at 100 TB — no
     # longer execute in the headline queries at sf0.1. Run them here on
     # deterministic derived expansions that genuinely cross both
-    # dispatch budgets (>2M symmetrized edges, >4M vector elements), so
-    # their constants are measured every round instead of regressing
+    # dispatch budgets (>16M symmetrized edges, >4M vector elements),
+    # so their constants are measured every round instead of regressing
     # invisibly. Each runner asserts the budget was crossed AND answer
-    # equality vs the local strategy (CC: one doc-block of labels;
-    # trainers: centroid/codebook agreement within 1e-6) — sec_* keys
-    # split the distributed wall-clock from the equality pass, which
-    # for the trainers doubles as a local-vs-distributed A/B on the
+    # equality vs the local strategy (CC: FULL-graph labels through a
+    # distributed join; trainers: centroid/codebook agreement within
+    # 1e-6) — sec_* keys split the distributed wall-clock from the
+    # equality pass, which doubles as a local-vs-distributed A/B on the
     # same data. Single-shot (not best-of-2): the strain ops are the
     # bench's heaviest and their round-over-round comparison leans on
     # the calibration anchors like everything else. Kept OUT of the
@@ -146,6 +146,10 @@ def main() -> None:
         # twin — the headline's stream_window_agg measures the query
         # SHAPE; this measures the streaming RUNTIME.
         ("streaming_drain", strain_mod.run_streaming_strain),
+        # Band-join under boilerplate skew: 8 identical replicas per
+        # doc, exact within-family completeness asserted (C(8,2) per
+        # family), ~3.8M candidate pairs at sf0.1.
+        ("lsh_skew", strain_mod.run_lsh_strain),
     ):
         try:
             strain_out[key] = runner(spark, sf_dir)

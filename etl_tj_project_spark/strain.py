@@ -488,3 +488,51 @@ def run_streaming_strain(spark: SparkSession, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def run_lsh_strain(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int = 8,
+) -> dict:
+    """MinHash-LSH candidate generation under boilerplate skew: every
+    document is expanded into ``replicas`` byte-identical copies, so
+    each band bucket holds whole replica families — the adversarial
+    shape (template-heavy corpora) the band join's AQE skew handling
+    exists for. Completeness is provable, not sampled: identical texts
+    share every band hash, so the candidate set MUST contain all
+    C(replicas, 2) within-family pairs for every doc — asserted
+    exactly. Cross-family candidates scale ~replicas^2 over the base
+    corpus's near-dup pairs, so the join output (~3.8M pairs at sf0.1)
+    measures candidate-generation throughput at real skew."""
+    from etl_tj_project_spark.operators import dedup as dd_ops
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()
+    fam = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+    ).select(
+        (F.col("doc_id") * replicas + F.col("r")).alias("doc_id"), "text"
+    )
+    t0 = time.perf_counter()
+    pairs = dd_ops.lsh_candidate_pairs(fam, "doc_id", "text")
+    n_pairs = pairs.count()
+    sec = round(time.perf_counter() - t0, 4)
+    # Exact completeness floor: all within-family pairs present.
+    within = pairs.filter(
+        (F.col("doc_a") / replicas).cast("long")
+        == (F.col("doc_b") / replicas).cast("long")
+    ).count()
+    want_within = n_docs * replicas * (replicas - 1) // 2
+    _require(
+        within == want_within,
+        f"LSH lost within-family pairs: {within} != {want_within}",
+    )
+    return {
+        "docs": n_docs * replicas,
+        "pairs": n_pairs,
+        "within_family_pairs": within,
+        "sec_candidates": sec,
+    }

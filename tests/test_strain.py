@@ -100,3 +100,13 @@ def test_daily_pipeline_strain_runs(spark):
     assert out["rows_agg_by_card"] > 0
     assert out["rows_agg_by_route"] > 0
     assert out["rows_agg_by_tariff"] > 0
+
+
+def test_lsh_strain_within_family_completeness(spark):
+    """Identical replica texts share every band hash, so the candidate
+    set must contain ALL within-family pairs — the runner asserts the
+    exact count internally; this drives it at smoke scale."""
+    out = strain.run_lsh_strain(spark, SF_SMOKE, replicas=3)
+    n_docs = strain.load_table(spark, SF_SMOKE, "documents").count()
+    assert out["within_family_pairs"] == n_docs * 3
+    assert out["pairs"] >= out["within_family_pairs"]
