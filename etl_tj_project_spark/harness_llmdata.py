@@ -349,7 +349,11 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized eagerly so the cache can be released before return.
     cents, train = sim.train_kmeans_with_cache(e, k=8, iters=2)
     q = train.filter(F.col("vec_id") == 0)
-    top = sim.ivf_topk(train, q, k=10, centroids=cents).select(
+    # assign="arrow": this entry is rows-only (Lloyd means are not
+    # bitwise-reproducible anyway), so the probe takes the numpy batch
+    # assignment — the HOF expression stays the hash-checked
+    # ann_ivf_topk's path, whose oracle mirrors its numerics exactly.
+    top = sim.ivf_topk(train, q, k=10, centroids=cents, assign="arrow").select(
         "vec_id", F.round("cosine", 9).alias("cosine")
     )
     rows = top.collect()
@@ -381,7 +385,11 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the k-row result is materialized eagerly so the cache releases.
     books, train = sim.train_pq_with_cache(e, m=8, ksub=16, iters=2)
     q = train.filter(F.col("vec_id") == 0)
-    top = sim.pq_topk(train, q, k=10, codebooks=books, oversample=8).select(
+    # encode="arrow": rows-only entry — numpy batch encode (see
+    # ann_ivf_trained_topk's assign note).
+    top = sim.pq_topk(
+        train, q, k=10, codebooks=books, oversample=8, encode="arrow"
+    ).select(
         "vec_id",
         F.round("approx_l2sq", 6).alias("approx_l2sq"),
         F.round("cosine", 9).alias("cosine"),

@@ -239,6 +239,54 @@ def _cell_expr(vec: Column, centroids: list[list[float]] | Column) -> Column:
     return F.array_max(_scored_cells(vec, centroids)).getField("cell")
 
 
+def _assign_cells_arrow(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, __cell) in one Arrow batch pass — the numpy twin of
+    ``_cell_expr`` (argmax cosine, ties to the LARGER cell, zero-norm
+    rows fall to the last cell) for callers that don't need bit-stable
+    assignment numerics: numpy's pairwise summation can flip argmax on
+    near-ties vs the expression's sequential accumulation, so the
+    hash-checked oracle entries keep the expression path while the
+    rows-only trained entries and the strain bench take this one
+    (measured: the HOF assignment was the dominant probe cost)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    k = len(cents)
+    c = np.asarray(cents, dtype=np.float64)
+    base = df.select(id_col, vec_col)
+    schema = T.StructType(
+        list(base.schema.fields)
+        + [T.StructField("__cell", T.IntegerType(), False)]
+    )
+
+    def run(batches):
+        cn = np.linalg.norm(c, axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            xn = np.linalg.norm(x, axis=1)
+            denom = np.outer(xn, cn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(denom > 0, (x @ c.T) / denom, -np.inf)
+            cell = k - 1 - np.argmax(scores[:, ::-1], axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["__cell"] = cell.astype("int32")
+            yield out
+        # Empty partitions: an empty generator is valid mapInPandas
+        # output — no sentinel frame needed.
+
+    return base.mapInPandas(run, schema=schema)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: DataFrame,
@@ -249,6 +297,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     qvec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    assign: str = "expr",
 ) -> DataFrame:
     """IVF-Flat approximate top-k: every vector is assigned to its
     nearest of ``n_cells`` centroid cells; the query probes its
@@ -284,14 +333,29 @@ def ivf_topk(
     cents_df = df.sparkSession.createDataFrame(
         [(cents,)], schema="__cents array<array<double>>"
     )
-    # _ensure_parallelism: the assignment expression is the per-row hot
-    # path; an under-split source would run it on one core (no-op when
-    # df is already well-partitioned, e.g. the trainer's cache).
-    bucketed = _ensure_parallelism(df).crossJoin(F.broadcast(cents_df)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        _cell_expr(F.col(vec_col), F.col("__cents")).alias("__cell"),
-    )
+    # _ensure_parallelism: the assignment is the per-row hot path; an
+    # under-split source would run it on one core (no-op when df is
+    # already well-partitioned, e.g. the trainer's cache).
+    # ``assign``: "expr" (default) keeps the pure column expression —
+    # bit-stable sequential numerics mirrored exactly by the DuckDB
+    # oracle of the hash-checked entries; "arrow" runs the numpy batch
+    # twin (identical tie rule, pairwise-summation numerics) for the
+    # rows-only trained entries and the strain bench, where the HOF
+    # assignment dominated probe wall-clock.
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"unknown ivf_topk assign {assign!r}")
+    if assign == "arrow":
+        bucketed = _assign_cells_arrow(
+            _ensure_parallelism(df), cents, id_col, vec_col
+        )
+    else:
+        bucketed = _ensure_parallelism(df).crossJoin(
+            F.broadcast(cents_df)
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            _cell_expr(F.col(vec_col), F.col("__cents")).alias("__cell"),
+        )
     # Query side: rank ALL cells by cosine, keep the top n_probe.
     probes = F.slice(
         F.reverse(
@@ -849,6 +913,53 @@ def train_pq_with_cache(
     return books, train
 
 
+def _pq_encode_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, __codes) in one Arrow batch pass — the numpy twin of
+    ``_pq_codes`` (per-subspace L2 argmin, ties to the SMALLER
+    codeword). Same stability caveat as :func:`_assign_cells_arrow`:
+    rows-only callers only."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    base = df.select(id_col, vec_col)
+    schema = T.StructType(
+        list(base.schema.fields)
+        + [T.StructField("__codes", T.ArrayType(T.IntegerType()), False)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                s = x[:, j * dsub : (j + 1) * dsub]
+                b = books[j]
+                d2 = (
+                    (s * s).sum(axis=1)[:, None]
+                    - 2.0 * (s @ b.T)
+                    + (b * b).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["__codes"] = [row.tolist() for row in codes]
+            yield out
+
+    return base.mapInPandas(run, schema=schema)
+
+
 def pq_topk(
     df: DataFrame,
     query_vec: DataFrame,
@@ -861,6 +972,7 @@ def pq_topk(
     qvec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
     iters: int = 5,
+    encode: str = "expr",
 ) -> DataFrame:
     """PQ-ADC approximate top-k with exact rerank.
 
@@ -902,12 +1014,23 @@ def pq_topk(
     )
     # _ensure_parallelism: the m-subspace encode is the per-row hot path
     # (no-op when df is already well-partitioned, e.g. the trainer's
-    # cache).
-    encoded = _ensure_parallelism(df).select(
-        F.col(id_col),
-        F.col(vec_col),
-        _pq_codes(F.col(vec_col), books_lit, dsub).alias("__codes"),
-    )
+    # cache). ``encode``: "expr" keeps the pure column expression;
+    # "arrow" runs the numpy batch twin (identical smaller-codeword tie
+    # rule) for the rows-only trained entry and the strain bench — the
+    # m*ksub*dsub distance evaluations per row were the dominant ADC
+    # scan cost under the HOF expression.
+    if encode not in ("expr", "arrow"):
+        raise ValueError(f"unknown pq_topk encode {encode!r}")
+    if encode == "arrow":
+        encoded = _pq_encode_arrow(
+            _ensure_parallelism(df), codebooks, id_col, vec_col
+        )
+    else:
+        encoded = _ensure_parallelism(df).select(
+            F.col(id_col),
+            F.col(vec_col),
+            _pq_codes(F.col(vec_col), books_lit, dsub).alias("__codes"),
+        )
     adc = F.aggregate(
         F.zip_with(
             F.col("__codes"),

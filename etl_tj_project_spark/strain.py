@@ -207,7 +207,7 @@ def run_ivf_strain(
     t0 = time.perf_counter()
     cents, train = sim.train_kmeans_with_cache(e, k=8, iters=2)
     q = train.filter(F.col("vec_id") == 0)
-    top = sim.ivf_topk(train, q, k=10, centroids=cents)
+    top = sim.ivf_topk(train, q, k=10, centroids=cents, assign="arrow")
     n_top = top.count()
     result = {
         "vectors": n_src * replicas,
@@ -261,7 +261,9 @@ def run_pq_strain(
     t0 = time.perf_counter()
     books, train = sim.train_pq_with_cache(e, m=8, ksub=16, iters=2)
     q = train.filter(F.col("vec_id") == 0)
-    top = sim.pq_topk(train, q, k=10, codebooks=books, oversample=8)
+    top = sim.pq_topk(
+        train, q, k=10, codebooks=books, oversample=8, encode="arrow"
+    )
     n_top = top.count()
     result = {
         "vectors": n_src * replicas,

@@ -507,6 +507,53 @@ def test_pq_strategies_agree_and_distributed_stays_exercised(spark):
             assert best < 0.25, book
 
 
+def test_probe_arrow_paths_match_expr_paths(spark):
+    """The round-8 Arrow probe variants (ivf assign='arrow',
+    pq encode='arrow') must return the same rows as the expression
+    paths on tie-free data — same tie rules, different float summation
+    order, so any divergence on well-separated vectors is a bug."""
+    import random
+
+    from etl_tj_project_spark.operators.similarity import ivf_topk, pq_topk
+
+    rng = random.Random(23)
+    rows = [
+        (vid, [rng.uniform(-1, 1) for _ in range(16)]) for vid in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+
+    got = {}
+    for mode in ("expr", "arrow"):
+        got[mode] = sorted(
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_topk(
+                df, q, k=10, n_cells=4, n_probe=2, assign=mode
+            ).collect()
+        )
+    assert got["expr"] == got["arrow"]
+
+    books = [
+        [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(4)]
+        for _ in range(4)
+    ]
+    got = {}
+    for mode in ("expr", "arrow"):
+        got[mode] = sorted(
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in pq_topk(
+                df, q, k=10, m=4, ksub=4, codebooks=books, encode=mode
+            ).collect()
+        )
+    assert got["expr"] == got["arrow"]
+    import pytest
+
+    with pytest.raises(ValueError, match="assign"):
+        ivf_topk(df, q, assign="bogus")
+    with pytest.raises(ValueError, match="encode"):
+        pq_topk(df, q, codebooks=books, m=4, ksub=4, encode="bogus")
+
+
 def test_distributed_trainers_empty_cells_and_empty_partitions(spark):
     """Edge cases of the round-8 Arrow-partials iteration: (a) a cell/
     codeword that captures no vectors must KEEP its centroid (cnt=0
