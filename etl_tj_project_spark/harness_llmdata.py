@@ -349,11 +349,12 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized eagerly so the cache can be released before return.
     cents, train = sim.train_kmeans_with_cache(e, k=8, iters=2)
     q = train.filter(F.col("vec_id") == 0)
-    # assign="arrow": this entry is rows-only (Lloyd means are not
-    # bitwise-reproducible anyway), so the probe takes the numpy batch
-    # assignment — the HOF expression stays the hash-checked
-    # ann_ivf_topk's path, whose oracle mirrors its numerics exactly.
-    top = sim.ivf_topk(train, q, k=10, centroids=cents, assign="arrow").select(
+    # assign stays "expr" at THIS scale: the Arrow probe wins above
+    # ~10^4 rows (strain bench: 8.5 -> 3.7 s at 80k vectors) but at
+    # sf0.1's 2,000 vectors the Python-stage startup costs more than
+    # the HOF assignment it replaces (measured 1.45 -> 1.9 s). A real
+    # corpus-scale caller passes assign="arrow" — the strain bench does.
+    top = sim.ivf_topk(train, q, k=10, centroids=cents).select(
         "vec_id", F.round("cosine", 9).alias("cosine")
     )
     rows = top.collect()
@@ -385,10 +386,10 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the k-row result is materialized eagerly so the cache releases.
     books, train = sim.train_pq_with_cache(e, m=8, ksub=16, iters=2)
     q = train.filter(F.col("vec_id") == 0)
-    # encode="arrow": rows-only entry — numpy batch encode (see
-    # ann_ivf_trained_topk's assign note).
+    # encode stays "expr" at this scale (see ann_ivf_trained_topk's
+    # assign note; the strain bench runs the Arrow encode at 80k rows).
     top = sim.pq_topk(
-        train, q, k=10, codebooks=books, oversample=8, encode="arrow"
+        train, q, k=10, codebooks=books, oversample=8
     ).select(
         "vec_id",
         F.round("approx_l2sq", 6).alias("approx_l2sq"),
