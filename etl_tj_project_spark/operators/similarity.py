@@ -252,7 +252,10 @@ def _assign_cells_arrow(
     near-ties vs the expression's sequential accumulation, so the
     hash-checked oracle entries keep the expression path while the
     rows-only trained entries and the strain bench take this one
-    (measured: the HOF assignment was the dominant probe cost)."""
+    (measured: the HOF assignment was the dominant probe cost).
+    Input contract: non-null, fixed-dimension vectors (what the
+    trainer's cached projection provides); the expression path is the
+    one that null-propagates."""
     import numpy as np
 
     from pyspark.sql import types as T

@@ -455,7 +455,12 @@ def run_streaming_strain(spark: SparkSession, sf_dir: str) -> dict:
             .withWatermark("ts", "90 days")
         )
         q = ds.write_daily_stream(ds._agg(stream, "1 day"), sink, ckpt)
-        q.awaitTermination()
+        # availableNow terminates on its own; the bounded wait is a
+        # backstop so a wedged stream fails the bench loudly instead of
+        # hanging it (the strain runner's errors are recorded visibly).
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming drain did not finish in 600s")
         sec = round(time.perf_counter() - t0, 4)
         got = spark.read.parquet(sink).select(
             "window_start", "event_type", "event_count", "value_sum"
