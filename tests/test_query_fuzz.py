@@ -931,3 +931,57 @@ def test_date_arith_hits_month_end_clamp(spark, li_view):
         "WHERE day(CAST(l_shipdate AS DATE)) >= 29"
     ).collect()[0].n
     assert n > 0, "no month-end dates in the smoke data"
+
+
+# ---------------------------------------------------------------------------
+# UNION type-coercion (round 8): set-operation branch widening
+# ---------------------------------------------------------------------------
+#
+# Each engine widens UNION branches by its own promotion lattice; the
+# grammar unions differently-typed branch expressions that BOTH engines
+# accept (int/bigint/double/decimal; string||int rendering) and pins
+# the merged column to an explicit outer type per the repo convention —
+# so what's actually probed is the INNER branch coercion (value
+# semantics of widening, decimal->double rendering, int->string
+# rendering), not the engines' type-display strings.
+
+_COERCE_BRANCHES = [
+    ("CAST(l_linenumber AS INT)", "num"),
+    ("CAST(l_suppkey AS BIGINT)", "num"),
+    ("CAST(l_quantity AS DOUBLE)", "num"),
+    ("CAST(l_extendedprice AS DECIMAL(18,2))", "num"),
+    ("CAST(l_tax AS DECIMAL(20,4))", "num"),
+    ("l_returnflag", "str"),
+    ("CAST(l_linenumber AS STRING)", "str"),
+]
+
+
+def _coerce_case(rng: random.Random) -> tuple[str, str, str]:
+    kind = rng.choice(["num", "str"])
+    pool = [e for e, k in _COERCE_BRANCHES if k == kind]
+    a, b = rng.sample(pool, 2)
+    out = "DOUBLE" if kind == "num" else "STRING"
+    return a, b, out
+
+
+def _gen_coerce(n: int) -> list[tuple[str, str, str]]:
+    rng = random.Random(20260828)
+    return [_coerce_case(rng) for _ in range(n)]
+
+
+COERCE_CASES = _gen_coerce(10)
+
+
+@pytest.mark.parametrize("idx", range(len(COERCE_CASES)))
+def test_random_union_coercion_matches_oracle(spark, duck, li_view, idx):
+    a, b, out = COERCE_CASES[idx]
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, CAST(v AS {out}) AS v FROM ("
+        f"SELECT l_orderkey, l_linenumber, {a} AS v FROM {{t}} "
+        f"WHERE l_linenumber % 2 = 0 "
+        f"UNION ALL "
+        f"SELECT l_orderkey, l_linenumber, {b} AS v FROM {{t}} "
+        f"WHERE l_linenumber % 2 = 1) u"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
