@@ -985,3 +985,192 @@ def test_random_union_coercion_matches_oracle(spark, duck, li_view, idx):
     )
     sdf = spark.sql(sql.format(t=li_view))
     compare(sdf, duck, sql.format(t="lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (round 8): EXISTS / NOT EXISTS / IN / scalar
+# ---------------------------------------------------------------------------
+#
+# The registry proves chosen semi/anti-join shapes; this probes random
+# correlated predicates, where the engines' decorrelation rewrites
+# (Spark's RewritePredicateSubquery vs DuckDB's flattening) can disagree
+# on duplicate handling, NULL-key matches, and empty-group scalars. The
+# scalar form uses COUNT/MIN/MAX only (empty correlation group: COUNT
+# gives 0, MIN/MAX give NULL — both engines, but only if the rewrite
+# preserves the outer row), wrapped in COALESCE so the output stays
+# deterministic and non-NULL comparisons don't mask a lost row.
+
+def _corr_case(rng: random.Random) -> tuple[str, str]:
+    inner_pred = _pred(rng, 1).replace("l_", "i.l_")
+    corr = rng.choice(
+        [
+            "i.l_orderkey = o.l_orderkey AND i.l_linenumber <> o.l_linenumber",
+            "i.l_suppkey = o.l_suppkey AND i.l_orderkey < o.l_orderkey",
+            "i.l_partkey = o.l_partkey AND i.l_linenumber > o.l_linenumber",
+        ]
+    )
+    form = rng.choice(["exists", "not_exists", "in", "scalar"])
+    if form == "exists":
+        sel = "TRUE AS v"
+        pred = f"EXISTS (SELECT 1 FROM {{t}} i WHERE {corr} AND {inner_pred})"
+    elif form == "not_exists":
+        sel = "TRUE AS v"
+        pred = (
+            f"NOT EXISTS (SELECT 1 FROM {{t}} i WHERE {corr} "
+            f"AND {inner_pred})"
+        )
+    elif form == "in":
+        sel = "TRUE AS v"
+        pred = (
+            f"o.l_linenumber IN (SELECT i.l_linenumber FROM {{t}} i "
+            f"WHERE {corr} AND {inner_pred})"
+        )
+    else:
+        agg = rng.choice(
+            [
+                "COALESCE(CAST(COUNT(*) AS BIGINT), 0)",
+                "COALESCE(CAST(MIN(i.l_linenumber) AS BIGINT), -1)",
+                "COALESCE(CAST(MAX(i.l_suppkey) AS BIGINT), -1)",
+            ]
+        )
+        sel = (
+            f"(SELECT {agg} FROM {{t}} i WHERE {corr} AND {inner_pred}) AS v"
+        )
+        pred = "o.l_linenumber <= 3"
+    return sel, pred
+
+
+def _gen_corr(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260829)
+    return [_corr_case(rng) for _ in range(n)]
+
+
+CORR_CASES = _gen_corr(12)
+
+
+@pytest.mark.parametrize("idx", range(len(CORR_CASES)))
+def test_random_correlated_subquery_matches_oracle(spark, duck, li_view, idx):
+    sel, pred = CORR_CASES[idx]
+    sql = (
+        f"SELECT o.l_orderkey, o.l_linenumber, {sel} "
+        f"FROM {{t}} o WHERE {pred}"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+def test_correlated_class_covers_all_forms_non_vacuously(spark, li_view):
+    """Every correlated form must appear, and each of EXISTS / NOT
+    EXISTS / IN must have at least one case selecting a strict
+    non-empty subset. (Individual random cases MAY be degenerate —
+    e.g. an always-false inner predicate — and still probe the
+    decorrelation rewrite's empty-result path; the class as a whole
+    must not be.)"""
+    forms = {"exists": 0, "not_exists": 0, "in": 0, "scalar": 0}
+    selective = {"exists": 0, "not_exists": 0, "in": 0}
+    total = spark.table(li_view).count()
+    for sel, pred in CORR_CASES:
+        if sel.startswith("(SELECT"):
+            forms["scalar"] += 1
+            continue
+        if pred.startswith("NOT EXISTS"):
+            form = "not_exists"
+        elif pred.startswith("EXISTS"):
+            form = "exists"
+        else:
+            form = "in"
+        forms[form] += 1
+        n = (
+            spark.sql(
+                f"SELECT COUNT(*) AS n FROM {li_view} o WHERE "
+                + pred.format(t=li_view)
+            )
+            .collect()[0]
+            .n
+        )
+        if 0 < n < total:
+            selective[form] += 1
+    assert all(v > 0 for v in forms.values()), forms
+    assert all(v > 0 for v in selective.values()), selective
+
+
+# ---------------------------------------------------------------------------
+# Numeric RANGE window frames (round 8): value-based frame boundaries
+# ---------------------------------------------------------------------------
+#
+# RANGE frames are defined on ORDER-key VALUES, so peers (ties) always
+# enter the frame together — the result is tie-order-independent by
+# construction, which makes random frames safely hash-comparable. What
+# the engines can disagree on: peer-group inclusion at exact boundary
+# values, frames anchored entirely ahead/behind the current row, and
+# integer-vs-decimal offset arithmetic on the key. Sums go through
+# DECIMAL (exact, order-insensitive) per the repo convention; the order
+# key is non-NULL (l_quantity / l_extendedprice / derived ints) so this
+# class probes frame arithmetic, not NULL-peer placement (the string
+# window class above owns NULL ordering).
+
+def _rangewin_case(rng: random.Random) -> tuple[str, str, str]:
+    part = rng.choice(["l_returnflag", "l_linestatus", "(l_suppkey % 3)"])
+    key = rng.choice(
+        [
+            "CAST(l_quantity AS DOUBLE)",
+            "CAST(l_extendedprice AS DOUBLE)",
+            "CAST(l_partkey % 1000 AS INT)",
+        ]
+    )
+    lo, hi = sorted((rng.randint(0, 500), rng.randint(0, 500)))
+    frame = rng.choice(
+        [
+            f"RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN CURRENT ROW AND {hi} FOLLOWING",
+            f"RANGE BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+            f"RANGE BETWEEN UNBOUNDED PRECEDING AND {hi} FOLLOWING",
+        ]
+    )
+    # (inner window aggregate, outer cast template) — the OVER clause
+    # must bind to the aggregate itself; representation pinning wraps
+    # the whole window expression afterwards.
+    inner, outer = rng.choice(
+        [
+            ("COUNT(*)", "CAST({w} AS BIGINT)"),
+            ("MIN(l_linenumber)", "CAST({w} AS BIGINT)"),
+            ("MAX(l_linenumber)", "CAST({w} AS BIGINT)"),
+            (
+                "SUM(CAST(l_quantity AS DECIMAL(28,6)))",
+                "CAST(CAST({w} AS DECIMAL(38,6)) AS DOUBLE)",
+            ),
+        ]
+    )
+    win = f"{inner} OVER (PARTITION BY {part} ORDER BY {key} {frame})"
+    return part, key, outer.format(w=win)
+
+
+def _gen_rangewin(n: int) -> list[tuple[str, str, str]]:
+    rng = random.Random(20260830)
+    return [_rangewin_case(rng) for _ in range(n)]
+
+
+RANGEWIN_CASES = _gen_rangewin(16)  # 16 covers all 4 aggs x all 4 frames
+
+
+@pytest.mark.parametrize("idx", range(len(RANGEWIN_CASES)))
+def test_random_range_frame_matches_oracle(spark, duck, li_view, idx):
+    part, key, fn = RANGEWIN_CASES[idx]
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {fn} AS w FROM {{t}}"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+def test_range_frames_have_ties_to_probe(spark, li_view):
+    """RANGE semantics only differ from ROWS when the order key has
+    peers — assert every generated key column actually contains ties
+    within at least one partition."""
+    keys = {key for _p, key, _f in RANGEWIN_CASES}
+    for key in keys:
+        n = spark.sql(
+            f"SELECT COUNT(*) AS n FROM (SELECT {key} AS k, COUNT(*) AS c "
+            f"FROM {li_view} GROUP BY {key} HAVING COUNT(*) > 1) t"
+        ).collect()[0].n
+        assert n > 0, f"no ties for RANGE key {key}"
