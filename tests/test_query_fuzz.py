@@ -1174,3 +1174,136 @@ def test_range_frames_have_ties_to_probe(spark, li_view):
             f"FROM {li_view} GROUP BY {key} HAVING COUNT(*) > 1) t"
         ).collect()[0].n
         assert n > 0, f"no ties for RANGE key {key}"
+
+
+# ---------------------------------------------------------------------------
+# String functions (round 8): composition chains over NULL/''/varied-len
+# ---------------------------------------------------------------------------
+#
+# Random compositions of the string stdlib both engines share by NAME
+# (substr/lpad/rpad/left/right/repeat/reverse/translate/split_part/
+# instr/upper/lower/trim/replace/||) over a derived column containing
+# NULL, '' and strings of varied length — probing 1-based indexing,
+# out-of-range clamps, zero-length results, and NULL propagation
+# (composition chains mean one function's edge output feeds the next's
+# edge input). Constrained to where the engines agree BY DESIGN:
+# substr START is generated >= 1 (position 0 is a pinned divergence —
+# DuckDB spends index 0 from the length budget, Spark clamps 0 to 1;
+# asserted below so the exclusion stays justified), pads are non-empty
+# (DuckDB raises on pad='', Spark returns ''), split_part index >= 1
+# (index-0 raises in Spark, returns '' in DuckDB), and negative
+# left/right offsets are excluded.
+
+_FUZZ_STR_SRC = (
+    "CASE WHEN l_partkey % 11 = 0 THEN NULL "
+    "WHEN l_suppkey % 7 = 0 THEN '' "
+    "ELSE l_returnflag || l_linestatus || '-' || "
+    "CAST(l_partkey % 1000 AS STRING) || repeat(l_linestatus, "
+    "CAST(l_suppkey % 4 AS INT)) END"
+)
+
+
+def _str_wrap(rng: random.Random, e: str) -> str:
+    form = rng.choice(
+        [
+            "substr", "lpad", "rpad", "left", "right", "repeat_lit",
+            "reverse", "translate", "split_part", "case_flip", "replace",
+            "trim_concat",
+        ]
+    )
+    if form == "substr":
+        return f"substr({e}, {rng.randint(1, 8)}, {rng.randint(0, 6)})"
+    if form == "lpad":
+        return f"lpad({e}, {rng.randint(0, 10)}, '{rng.choice(['x', 'xy'])}')"
+    if form == "rpad":
+        return f"rpad({e}, {rng.randint(0, 10)}, '{rng.choice(['x', 'xy'])}')"
+    if form == "left":
+        return f"left({e}, {rng.randint(0, 9)})"
+    if form == "right":
+        return f"right({e}, {rng.randint(0, 9)})"
+    if form == "repeat_lit":
+        return f"substr(repeat({e}, {rng.randint(0, 2)}), 1, 12)"
+    if form == "reverse":
+        return f"reverse({e})"
+    if form == "translate":
+        return f"translate({e}, 'ANF-', 'anf_')"
+    if form == "split_part":
+        # split_part is the one stdlib function whose NULL propagation
+        # DIVERGES (DuckDB: NULL -> '', Spark: NULL -> NULL; pinned
+        # below) — spell the ANSI propagation explicitly so the case
+        # stays comparable without silently coalescing the input.
+        return (
+            f"CASE WHEN {e} IS NULL THEN NULL "
+            f"ELSE split_part({e}, '-', {rng.randint(1, 3)}) END"
+        )
+    if form == "case_flip":
+        return rng.choice([f"upper({e})", f"lower({e})"])
+    if form == "replace":
+        return f"replace({e}, '{rng.choice(['-', 'O', 'F'])}', '{rng.choice(['', '#'])}')"
+    return f"trim(' ' || {e} || ' ')"
+
+
+def _strfn_case(rng: random.Random) -> str:
+    e = "s"
+    for _ in range(rng.randint(1, 3)):
+        e = _str_wrap(rng, e)
+    # Pair the transformed string with an integer probe of it (instr is
+    # shared by name; its not-found 0 and NULL-in -> NULL both agree).
+    return (
+        f"{e} AS v, CAST(instr({e}, '{rng.choice(['a', '-', 'x', 'N'])}') "
+        f"AS BIGINT) AS pos, CAST(length({e}) AS BIGINT) AS len"
+    )
+
+
+def _gen_strfn(n: int) -> list[str]:
+    rng = random.Random(20260831)
+    return [_strfn_case(rng) for _ in range(n)]
+
+
+STRFN_CASES = _gen_strfn(14)
+
+
+@pytest.mark.parametrize("idx", range(len(STRFN_CASES)))
+def test_random_string_function_chain_matches_oracle(spark, duck, li_view, idx):
+    sel = STRFN_CASES[idx]
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {sel} FROM "
+        f"(SELECT l_orderkey, l_linenumber, {_FUZZ_STR_SRC} AS s "
+        f"FROM {{t}}) base"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+def test_substr_position_zero_divergence_is_real(spark, duck):
+    """The class generates substr starts >= 1 because position 0 is a
+    REAL engine divergence — pin it so the exclusion comment stays
+    honest (if an engine upgrade aligns them, this fails and the
+    grammar can widen)."""
+    s = spark.sql("SELECT substr('hello', 0, 3) AS v").collect()[0].v
+    d = duck.execute("SELECT substr('hello', 0, 3)").fetchone()[0]
+    assert s == "hel" and d == "he", (s, d)
+
+
+def test_split_part_null_divergence_is_real(spark, duck):
+    """split_part is the one shared-name string function whose NULL
+    propagation diverges: Spark follows ANSI (NULL in -> NULL out),
+    DuckDB returns ''. The grammar spells the propagation explicitly
+    for that wrapper; this pin keeps the workaround justified."""
+    s = spark.sql(
+        "SELECT split_part(CAST(NULL AS STRING), '-', 1) AS v"
+    ).collect()[0].v
+    d = duck.execute("SELECT split_part(NULL, '-', 1)").fetchone()[0]
+    assert s is None and d == "", (s, d)
+
+
+def test_string_chain_source_varies(spark, li_view):
+    """Class is vacuous unless the derived source has NULLs, empties,
+    and at least 4 distinct lengths (edge inputs for every wrapper)."""
+    row = spark.sql(
+        f"SELECT COUNT(CASE WHEN s IS NULL THEN 1 END) AS n_null, "
+        f"COUNT(CASE WHEN s = '' THEN 1 END) AS n_empty, "
+        f"COUNT(DISTINCT length(s)) AS n_lens FROM "
+        f"(SELECT {_FUZZ_STR_SRC} AS s FROM {li_view}) b"
+    ).collect()[0]
+    assert row.n_null > 0 and row.n_empty > 0 and row.n_lens >= 4, row
