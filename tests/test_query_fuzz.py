@@ -1307,3 +1307,116 @@ def test_string_chain_source_varies(spark, li_view):
         f"(SELECT {_FUZZ_STR_SRC} AS s FROM {li_view}) b"
     ).collect()[0]
     assert row.n_null > 0 and row.n_empty > 0 and row.n_lens >= 4, row
+
+
+# ---------------------------------------------------------------------------
+# TRY_CAST edge strings (round 8): the ANSI-migration safety contract
+# ---------------------------------------------------------------------------
+#
+# try_cast is the repo's ANSI-mode safety valve (try_arithmetic_pack),
+# so its NULL-on-failure boundary must be known EXACTLY. Probing found
+# the engines agree on: whitespace trimming, '+'/'-0'/leading-zero
+# forms, '' -> NULL, thousands separators -> NULL, overflow -> NULL,
+# scientific notation INTO DOUBLE, inf/NaN into DOUBLE, and date
+# parsing (non-padded '1996-2-3' accepted, invalid days and compact
+# '19960203' rejected, surrounding spaces trimmed) — the grammar stays
+# inside that subset. They DIVERGE in three pinned places (tests
+# below): DuckDB routes decimal-format and scientific-format strings
+# into INT by parse-then-round (Spark: strict integral format -> NULL),
+# and DuckDB rounds half-away on NUMERIC double->int casts where Spark
+# truncates toward zero — so the grammar never casts a non-integral
+# string or a fractional numeric to an integer type.
+
+def _tryc_case(rng: random.Random) -> tuple[str, str]:
+    form = rng.choice(
+        ["spaces", "plus", "zeros", "tail_junk", "empties", "overflow",
+         "date_str", "date_spaces", "sci_double"]
+    )
+    if form == "spaces":
+        return (
+            f"' ' || CAST(l_partkey % {rng.randint(50, 2000)} AS STRING) "
+            f"|| ' '",
+            "BIGINT",
+        )
+    if form == "plus":
+        return (f"'+' || CAST(l_suppkey % {rng.randint(10, 99)} AS STRING)",
+                "INTEGER")
+    if form == "zeros":
+        return ("'00' || CAST(l_linenumber AS STRING)", "INTEGER")
+    if form == "tail_junk":
+        return (
+            f"CAST(l_partkey AS STRING) || CASE WHEN l_suppkey % "
+            f"{rng.randint(2, 5)} = 0 THEN 'x' ELSE '' END",
+            "BIGINT",
+        )
+    if form == "empties":
+        return (
+            f"CASE WHEN l_linenumber % 2 = 0 THEN '' "
+            f"ELSE CAST(l_suppkey % {rng.randint(100, 999)} AS STRING) END",
+            "INTEGER",
+        )
+    if form == "overflow":
+        # Always > 2^31 as a BIGINT-valid string: INTEGER must NULL it.
+        return ("CAST(l_partkey + 3000000000 AS STRING)", "INTEGER")
+    if form == "date_str":
+        return ("CAST(CAST(l_shipdate AS DATE) AS STRING)", "DATE")
+    if form == "date_spaces":
+        return ("' ' || CAST(CAST(l_shipdate AS DATE) AS STRING) || ' '",
+                "DATE")
+    return (
+        f"CAST(l_quantity AS STRING) || 'e{rng.randint(0, 3)}'",
+        "DOUBLE",
+    )
+
+
+def _gen_tryc(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260901)
+    return [_tryc_case(rng) for _ in range(n)]
+
+
+TRYC_CASES = _gen_tryc(14)
+
+
+@pytest.mark.parametrize("idx", range(len(TRYC_CASES)))
+def test_random_try_cast_matches_oracle(spark, duck, li_view, idx):
+    src, target = TRYC_CASES[idx]
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"try_cast(({src}) AS {target}) AS v FROM {{t}}"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+def test_try_cast_divergences_are_real(spark, duck):
+    """The three excluded forms are REAL divergences — pin them so the
+    grammar exclusions stay justified across engine upgrades."""
+    rows = spark.sql(
+        "SELECT try_cast('12.7' AS INTEGER) AS a, "
+        "try_cast('1e3' AS INTEGER) AS b, "
+        "CAST(try_cast(12.7 AS INTEGER) AS INT) AS c, "
+        "CAST(try_cast(-12.5 AS INTEGER) AS INT) AS d"
+    ).collect()[0]
+    assert (rows.a, rows.b, rows.c, rows.d) == (None, None, 12, -12), rows
+    drow = duck.execute(
+        "SELECT try_cast('12.7' AS INTEGER), try_cast('1e3' AS INTEGER), "
+        "try_cast(12.7 AS INTEGER), try_cast(-12.5 AS INTEGER)"
+    ).fetchone()
+    assert drow == (13, 1000, 13, -13), drow
+
+
+def test_try_cast_class_produces_both_nulls_and_values(spark, li_view):
+    """Each generated case family must exercise BOTH outcomes somewhere
+    (a class whose try_casts all succeed — or all fail — probes no
+    boundary). Checked across the class, not per case: e.g. the
+    overflow form is all-NULL by design while spaces is all-valid."""
+    n_null = n_val = 0
+    for src, target in TRYC_CASES:
+        row = spark.sql(
+            f"SELECT COUNT(CASE WHEN try_cast(({src}) AS {target}) "
+            f"IS NULL THEN 1 END) AS nn, "
+            f"COUNT(try_cast(({src}) AS {target})) AS nv FROM {li_view}"
+        ).collect()[0]
+        n_null += row.nn
+        n_val += row.nv
+    assert n_null > 0 and n_val > 0, (n_null, n_val)
