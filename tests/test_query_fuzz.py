@@ -1420,3 +1420,112 @@ def test_try_cast_class_produces_both_nulls_and_values(spark, li_view):
         n_null += row.nn
         n_val += row.nv
     assert n_null > 0 and n_val > 0, (n_null, n_val)
+
+
+# ---------------------------------------------------------------------------
+# Integer arithmetic dual-SQL (round 8): mod sign / intdiv / bitwise
+# ---------------------------------------------------------------------------
+#
+# Signed modulo, integer division and bitwise operators are classic
+# cross-engine hazards (C-style truncation vs floored division, % sign
+# conventions, shift semantics) AND the spellings differ (Spark `div` /
+# `^` / shiftleft-shiftright vs DuckDB `//` / xor() / `<<` `>>`), so
+# this is a dual-SQL class like date arithmetic: each case emits a
+# (spark_expr, duck_expr) pair that must agree on values. Probing
+# confirmed both engines truncate intdiv toward zero and give % the
+# dividend's sign — the class pins that agreement over generated
+# signed operands (derived columns crossing zero), all-BIGINT exact.
+
+def _int_src(rng: random.Random) -> str:
+    # A signed derived operand, same spelling both engines. Modulus is
+    # kept > offset + 9 so every generated operand GENUINELY crosses
+    # zero on the data (l_partkey % m spans 0..m-1).
+    off = rng.randint(5, 40)
+    return (
+        f"CAST(l_partkey % {rng.randint(off + 10, 200)} - "
+        f"{off} AS BIGINT)"
+    )
+
+
+def _intarith_case(rng: random.Random) -> tuple[str, str]:
+    a, b = _int_src(rng), _int_src(rng)
+    k = rng.randint(2, 13)
+    n = rng.randint(0, 5)
+    form = rng.choice(["mod", "intdiv", "band", "bor", "bxor", "shl",
+                       "shr", "glmix"])
+    if form == "mod":
+        e = f"({a}) % {k}"
+        return e, e
+    if form == "intdiv":
+        return f"({a}) div {k}", f"({a}) // {k}"
+    if form == "band":
+        e = f"({a}) & ({b})"
+        return e, e
+    if form == "bor":
+        e = f"({a}) | ({b})"
+        return e, e
+    if form == "bxor":
+        return f"({a}) ^ ({b})", f"xor({a}, {b})"
+    if form == "shl":
+        # DuckDB RAISES on left-shifting a negative number where Spark
+        # computes a value (pinned below) — shift magnitudes only.
+        return f"shiftleft(abs({a}), {n})", f"abs({a}) << {n}"
+    if form == "shr":
+        return f"shiftright({a}, {n})", f"({a}) >> {n}"
+    e = f"greatest({a}, {b}, 0) - least({a}, {b}, 0)"
+    return e, e
+
+
+def _gen_intarith(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260902)
+    return [_intarith_case(rng) for _ in range(n)]
+
+
+INTARITH_CASES = _gen_intarith(12)
+
+
+@pytest.mark.parametrize("idx", range(len(INTARITH_CASES)))
+def test_random_integer_arith_matches_oracle(spark, duck, li_view, idx):
+    s_expr, d_expr = INTARITH_CASES[idx]
+    s_sql = (
+        f"SELECT l_orderkey, l_linenumber, CAST({s_expr} AS BIGINT) AS v "
+        f"FROM {li_view}"
+    )
+    d_sql = (
+        f"SELECT l_orderkey, l_linenumber, CAST({d_expr} AS BIGINT) AS v "
+        f"FROM lineitem"
+    )
+    compare(spark.sql(s_sql), duck, d_sql)
+
+
+def test_integer_arith_operands_cross_zero(spark, li_view):
+    """Sign semantics are only probed if generated operands are genuinely
+    signed: every distinct derived operand must produce both negative
+    and positive values on the smoke data."""
+    import re as _re
+
+    srcs = set()
+    for s_expr, _d in INTARITH_CASES:
+        srcs.update(_re.findall(r"CAST\(l_partkey % \d+ - \d+ AS BIGINT\)", s_expr))
+    assert srcs
+    for src in srcs:
+        row = spark.sql(
+            f"SELECT COUNT(CASE WHEN {src} < 0 THEN 1 END) AS neg, "
+            f"COUNT(CASE WHEN {src} > 0 THEN 1 END) AS pos FROM {li_view}"
+        ).collect()[0]
+        assert row.neg > 0 and row.pos > 0, (src, row)
+
+
+def test_negative_left_shift_divergence_is_real(spark, duck):
+    """DuckDB raises Out of Range on left-shifting a negative number;
+    Spark computes the two's-complement result. Pinned so the abs()
+    guard in the shift form stays justified."""
+    s = spark.sql("SELECT shiftleft(-4, 1) AS v").collect()[0].v
+    assert s == -8, s
+    import duckdb as _dd
+
+    try:
+        duck.execute("SELECT (-4) << 1").fetchone()
+    except _dd.OutOfRangeException:
+        return
+    raise AssertionError("DuckDB now allows negative left shift")
