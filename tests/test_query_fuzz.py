@@ -1529,3 +1529,99 @@ def test_negative_left_shift_divergence_is_real(spark, duck):
     except _dd.OutOfRangeException:
         return
     raise AssertionError("DuckDB now allows negative left shift")
+
+
+# ---------------------------------------------------------------------------
+# JSON path extraction dual-SQL (round 8): scalar leaves + edge shapes
+# ---------------------------------------------------------------------------
+#
+# JSON extraction has fully different spellings (Spark get_json_object
+# vs DuckDB json_extract_string) but — probed — identical scalar-leaf
+# semantics: unquoted strings, numbers normalized the same way
+# (1.50 -> '1.5'), booleans as 'true'/'false', JSON null -> SQL NULL,
+# missing path -> NULL, NULL document -> NULL. The one divergence is
+# MALFORMED documents: Spark returns NULL, DuckDB raises (pinned
+# below) — so every generated document is well-formed by construction
+# (built from columns with || inside quoted/numeric slots). Grammar
+# extracts scalar leaves and array elements only; object-valued
+# extraction re-serialization is not probed.
+
+_JSON_DOC = (
+    "'{\"id\": ' || CAST(l_partkey AS STRING) || "
+    "', \"tag\": \"' || l_returnflag || '\", "
+    "\"nest\": {\"q\": ' || CAST(l_linenumber AS STRING) || "
+    "'}, \"arr\": [' || CAST(l_suppkey % 10 AS STRING) || ', ' || "
+    "CAST(l_linenumber AS STRING) || ']' || "
+    "CASE WHEN l_suppkey % 3 = 0 THEN ', \"opt\": null' "
+    "WHEN l_suppkey % 3 = 1 THEN ', \"opt\": ' || "
+    "CAST(l_suppkey AS STRING) ELSE '' END || '}'"
+)
+
+_JSON_PATHS = ["$.id", "$.tag", "$.nest.q", "$.arr[0]", "$.arr[1]",
+               "$.opt", "$.missing", "$.nest.absent"]
+
+
+def _json_case(rng: random.Random) -> str:
+    return rng.choice(_JSON_PATHS)
+
+
+def _gen_json(n: int) -> list[str]:
+    rng = random.Random(20260903)
+    return [_json_case(rng) for _ in range(n)]
+
+
+JSONPATH_CASES = _gen_json(16)  # 16 covers every path shape
+
+
+@pytest.mark.parametrize("idx", range(len(JSONPATH_CASES)))
+def test_random_json_path_matches_oracle(spark, duck, li_view, idx):
+    path = JSONPATH_CASES[idx]
+    s_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"get_json_object({_JSON_DOC}, '{path}') AS v FROM {li_view}"
+    )
+    d_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"json_extract_string({_JSON_DOC}, '{path}') AS v FROM lineitem"
+    )
+    compare(spark.sql(s_sql), duck, d_sql)
+
+
+def test_malformed_json_divergence_is_real(spark, duck):
+    """Spark's get_json_object NULLs malformed documents; DuckDB's
+    json_extract_string raises — pinned so the well-formed-by-
+    construction grammar constraint stays justified."""
+    s = spark.sql(
+        "SELECT get_json_object('not json', '$.a') AS v"
+    ).collect()[0].v
+    assert s is None, s
+    import duckdb as _dd
+
+    try:
+        duck.execute("SELECT json_extract_string('not json', '$.a')").fetchone()
+    except _dd.Error:
+        return
+    raise AssertionError("DuckDB now tolerates malformed JSON")
+
+
+def test_json_class_covers_every_path_shape(spark, li_view):
+    """All three leaf kinds (number, string, nested), an array index,
+    the tri-state optional key, and a missing path must each appear in
+    the generated set — and the optional key must actually take all
+    three states (absent / JSON null / number) on the smoke data."""
+    kinds = {
+        "num": any(p == "$.id" for p in JSONPATH_CASES),
+        "str": any(p == "$.tag" for p in JSONPATH_CASES),
+        "nest": any(p == "$.nest.q" for p in JSONPATH_CASES),
+        "arr": any(p.startswith("$.arr") for p in JSONPATH_CASES),
+        "opt": any(p == "$.opt" for p in JSONPATH_CASES),
+        "miss": any("missing" in p or "absent" in p for p in JSONPATH_CASES),
+    }
+    assert all(kinds.values()), kinds
+    row = spark.sql(
+        f"SELECT COUNT(CASE WHEN s % 3 = 0 THEN 1 END) AS a, "
+        f"COUNT(CASE WHEN s % 3 = 1 THEN 1 END) AS b, "
+        f"COUNT(CASE WHEN s % 3 = 2 THEN 1 END) AS c FROM "
+        f"(SELECT l_suppkey AS s FROM {li_view}) t"
+    ).collect()[0]
+    assert row.a > 0 and row.b > 0 and row.c > 0, row
