@@ -1625,3 +1625,82 @@ def test_json_class_covers_every_path_shape(spark, li_view):
         f"(SELECT l_suppkey AS s FROM {li_view}) t"
     ).collect()[0]
     assert row.a > 0 and row.b > 0 and row.c > 0, row
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause and DISTINCT aggregates (round 8): selective accumulation
+# ---------------------------------------------------------------------------
+#
+# The FILTER clause and DISTINCT aggregation interact with partial
+# (map-side) aggregation in Spark's physical planning — a FILTER'd or
+# DISTINCT aggregate plans differently from a plain one (expand +
+# two-phase for DISTINCT), so random combinations probe plan shapes the
+# chosen registry entries don't. Grammar: integer-exact expressions
+# only (COUNT / SUM(DISTINCT bigint) are set-determined; no doubles),
+# random FILTER predicates from the predicate grammar, including the
+# FILTER + DISTINCT combination (probed: both engines support it).
+# Multi-argument COUNT(DISTINCT x, y) is EXCLUDED — Spark accepts it,
+# DuckDB has no such overload (dialect surface gap, not a value
+# divergence; spell it COUNT(DISTINCT struct) if ever needed).
+
+def _fdagg_case(rng: random.Random) -> tuple[str, str]:
+    key = rng.choice(["l_returnflag", "l_linestatus", "(l_suppkey % 5)"])
+    e = rng.choice(
+        ["CAST(l_linenumber AS BIGINT)", "CAST(l_suppkey % 40 AS BIGINT)",
+         "CAST(l_partkey % 25 AS BIGINT)"]
+    )
+    p = _pred(rng, 1)
+    agg = rng.choice(
+        [
+            f"COUNT(*) FILTER (WHERE {p})",
+            f"COUNT({e}) FILTER (WHERE {p})",
+            f"COUNT(DISTINCT {e})",
+            f"SUM(DISTINCT {e})",
+            f"COUNT(DISTINCT {e}) FILTER (WHERE {p})",
+            f"SUM(DISTINCT {e}) FILTER (WHERE {p})",
+            f"MIN({e}) FILTER (WHERE {p})",
+            f"MAX({e}) FILTER (WHERE {p})",
+        ]
+    )
+    return key, f"CAST({agg} AS BIGINT)"
+
+
+def _gen_fdagg(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260904)
+    return [_fdagg_case(rng) for _ in range(n)]
+
+
+FDAGG_CASES = _gen_fdagg(14)
+
+
+@pytest.mark.parametrize("idx", range(len(FDAGG_CASES)))
+def test_random_filter_distinct_agg_matches_oracle(spark, duck, li_view, idx):
+    key, agg = FDAGG_CASES[idx]
+    sql = (
+        f"SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS n, {agg} AS m "
+        f"FROM {{t}} GROUP BY {key}"
+    )
+    sdf = spark.sql(sql.format(t=li_view))
+    compare(sdf, duck, sql.format(t="lineitem"))
+
+
+def test_filter_distinct_class_filters_are_selective(spark, li_view):
+    """FILTER probes nothing if every generated predicate keeps all or
+    no rows — at least half must be strictly selective."""
+    import re as _re
+
+    preds = []
+    for _k, agg in FDAGG_CASES:
+        m = _re.search(r"FILTER \(WHERE (.*)\) AS BIGINT\)$", agg)
+        if m:
+            preds.append(m.group(1))
+    assert preds
+    total = spark.table(li_view).count()
+    selective = 0
+    for p in preds:
+        n = spark.sql(
+            f"SELECT COUNT(*) AS n FROM {li_view} WHERE {p}"
+        ).collect()[0].n
+        if 0 < n < total:
+            selective += 1
+    assert selective * 2 >= len(preds), (selective, len(preds))
