@@ -1704,3 +1704,116 @@ def test_filter_distinct_class_filters_are_selective(spark, li_view):
         if 0 < n < total:
             selective += 1
     assert selective * 2 >= len(preds), (selective, len(preds))
+
+
+# ---------------------------------------------------------------------------
+# Array/list functions dual-SQL (round 8): fully different spellings
+# ---------------------------------------------------------------------------
+#
+# Spark's array_* and DuckDB's list_* families share NO spelling but —
+# probed — agree on the semantics that matter: 1-based indexing,
+# negative indices from the end, out-of-bounds -> NULL (try_element_at
+# vs list_extract), position 0-on-miss, join-skips-NULL-elements,
+# max-ignores-NULLs, concat, reverse, sort. Two shapes need care:
+# array_distinct preserves first-seen order in Spark while DuckDB's
+# list_distinct returns ARBITRARY order — both sides sort after
+# distinct so values compare; and slice is slice(arr, start, LENGTH)
+# in Spark vs list_slice(arr, begin, END-inclusive) in DuckDB — the
+# generator emits matched bounds. Element index 0 is EXCLUDED and
+# pinned: Spark raises INVALID_INDEX_OF_ZERO (even via try_element_at)
+# where DuckDB returns NULL. Arrays are row-built, all-BIGINT,
+# NULL-free (the one agreed NULL behavior — join skipping — is pinned
+# by the string class's source; null ELEMENT placement inside sort
+# differs in spelling enough to stay out of a random grammar).
+
+_ARR_S = ("array(CAST(l_linenumber AS BIGINT), CAST(l_suppkey % 10 AS "
+          "BIGINT), CAST(l_partkey % 7 AS BIGINT))")
+_ARR_D = ("[CAST(l_linenumber AS BIGINT), CAST(l_suppkey % 10 AS "
+          "BIGINT), CAST(l_partkey % 7 AS BIGINT)]")
+_ARR2_S = "array(CAST(l_partkey % 5 AS BIGINT), CAST(l_suppkey % 3 AS BIGINT))"
+_ARR2_D = "[CAST(l_partkey % 5 AS BIGINT), CAST(l_suppkey % 3 AS BIGINT)]"
+
+
+def _arr_case(rng: random.Random) -> tuple[str, str]:
+    k = rng.randint(0, 9)
+    i = rng.choice([-3, -2, -1, 1, 2, 3, 9])
+    form = rng.choice(
+        ["contains", "extract", "sortjoin", "distinctsort", "size",
+         "revjoin", "position", "concatjoin", "sum", "mx", "slicejoin"]
+    )
+    if form == "contains":
+        return (f"array_contains({_ARR_S}, {k})",
+                f"list_contains({_ARR_D}, {k})")
+    if form == "extract":
+        return (f"try_element_at({_ARR_S}, {i})",
+                f"list_extract({_ARR_D}, {i})")
+    if form == "sortjoin":
+        return (f"array_join(sort_array({_ARR_S}), ',')",
+                f"array_to_string(list_sort({_ARR_D}, 'ASC'), ',')")
+    if form == "distinctsort":
+        return (
+            f"array_join(sort_array(array_distinct({_ARR_S})), ',')",
+            f"array_to_string(list_sort(list_distinct({_ARR_D}), 'ASC'), ',')",
+        )
+    if form == "size":
+        return f"size({_ARR_S})", f"len({_ARR_D})"
+    if form == "revjoin":
+        return (f"array_join(reverse({_ARR_S}), ',')",
+                f"array_to_string(list_reverse({_ARR_D}), ',')")
+    if form == "position":
+        return (f"CAST(array_position({_ARR_S}, {k}) AS BIGINT)",
+                f"CAST(list_position({_ARR_D}, {k}) AS BIGINT)")
+    if form == "concatjoin":
+        return (f"array_join(concat({_ARR_S}, {_ARR2_S}), ',')",
+                f"array_to_string(list_concat({_ARR_D}, {_ARR2_D}), ',')")
+    if form == "sum":
+        return (f"aggregate({_ARR_S}, 0L, (a, x) -> a + x)",
+                f"CAST(list_sum({_ARR_D}) AS BIGINT)")
+    if form == "mx":
+        return f"array_max({_ARR_S})", f"list_max({_ARR_D})"
+    s, n = rng.randint(1, 3), rng.randint(1, 2)
+    return (f"array_join(slice({_ARR_S}, {s}, {n}), ',')",
+            f"array_to_string(list_slice({_ARR_D}, {s}, {s + n - 1}), ',')")
+
+
+def _gen_arr(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260918)
+    return [_arr_case(rng) for _ in range(n)]
+
+
+ARR_CASES = _gen_arr(18)  # this seed/count covers all 11 forms
+
+
+@pytest.mark.parametrize("idx", range(len(ARR_CASES)))
+def test_random_array_function_matches_oracle(spark, duck, li_view, idx):
+    s_expr, d_expr = ARR_CASES[idx]
+    s_sql = (
+        f"SELECT l_orderkey, l_linenumber, {s_expr} AS v FROM {li_view}"
+    )
+    d_sql = f"SELECT l_orderkey, l_linenumber, {d_expr} AS v FROM lineitem"
+    compare(spark.sql(s_sql), duck, d_sql)
+
+
+def test_array_index_zero_divergence_is_real(spark, duck):
+    """Element index 0: Spark raises INVALID_INDEX_OF_ZERO even through
+    try_element_at; DuckDB's list_extract returns NULL. Pinned so the
+    grammar's index-0 exclusion stays justified."""
+    d = duck.execute("SELECT list_extract([1,2,3], 0)").fetchone()[0]
+    assert d is None, d
+    try:
+        spark.sql("SELECT try_element_at(array(1,2,3), 0) AS v").collect()
+    except Exception as exc:
+        assert "INVALID_INDEX_OF_ZERO" in str(exc), exc
+        return
+    raise AssertionError("Spark now tolerates array index 0")
+
+
+def test_array_class_covers_all_forms(spark):
+    """Every dual-spelled form must appear at least once in the
+    generated set (a missing form probes nothing)."""
+    markers = ["array_contains", "try_element_at", "sort_array(array(",
+               "array_distinct", "size(", "reverse(", "array_position",
+               "concat(", "aggregate(", "array_max", "slice("]
+    joined = " ".join(s for s, _d in ARR_CASES)
+    missing = [m for m in markers if m not in joined]
+    assert not missing, missing
