@@ -1817,3 +1817,108 @@ def test_array_class_covers_all_forms(spark):
     joined = " ".join(s for s, _d in ARR_CASES)
     missing = [m for m in markers if m not in joined]
     assert not missing, missing
+
+
+# ---------------------------------------------------------------------------
+# Regexp functions dual-SQL (round 8): Java regex vs RE2 on the shared
+# subset
+# ---------------------------------------------------------------------------
+#
+# Spark compiles Java regex, DuckDB compiles RE2 — the repo already
+# pins their backreference gap (regex_backreference_pack). This class
+# fuzzes the SHARED subset: bracket classes, greedy/lazy/bounded
+# quantifiers, alternation, anchors, groups — probed to behave
+# identically (including lazy 'a+?' and no-match -> '' for extract,
+# NULL -> NULL). Patterns are built WITHOUT backslashes ([0-9] not \d):
+# Spark string literals process backslash escapes, DuckDB's don't, so
+# a backslash pattern can't be spelled identically — bracket classes
+# sidestep the whole hazard. Two dialect differences are handled
+# dual-SQL: the match predicate (RLIKE vs regexp_matches) and
+# regexp_replace's default scope (Spark replaces ALL occurrences,
+# DuckDB only the FIRST without the 'g' flag — pinned below).
+
+_RX_PIECES = ["[0-9]+", "[0-9]{1,2}", "[a-z]+", "[A-Z]+?", "(R|N|A)",
+              "-[0-9]", "[^-]+"]
+
+
+def _rx_pattern(rng: random.Random) -> str:
+    n = rng.randint(1, 2)
+    pat = "".join(rng.choice(_RX_PIECES) for _ in range(n))
+    if rng.random() < 0.25:
+        pat = "^" + pat
+    return pat
+
+
+def _rx_case(rng: random.Random) -> tuple[str, str]:
+    pat = _rx_pattern(rng)
+    form = rng.choice(["extract", "match", "replace"])
+    if form == "extract":
+        e = f"regexp_extract(s, '({pat})', 1)"
+        return e, e
+    if form == "match":
+        return (
+            f"CASE WHEN s RLIKE '{pat}' THEN 1 ELSE 0 END",
+            f"CASE WHEN regexp_matches(s, '{pat}') THEN 1 ELSE 0 END",
+        )
+    return (
+        f"regexp_replace(s, '{pat}', '#')",
+        f"regexp_replace(s, '{pat}', '#', 'g')",
+    )
+
+
+def _gen_rx(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260906)
+    return [_rx_case(rng) for _ in range(n)]
+
+
+RX_CASES = _gen_rx(14)
+
+
+@pytest.mark.parametrize("idx", range(len(RX_CASES)))
+def test_random_regexp_matches_oracle(spark, duck, li_view, idx):
+    s_expr, d_expr = RX_CASES[idx]
+    base_s = (
+        f"(SELECT l_orderkey, l_linenumber, {_FUZZ_STR_SRC} AS s "
+        f"FROM {li_view}) b"
+    )
+    base_d = (
+        f"(SELECT l_orderkey, l_linenumber, {_FUZZ_STR_SRC} AS s "
+        f"FROM lineitem) b"
+    )
+    s_sql = f"SELECT l_orderkey, l_linenumber, {s_expr} AS v FROM {base_s}"
+    d_sql = f"SELECT l_orderkey, l_linenumber, {d_expr} AS v FROM {base_d}"
+    compare(spark.sql(s_sql), duck, d_sql)
+
+
+def test_regexp_replace_default_scope_divergence_is_real(spark, duck):
+    """Spark regexp_replace replaces ALL matches by default; DuckDB
+    replaces only the FIRST unless passed the 'g' flag — pinned so the
+    dual-SQL 'g' spelling stays justified."""
+    s = spark.sql(
+        "SELECT regexp_replace('a1b2', '[0-9]', 'X') AS v"
+    ).collect()[0].v
+    d1 = duck.execute(
+        "SELECT regexp_replace('a1b2', '[0-9]', 'X')"
+    ).fetchone()[0]
+    dg = duck.execute(
+        "SELECT regexp_replace('a1b2', '[0-9]', 'X', 'g')"
+    ).fetchone()[0]
+    assert s == "aXbX" and d1 == "aXb2" and dg == "aXbX", (s, d1, dg)
+
+
+def test_regexp_class_covers_all_forms_and_lazy(spark):
+    """All three forms must appear, and at least one generated pattern
+    must carry a lazy or bounded quantifier (the subtle subset)."""
+    forms = {"extract": 0, "RLIKE": 0, "replace(": 0}
+    subtle = 0
+    for s_expr, _d in RX_CASES:
+        if "regexp_extract" in s_expr:
+            forms["extract"] += 1
+        elif "RLIKE" in s_expr:
+            forms["RLIKE"] += 1
+        else:
+            forms["replace("] += 1
+        if "+?" in s_expr or "{1,2}" in s_expr:
+            subtle += 1
+    assert all(v > 0 for v in forms.values()), forms
+    assert subtle > 0, RX_CASES
