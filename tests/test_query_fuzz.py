@@ -1922,3 +1922,96 @@ def test_regexp_class_covers_all_forms_and_lazy(spark):
             subtle += 1
     assert all(v > 0 for v in forms.values()), forms
     assert subtle > 0, RX_CASES
+
+
+# ---------------------------------------------------------------------------
+# Timestamp/interval arithmetic (round 8): sub-day grain over events
+# ---------------------------------------------------------------------------
+#
+# The date-arithmetic class covers day/month grain over lineitem; this
+# one covers the STREAMING grain — hour/minute truncation, INTERVAL
+# shifts, epoch bucketing (the window-assignment arithmetic every
+# watermarked aggregation depends on) — over the events table's real
+# timestamps (nanosecond parquet normalized by load_table, session
+# pinned UTC so epoch values are engine-independent). Same spelling
+# both engines except epoch extraction (Spark unix_timestamp vs DuckDB
+# epoch — dual-SQL). Sub-second precision stays out of the grammar:
+# values are truncated to second-or-coarser before output so the
+# micro/nano representation gap can't leak into the hash.
+
+def _tsarith_case(rng: random.Random) -> tuple[str, str]:
+    unit = rng.choice(["hour", "minute", "day"])
+    k = rng.randint(1, 180)
+    form = rng.choice(["trunc", "shift_trunc", "epoch_bucket", "part_key"])
+    if form == "trunc":
+        # DuckDB's date_trunc('day') returns DATE while Spark returns
+        # TIMESTAMP — pin the output type explicitly on both sides.
+        e = f"CAST(date_trunc('{unit}', ts) AS TIMESTAMP)"
+        return e, e
+    if form == "shift_trunc":
+        iv = rng.choice([f"INTERVAL {k} MINUTE", f"INTERVAL {k % 48} HOUR"])
+        e = f"CAST(date_trunc('{unit}', ts + {iv}) AS TIMESTAMP)"
+        return e, e
+    if form == "epoch_bucket":
+        # Trap found while building this class: DuckDB's // only FLOORS
+        # for integer operands — on DOUBLE (epoch() returns DOUBLE) it
+        # is plain division, and the rounding double->BIGINT cast (the
+        # pinned divergence) then mis-buckets values in the top ~half
+        # of every window. Integer-cast the epoch BEFORE dividing.
+        w = rng.choice([300, 900, 3600])
+        return (
+            f"CAST(unix_timestamp(date_trunc('second', ts)) "
+            f"div {w} AS BIGINT)",
+            f"CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) "
+            f"// {w} AS BIGINT)",
+        )
+    e = rng.choice(
+        ["CAST(hour(ts) AS BIGINT)", "CAST(minute(ts) AS BIGINT)",
+         "CAST(hour(ts - INTERVAL 30 MINUTE) AS BIGINT)"]
+    )
+    return e, e
+
+
+def _gen_tsarith(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260907)
+    return [_tsarith_case(rng) for _ in range(n)]
+
+
+TSARITH_CASES = _gen_tsarith(12)
+
+
+@pytest.fixture(scope="module")
+def ev_view(spark):
+    load_table(spark, SF_SMOKE, "events").createOrReplaceTempView(
+        "__fuzz_events"
+    )
+    return "__fuzz_events"
+
+
+@pytest.mark.parametrize("idx", range(len(TSARITH_CASES)))
+def test_random_ts_arith_matches_oracle(spark, duck, ev_view, idx):
+    s_expr, d_expr = TSARITH_CASES[idx]
+    s_sql = (
+        f"SELECT {s_expr} AS k, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u "
+        f"FROM {ev_view} GROUP BY {s_expr}"
+    )
+    d_sql = (
+        f"SELECT {d_expr} AS k, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u "
+        f"FROM events GROUP BY {d_expr}"
+    )
+    compare(spark.sql(s_sql), duck, d_sql)
+
+
+def test_ts_arith_class_groups_are_plural(spark, ev_view):
+    """Truncation probes nothing if every case collapses to one group
+    (or one group per row) — each generated key must land strictly
+    between, except day-grain truncs of a short-span table may
+    legitimately produce few groups (require >= 2)."""
+    total = spark.table(ev_view).count()
+    for s_expr, _d in TSARITH_CASES:
+        n = spark.sql(
+            f"SELECT COUNT(DISTINCT {s_expr}) AS n FROM {ev_view}"
+        ).collect()[0].n
+        assert 2 <= n < total, (s_expr, n, total)
