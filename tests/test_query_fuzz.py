@@ -2015,3 +2015,76 @@ def test_ts_arith_class_groups_are_plural(spark, ev_view):
             f"SELECT COUNT(DISTINCT {s_expr}) AS n FROM {ev_view}"
         ).collect()[0].n
         assert 2 <= n < total, (s_expr, n, total)
+
+
+# ---------------------------------------------------------------------------
+# Map functions dual-SQL (round 8): construction, lookup, introspection
+# ---------------------------------------------------------------------------
+#
+# Fully different construction spellings (Spark's interleaved
+# map(k1,v1,k2,v2) vs DuckDB's two-list map([k...],[v...])) and lookup
+# shapes (Spark element_at returns the SCALAR or NULL; DuckDB's
+# map_extract returns a LIST — [] on miss — so the oracle spelling
+# indexes [1] to scalar-ize, list-OOB giving the same NULL). size vs
+# cardinality, array_join vs array_to_string over map_keys/map_values
+# (both engines preserve construction order). Values are row-derived
+# BIGINTs; lookup keys hit, miss, and depend on row data.
+
+def _map_case(rng: random.Random) -> tuple[str, str]:
+    v1 = f"CAST(l_linenumber AS BIGINT)"
+    v2 = f"CAST(l_suppkey % {rng.randint(5, 50)} AS BIGINT)"
+    v3 = f"CAST(l_partkey % {rng.randint(3, 9)} AS BIGINT)"
+    s_map = f"map('a', {v1}, 'b', {v2}, 'c', {v3})"
+    d_map = f"map(['a', 'b', 'c'], [{v1}, {v2}, {v3}])"
+    # A row-dependent key that sometimes exists ('a'/'b'/'c') and
+    # sometimes doesn't ('x'), exercising lookup on data, not literals.
+    dyn_key = ("CASE WHEN l_suppkey % 4 = 0 THEN 'x' ELSE "
+               "substr('abc', CAST(l_suppkey % 3 AS INT) + 1, 1) END")
+    form = rng.choice(["hit", "miss", "dyn", "size", "keys", "vals"])
+    if form == "hit":
+        k = rng.choice(["'a'", "'b'", "'c'"])
+        return (f"element_at({s_map}, {k})",
+                f"map_extract({d_map}, {k})[1]")
+    if form == "miss":
+        return (f"element_at({s_map}, 'z')",
+                f"map_extract({d_map}, 'z')[1]")
+    if form == "dyn":
+        return (f"element_at({s_map}, {dyn_key})",
+                f"map_extract({d_map}, {dyn_key})[1]")
+    if form == "size":
+        return (f"CAST(size({s_map}) AS BIGINT)",
+                f"CAST(cardinality({d_map}) AS BIGINT)")
+    if form == "keys":
+        return (f"array_join(map_keys({s_map}), ',')",
+                f"array_to_string(map_keys({d_map}), ',')")
+    return (f"array_join(map_values({s_map}), ',')",
+            f"array_to_string(map_values({d_map}), ',')")
+
+
+def _gen_map(n: int) -> list[tuple[str, str]]:
+    rng = random.Random(20260908)
+    return [_map_case(rng) for _ in range(n)]
+
+
+MAP_CASES = _gen_map(12)
+
+
+@pytest.mark.parametrize("idx", range(len(MAP_CASES)))
+def test_random_map_function_matches_oracle(spark, duck, li_view, idx):
+    s_expr, d_expr = MAP_CASES[idx]
+    s_sql = (
+        f"SELECT l_orderkey, l_linenumber, {s_expr} AS v FROM {li_view}"
+    )
+    d_sql = f"SELECT l_orderkey, l_linenumber, {d_expr} AS v FROM lineitem"
+    compare(spark.sql(s_sql), duck, d_sql)
+
+
+def test_map_class_covers_hit_miss_and_introspection(spark):
+    """Lookups must include a guaranteed hit, a guaranteed miss, and a
+    row-dependent key; at least one of size/keys/values must appear."""
+    joined = " | ".join(s for s, _d in MAP_CASES)
+    assert "element_at" in joined
+    assert ", 'z')" in joined, "no guaranteed-miss lookup"
+    assert "CASE WHEN l_suppkey % 4" in joined, "no row-dependent key"
+    assert ("size(" in joined or "map_keys" in joined
+            or "map_values" in joined)
