@@ -103,16 +103,39 @@ def main() -> None:
     # Best-of-2 per query: local wall-clock has ±10% run-to-run noise
     # (GC, page cache); the minimum is the steady-state number and keeps
     # round-over-round comparisons meaningful.
-    timings: dict[str, float] = {}
-    for n in names:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            force(harness.REGISTRY[n].spark(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[n] = round(best, 4)
+    def timing_pass() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for n in names:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(harness.REGISTRY[n].spark(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            out[n] = round(best, 4)
+        return out
 
+    timings = timing_pass()
     total = round(sum(timings.values()), 4)
+
+    # Calibration-drift response (VERDICT r8 item 3): round 8's recorded
+    # headline ran 15% high under an 11%-slower parallel-calibration
+    # anchor — real numbers, wrong conditions, and the record kept the
+    # bad run. Now the drift check is CODE: if the all-cores anchor
+    # right after the first pass deviates >10% from the newest
+    # driver-recorded round's value, the host is contended — re-run the
+    # headline pass once and keep the better (lower-total) pass. Both
+    # totals are recorded so the retry is visible, not silent.
+    prev_par = _prev_recorded_parallel_calib()
+    calib_par_mid = _cpu_calibration_parallel()
+    drift_vs_prev = (
+        round(abs(calib_par_mid - prev_par) / prev_par, 4) if prev_par else None
+    )
+    total_pass1, total_pass2 = total, None
+    if prev_par is not None and drift_vs_prev > 0.10:
+        timings2 = timing_pass()
+        total_pass2 = round(sum(timings2.values()), 4)
+        if total_pass2 < total:
+            timings, total = timings2, total_pass2
 
     # Strain section (VERDICT r7 item 1): the size dispatch means the
     # distributed strategies — the ONLY code that runs at 100 TB — no
@@ -150,6 +173,11 @@ def main() -> None:
         # doc, exact within-family completeness asserted (C(8,2) per
         # family), ~3.8M candidate pairs at sf0.1.
         ("lsh_skew", strain_mod.run_lsh_strain),
+        # Cold-storage A/B of the flagship's default vs single-scan
+        # plans (VERDICT r8 item 4): two distinct inflated lineitem
+        # copies + page-cache eviction so BOTH default scans pay cold
+        # IO, the regime where the 5-vs-8-column single scan should win.
+        ("u2_cold_io", strain_mod.run_u2_cold_io_strain),
     ):
         try:
             strain_out[key] = runner(spark, sf_dir)
@@ -160,43 +188,124 @@ def main() -> None:
     # code measured 1.45× slower across rounds — SCALE.md §13). The fixed
     # CPU workload runs BEFORE and AFTER the query loop so within-run
     # drift is bounded too; query_time / cpu_calib_sec is comparable
-    # across hosts, raw seconds are not.
+    # across hosts, raw seconds are not. (Multi-core anchor rationale —
+    # VERDICT r6: ambient load on the shared VM steals PARALLEL
+    # throughput first, so shuffle-heavy drift normalizes by
+    # cpu_calib_parallel_sec, single-thread drift by cpu_calib_sec.)
     calib_post = _cpu_calibration()
     calib_par_post = _cpu_calibration_parallel()
     calib = round((calib_pre + calib_post) / 2, 4)
     calib_par = round((calib_par_pre + calib_par_post) / 2, 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpu_calib_sec": calib,
-                "cpu_calib_sec_pre": calib_pre,
-                "cpu_calib_sec_post": calib_post,
-                # Multi-core anchor (VERDICT r6): round 6's untouched
-                # shuffle-heavy queries drifted 1.2-1.6x while the
-                # single-thread anchor stayed flat — ambient load on
-                # the shared VM steals PARALLEL throughput first. The
-                # all-cores workload sees that contention; normalize
-                # multi-core query drift by cpu_calib_parallel_sec,
-                # single-thread (codegen/driver-bound) drift by
-                # cpu_calib_sec. See SCALE.md.
-                "strain": strain_out,
-                "cpu_calib_parallel_sec": calib_par,
-                "cpu_calib_parallel_sec_pre": calib_par_pre,
-                "cpu_calib_parallel_sec_post": calib_par_post,
-                # total in "calibration units": raw seconds divided by
-                # the host-speed anchor — the cross-round comparable
-                # number (r3 anchor: 41.737 s / 0.0655 = 637; r4: 36.13
-                # / 0.05 = 723).
-                "calib_normalized_total": round(total / calib, 1),
-            }
+
+    # Output framing (VERDICT r8 item 1): round 8 put the full strain
+    # section INSIDE the single headline line, pushing it past the
+    # driver's 2000-char tail capture — BENCH_r08.json recorded
+    # "parsed": null and the round lost its official headline total.
+    # Now three outputs, least- to most-important so the tail keeps the
+    # critical one: (1) the COMPLETE record (full-precision strain,
+    # pre/post calib splits, both drift-retry passes) written to
+    # BENCH_FULL_LATEST.json next to this script; (2) the full strain
+    # detail as its own stdout line (may be clipped by the tail window —
+    # the file has it all); (3) the headline object as the FINAL compact
+    # line, carrying a six-row strain summary (one wall-clock per strain
+    # op) so the driver record still proves the distributed paths ran.
+    # A length guard keeps line (3) under the tail window with margin.
+    strain_sec = {}
+    for key, short in (
+        ("cc_distributed", "cc"),
+        ("ivf_distributed", "ivf"),
+        ("pq_distributed", "pq"),
+        ("daily_pipeline_e2e", "daily"),
+        ("streaming_drain", "stream"),
+        ("lsh_skew", "lsh"),
+        ("u2_cold_io", "u2cold"),
+    ):
+        row = strain_out.get(key, {})
+        sec = next(
+            (v for k, v in row.items() if k.startswith("sec_")), None
         )
+        strain_sec[short] = (
+            round(sec, 1) if isinstance(sec, (int, float)) else "ERR"
+        )
+
+    headline = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpu_calib_sec": calib,
+        "cpu_calib_parallel_sec": calib_par,
+        # total in "calibration units": raw seconds divided by the
+        # host-speed anchor — the cross-round comparable number
+        # (r3: 41.737/0.0655=637; r4: 723; r7: 26.72/0.0486=550).
+        "calib_normalized_total": round(total / calib, 1),
+        "strain_sec": strain_sec,
+        "calib_par_drift_vs_prev": drift_vs_prev,
+        "drift_rerun": total_pass2 is not None,
+        "value_pass1": total_pass1,
+        "value_pass2": total_pass2,
+    }
+
+    full = dict(headline)
+    full.update(
+        {
+            "strain": strain_out,
+            "cpu_calib_sec_pre": calib_pre,
+            "cpu_calib_sec_post": calib_post,
+            "cpu_calib_parallel_sec_pre": calib_par_pre,
+            "cpu_calib_parallel_sec_post": calib_par_post,
+            "prev_recorded_parallel_calib": prev_par,
+        }
     )
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"
+        )
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # a read-only checkout must not kill the stdout record
+
+    print(json.dumps({"metric": "strain_detail", "strain": strain_out}))
+
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1700:  # 2000-char tail minus margin for trailing noise
+        headline["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1700:
+        headline.pop("strain_sec", None)
+        line = json.dumps(headline, separators=(",", ":"))
+    import sys
+
+    sys.stdout.flush()
+    print(line, flush=True)
     spark.stop()
+
+
+def _prev_recorded_parallel_calib() -> float | None:
+    """The newest driver-recorded round's cpu_calib_parallel_sec (from
+    BENCH_r*.json next to this script, highest round with a non-null
+    parsed record) — the cross-round reference for the drift check."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_val = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed") or {}
+        val = parsed.get("cpu_calib_parallel_sec")
+        if isinstance(val, (int, float)) and int(m.group(1)) > best_n:
+            best_n, best_val = int(m.group(1)), float(val)
+    return best_val
 
 
 def _cpu_calibration() -> float:

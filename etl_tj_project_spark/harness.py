@@ -433,12 +433,108 @@ def a4_count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregated — the agg_by_route pipeline shape "
         "(ref dag_datapelangan.py:200-225)",
 )
-def u2_two_branch_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def u2_two_branch_union_agg(
+    spark: SparkSession, sf_dir: str, single_scan: bool = False
+) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     sup = load_table(spark, sf_dir, "supplier")
+    return u2_plan(li, li, part, sup, single_scan=single_scan)
+
+
+def u2_plan(
+    li1: DataFrame,
+    li2: DataFrame,
+    part: DataFrame,
+    sup: DataFrame,
+    single_scan: bool = False,
+) -> DataFrame:
+    """The flagship two-branch plan over caller-supplied frames.
+
+    ``li1``/``li2`` are the branch-1/branch-2 fact frames — identical in
+    the registry entry; the cold-IO strain passes two distinct physical
+    copies so the default plan's two scans each pay cold storage IO the
+    way they would against a remote object store (a single copy would
+    let branch 2 ride branch 1's page-cache warmup, hiding exactly the
+    cost the single-scan variant removes). ``single_scan`` ignores
+    ``li2``.
+    """
+    li = li1
     tanggal = F.col("l_shipdate").cast("date").alias("tanggal")
     amount = F.col("l_extendedprice").cast(AMOUNT).alias("amount")
+    if single_scan:
+        # Cold-IO plan (VERDICT r8 item 4, promoted from the round-8
+        # A/B recorded in SCALE.md "u2 flagship scan-sharing A/Bs",
+        # then IMPROVED in round 9): "union of two aggregates over the
+        # same fact" is exactly what GROUPING SETS computes in one pass
+        # — Spark's Expand operator duplicates each joined row once per
+        # set (a codegen'd projection, no array allocation, unlike the
+        # round-8 explode rewrite, which a three-way A/B beat: warm
+        # sf0.1 gsets 2.11 s vs explode 2.32 s). One lineitem scan
+        # left-joins BOTH broadcast dims; part carries an explicit hit
+        # flag so branch 1's inner-join semantics survive the left
+        # join: in set A the flag is a GROUP KEY, so the unmatched
+        # (NULL,NULL) group is sliced off exactly by the post-agg
+        # filter, and set B keeps every row like the default plan's
+        # left supplier join. grouping() disambiguates branch rows, so
+        # branch 2's legitimately-NULL s_name groups survive. Reads 5
+        # fact columns once instead of 4+4 (~40% less fact IO) — still
+        # loses at page-cache-resident sf0.1 where the second scan is
+        # nearly free, but wins when the scan is IO-bound; equality vs
+        # the default plan is pinned by tests/test_scale_plans.py and
+        # the cold-storage A/B (two distinct physical copies + fadvise
+        # eviction + optional read-throttling) is measured per-round by
+        # strain.run_u2_cold_io_strain.
+        # ASSUMES p_partkey is unique (part's PK): a duplicate-key part
+        # side would fan the fused row out and duplicate branch-2
+        # contributions — use the default plan for non-key join dims.
+        hit_part = F.broadcast(
+            part.select("p_partkey", "p_brand", F.lit(True).alias("p_hit"))
+        )
+        joined = (
+            li.join(hit_part, hit_part["p_partkey"] == li["l_partkey"], "left")
+            .join(
+                F.broadcast(sup),
+                sup["s_suppkey"].cast("string") == li["l_suppkey"].cast("string"),
+                "left",
+            )
+            .select(
+                tanggal,
+                F.col("l_linestatus").alias("gate"),
+                amount,
+                "p_hit",
+                "p_brand",
+                "s_name",
+            )
+        )
+        g = joined.groupingSets(
+            [
+                ["tanggal", "gate", "p_hit", "p_brand"],
+                ["tanggal", "gate", "s_name"],
+            ],
+            "tanggal",
+            "gate",
+            "p_hit",
+            "p_brand",
+            "s_name",
+        ).agg(
+            F.count(F.lit(1)).alias("pelanggan_count"),
+            F.sum("amount").cast(AMOUNT).alias("amount_sum"),
+            F.grouping("s_name").alias("g_s"),
+            F.grouping("p_brand").alias("g_p"),
+        )
+        return g.filter(
+            ((F.col("g_s") == 1) & (F.col("p_hit") == F.lit(True)))
+            | (F.col("g_p") == 1)
+        ).select(
+            "tanggal",
+            F.when(F.col("g_s") == 1, F.col("p_brand"))
+            .otherwise(F.col("s_name"))
+            .alias("route_code"),
+            "gate",
+            "pelanggan_count",
+            "amount_sum",
+        )
     branch1 = li.join(
         F.broadcast(part), part["p_partkey"] == li["l_partkey"], "inner"
     ).select(
@@ -447,9 +543,9 @@ def u2_two_branch_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linestatus").alias("gate"),
         amount,
     )
-    branch2 = li.join(
+    branch2 = li2.join(
         F.broadcast(sup),
-        sup["s_suppkey"].cast("string") == li["l_suppkey"].cast("string"),
+        sup["s_suppkey"].cast("string") == li2["l_suppkey"].cast("string"),
         "left",
     ).select(
         tanggal,
@@ -793,6 +889,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
     d = load_table(spark, sf_dir, "documents")
@@ -803,13 +900,34 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can be released before return — the exact move a production 100 TB
     # caller makes (write the labels out, then release_components), with
     # no driver-side collect of a corpus-sized frame anywhere (VERDICT
-    # r7 item 4). A fixed overwrite target keeps repeated invocations
-    # from accreting temp parquet; each call returns a fresh read of the
-    # just-written copy.
-    out = os.path.join(tempfile.gettempdir(), "tj_cc_labels")
+    # r7 item 4). The target is a fresh mkdtemp under a per-application
+    # parent (ADVICE r8): a fixed shared /tmp name let two concurrent
+    # sessions — or bench + pytest on one host — overwrite each other's
+    # label table mid-read, and was a symlink-squat hazard on multi-user
+    # hosts. mkdtemp is race-free-unique per CALL, so the frame returned
+    # by a previous call stays readable while this call writes; only the
+    # previous call's dir (tracked in a module-level handle, keyed by
+    # applicationId) is deleted, bounding temp accretion to one live
+    # label table per call generation.
+    parent = os.path.join(
+        tempfile.gettempdir(),
+        f"tj_cc_labels_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(parent, exist_ok=True)
+    prev = _CC_LABEL_DIRS.get(parent)
+    out = tempfile.mkdtemp(dir=parent)
     labels.write.mode("overwrite").parquet(out)
     dd.release_components(labels)
+    _CC_LABEL_DIRS[parent] = out
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
     return spark.read.parquet(out).select("node", "component_id")
+
+
+# Previous dedup_connected_components label dir per application-scoped
+# parent — lets each call clean up its predecessor without racing other
+# sessions (which write under their own applicationId parent).
+_CC_LABEL_DIRS: dict = {}
 
 
 @register(
@@ -1286,73 +1404,72 @@ from etl_tj_project_spark import parity  # noqa: E402
 
 
 # The driver runs CORRECTNESS on the FIRST 50 registry entries only, in
-# iteration order — so iteration order is the coverage lever. Round 7
-# emptied the never-checked backlog (every one of the 238 entries has a
-# driver row; 231 green + 7 rows-only-by-policy). Round 8 starts the
-# STALENESS-ROTATION regime (VERDICT r7 item 2): greens age as code is
-# refactored under them, so each window is now (a) the four-entry §2
-# stability core, (b) entries whose harness/operator code changed this
-# round (dedup_connected_components: collect removed; the new
-# multimodal_jpeg_roundtrip real-codec entry, first check), then
-# (c) the 44 oracle-backed entries whose LAST green is oldest — the
-# r1/r2 cohort, ordered oldest-round-first then registration order.
-# 17 r1/r2-cohort entries remain for the r9 window (TPC-H ext pack,
-# corpus-curation family, ann_ivf_topk, skewed_window_two_phase).
+# iteration order — so iteration order is the coverage lever. Round 9
+# FINISHES the staleness rotation (VERDICT r8 item 2): each window is
+# (a) the four-entry §2 stability core, (b) entries whose
+# harness/operator code changed this round (dedup_connected_components:
+# per-application mkdtemp label materialization + CC loop probe/round
+# work), then (c) the oracle-backed entries whose LAST driver green is
+# oldest — the full 17-entry r2 cohort (TPC-H ext pack, corpus-curation
+# family, ann_ivf_topk, skewed_window_two_phase), then the oldest of the
+# r4 cohort in its r4-window order to fill 50. After this window lands
+# green, no entry's newest green predates r4. Window composition
+# rationale recorded in COVERAGE.md per round.
 DRIVER_WINDOW: list[str] = [
-    # (a) §2 stability core (driver-green every round they ran, r2-r7)
+    # (a) §2 stability core (driver-green every round they ran, r2-r8)
     "p1_typed_projection",
     "j1_inner_join_fanout",
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
-    # (b) entries whose code changed in round 8
+    # (b) entries whose code changed in round 9
     "dedup_connected_components",
-    "multimodal_jpeg_roundtrip",
-    # (c) oldest-green rotation: the r1 cohort (last green round 1)...
-    "text_token_count",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_brute_force_topk",
-    "ann_lsh_bucketed_topk",
-    "dedup_embedding_cosine",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "sessionize",
-    "asof_join",
-    "semi_join_exists",
-    "anti_join_not_exists",
-    "percentile_by_group",
-    "count_distinct_by_group",
-    # ...then the oldest of the r2 cohort, registration order
-    "p2_equality_filter",
-    "p3_date_partition_filter",
-    "p4_null_rejection",
-    "p5_conjunctive_predicate",
-    "ud1_norm_body",
-    "ud2_to_bool_safe",
-    "j2_left_join_code_to_name",
-    "j4_cast_key_join",
-    "u1_union_all",
-    "a2_agg_nullable_group_keys",
-    "a3_agg_by_tariff",
-    "a4_count_probe",
-    "w1_topk_per_group",
-    "sort_limit_topk",
-    "distinct_pairs",
-    "partitioned_write_roundtrip",
-    "stream_window_agg",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q5ish_regional_revenue",
-    "cube_agg",
-    "pivot_status_counts",
-    "sql_view_layer",
-    "skew_salted_join",
-    "upsert_dim_delta",
+    # (c) oldest-green rotation: the 17-entry r2 cohort (last green r2)
+    "ann_ivf_topk",
+    "skewed_window_two_phase",
+    "corpus_split_assign",
+    "corpus_pack_sequences",
+    "corpus_pii_redact",
+    "corpus_top_terms",
+    "corpus_stratified_sample",
+    "corpus_contamination_check",
+    "tpch_q4ish_late_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9ish_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12ish_priority_by_returnflag",
+    "tpch_q13_order_count_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17ish_small_qty_revenue",
+    # ...then the oldest 28 of the r4 cohort, r4-window order
+    "window_lag_delta",
+    "window_ntile_quartiles",
+    "window_rank_family",
+    "window_range_frame",
+    "window_first_last",
+    "session_window_agg",
+    "sliding_window_counts",
+    "unpivot_melt",
+    "intersect_distinct",
+    "except_distinct",
+    "grouping_sets_agg",
+    "stats_agg_by_group",
+    "argmin_join_back",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q22ish_idle_customers",
+    "datetime_function_pack",
+    "string_function_pack",
+    "array_hof_pack",
+    "math_function_pack",
+    "null_semantics_pack",
+    "conditional_agg_pack",
+    "map_struct_pack",
+    "null_safe_join_agg",
+    "json_extract_typed",
+    "json_agg_by_field",
+    "scd2_validity_ranges",
 ]
 
 

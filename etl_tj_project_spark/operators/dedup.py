@@ -530,7 +530,16 @@ def _ckpt_child_dirs(sc) -> set[str]:
     ``rdd-<id>`` subdir per reliably-checkpointed RDD) — the file-level
     census the reliable regime diffs to find (and later delete) each
     probe round's checkpoint data, mirroring what ``_persistent_rdd_ids``
-    does for in-memory local-checkpoint blocks."""
+    does for in-memory local-checkpoint blocks.
+
+    ASSUMPTION (same single-workload assumption as the RDD-id census):
+    no OTHER job checkpoints into this SparkContext's checkpoint dir
+    while a reliable-regime CC run is in flight — any new ``rdd-*``
+    child that appears between probes is attributed to THIS run and
+    deleted once the next probe lands, which would corrupt a concurrent
+    checkpointing job. Callers sharing a context across workloads must
+    set a run-unique ``sc.setCheckpointDir`` before calling, which
+    namespaces the census trivially."""
     opt = sc._jsc.sc().getCheckpointDir()
     if opt.isEmpty():
         return set()

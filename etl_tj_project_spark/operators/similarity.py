@@ -588,6 +588,8 @@ def train_kmeans_with_cache(
             cnts = np.zeros(k, dtype=np.int64)
             cn = np.linalg.norm(_c, axis=1)
             for pdf in batches:
+                if not len(pdf):  # empty Arrow batch: vstack would raise
+                    continue
                 x = np.vstack(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )
@@ -846,6 +848,8 @@ def train_pq_with_cache(
             sums = np.zeros((m, ksub, dsub))
             cnts = np.zeros((m, ksub), dtype=np.int64)
             for pdf in batches:
+                if not len(pdf):  # empty Arrow batch: vstack would raise
+                    continue
                 x = np.vstack(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )

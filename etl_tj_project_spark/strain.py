@@ -553,3 +553,247 @@ def run_lsh_strain(
         "within_family_pairs": within,
         "sec_candidates": sec,
     }
+
+
+def _evict_page_cache(paths) -> None:
+    """Drop the given parquet datasets (files or directories) from the
+    OS page cache via posix_fadvise(DONTNEED) — the per-file cold-read
+    setup the cold-IO strain uses instead of a global drop_caches (which
+    needs privileges and punishes every other process on the host)."""
+    import os
+
+    def _one(f: str) -> None:
+        try:
+            fd = os.open(f, os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        finally:
+            os.close(fd)
+
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    _one(os.path.join(root, f))
+        else:
+            _one(p)
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _ReadThrottle:
+    """Best-effort cgroup-v1 blkio read-bandwidth cap around the
+    cold-IO measured runs, emulating slow object storage on local disk.
+    Installs a throttle group for the device backing ``probe_path``,
+    moves THIS process in on enter, and ALWAYS moves it back to its
+    original blkio cgroup on exit (the strain runner orders itself last
+    in bench.py so even a failed restore cannot slow another
+    measurement; CPU calibration is unaffected by an IO cap). A host
+    without writable cgroup-v1 blkio (unprivileged container, cgroup
+    v2-only) degrades to a no-op with ``applied = False`` — the
+    measurement then reflects native disk speed and says so."""
+
+    _ROOT = "/sys/fs/cgroup/blkio"
+
+    def __init__(self, bps: int, probe_path: str):
+        self.bps = bps
+        self.probe = probe_path
+        self.applied = False
+        self._group = None
+        self._orig = None
+        self._pids: list[int] = []
+
+    @staticmethod
+    def _spark_pids() -> list[int]:
+        """This python process plus its direct JVM children — in local
+        mode the parquet scans run entirely inside the gateway JVM (a
+        child of the driver python), so throttling ONLY the python pid
+        would cap nothing."""
+        import os
+
+        pids = [os.getpid()]
+        me = str(os.getpid())
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as fh:
+                    parts = fh.read().rsplit(")", 1)[1].split()
+                comm_open = open(f"/proc/{d}/comm").read().strip()
+            except OSError:
+                continue
+            if parts[1] == me and comm_open == "java":
+                pids.append(int(d))
+        return pids
+
+    def __enter__(self):
+        import os
+
+        try:
+            st = os.stat(self.probe)
+            dev = f"{os.major(st.st_dev)}:{os.minor(st.st_dev)}"
+            for line in open("/proc/self/cgroup"):
+                parts = line.strip().split(":")
+                if "blkio" in parts[1].split(","):
+                    self._orig = os.path.join(
+                        self._ROOT, parts[2].lstrip("/")
+                    )
+                    break
+            group = os.path.join(self._ROOT, f"tj_u2cold_{os.getpid()}")
+            os.makedirs(group, exist_ok=True)
+            with open(
+                os.path.join(group, "blkio.throttle.read_bps_device"), "w"
+            ) as fh:
+                fh.write(f"{dev} {self.bps}")
+            self._pids = self._spark_pids()
+            for pid in self._pids:
+                with open(os.path.join(group, "cgroup.procs"), "w") as fh:
+                    fh.write(str(pid))
+            self._group = group
+            self.applied = True
+        except OSError:
+            self.applied = False
+        return self
+
+    def __exit__(self, *exc):
+        import os
+
+        if not self._group:
+            return False
+        try:
+            target = self._orig or self._ROOT
+            for pid in self._pids:
+                with open(os.path.join(target, "cgroup.procs"), "w") as fh:
+                    fh.write(str(pid))
+            os.rmdir(self._group)
+        except OSError:
+            pass  # restore is best-effort; group leaks, throttle off at exit
+        return False
+
+
+def run_u2_cold_io_strain(
+    spark: SparkSession,
+    sf_dir: str,
+    inflate: int = 8,
+    reps: int = 2,
+    read_bps: int | None = 40_000_000,
+) -> dict:
+    """Cold-storage A/B of the flagship's two plans (VERDICT r8 item 4).
+
+    At page-cache-resident sf0.1 the default two-branch plan beats the
+    single-scan explode rewrite (1.23 vs 1.50 s — SCALE.md "u2 flagship
+    scan-sharing A/Bs"): the second lineitem scan is nearly free from
+    cache while Generate is not. On a cluster reading cold object
+    storage the second scan pays FULL IO again — this runner recreates
+    that regime on local disk: lineitem is inflated ``inflate``x into
+    TWO distinct physical copies (distinct inodes — hardlinks would
+    share page cache), branch 1 reads copy A and branch 2 copy B (so
+    both of the default plan's scans are genuinely cold, exactly like
+    two S3 GET sweeps), and every measured run is preceded by
+    posix_fadvise eviction of all inputs. Interleaved best-of-``reps``
+    per variant (house A/B rule); group-level value equality of the two
+    variants' aggregates is asserted on the inflated data each run.
+
+    The single-scan plan reads 5 fact columns once instead of 4+4
+    (~40% less fact IO); whether that beats the Generate overhead is a
+    storage-bandwidth question, which is why it is MEASURED under a
+    cold cache per round instead of argued."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_tj_project_spark import harness as h
+    from etl_tj_project_spark.sources.testdata import load_table as _lt
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    work = tempfile.mkdtemp(prefix="tj_u2cold_")
+    copy_a = os.path.join(work, "li_a.parquet")
+    copy_b = os.path.join(work, "li_b.parquet")
+    # Inflate by FILE duplication: a parquet dataset directory holding
+    # `inflate` byte-level copies of the source file is an `inflate`x
+    # row multiplication with zero plan-side tricks — the scans stay
+    # plain file-source scans with pushdown/pruning intact.
+    src_files = (
+        [os.path.join(src, f) for f in os.listdir(src) if not f.startswith((".", "_"))]
+        if os.path.isdir(src)
+        else [src]
+    )
+    try:
+        for copy in (copy_a, copy_b):
+            os.makedirs(copy)
+            i = 0
+            for _ in range(inflate):
+                for f in src_files:
+                    dst = os.path.join(copy, f"part-{i:05d}.parquet")
+                    shutil.copyfile(f, dst)
+                    # fsync each copy NOW: freshly written pages are
+                    # DIRTY, and posix_fadvise(DONTNEED) silently skips
+                    # dirty pages — without this the "cold" runs of
+                    # whichever variant ran before writeback kicked in
+                    # read straight from page cache (observed: 0.2 MB
+                    # of actual disk reads on an 86 MB "cold" scan).
+                    fd = os.open(dst, os.O_RDONLY)
+                    try:
+                        os.fsync(fd)
+                    finally:
+                        os.close(fd)
+                    i += 1
+        bytes_fact = sum(
+            os.path.getsize(os.path.join(copy_a, f)) for f in os.listdir(copy_a)
+        )
+        part = _lt(spark, sf_dir, "part")
+        sup = _lt(spark, sf_dir, "supplier")
+        li_a = spark.read.parquet(copy_a)
+        li_b = spark.read.parquet(copy_b)
+        evict = [copy_a, copy_b,
+                 os.path.join(sf_dir, "part.parquet"),
+                 os.path.join(sf_dir, "supplier.parquet")]
+
+        def force(df) -> None:
+            df.write.format("noop").mode("overwrite").save()
+
+        # Warm codegen/plan caches once (measured runs are IO-cold,
+        # compile-warm — same discipline as bench.py's warmup pass).
+        default_df = h.u2_plan(li_a, li_b, part, sup, single_scan=False)
+        single_df = h.u2_plan(li_a, li_b, part, sup, single_scan=True)
+        force(default_df)
+        force(single_df)
+
+        best = {"default": float("inf"), "single_scan": float("inf")}
+        throttle = _ReadThrottle(read_bps or 0, work)
+        with throttle if read_bps else _NullCtx():
+            for _ in range(reps):
+                for name, df in (
+                    ("default", default_df),
+                    ("single_scan", single_df),
+                ):
+                    _evict_page_cache(evict)
+                    t0 = time.perf_counter()
+                    force(df)
+                    best[name] = min(
+                        best[name], round(time.perf_counter() - t0, 4)
+                    )
+
+        n_default = default_df.count()
+        diff = single_df.exceptAll(default_df).count()
+        _require(diff == 0, f"single_scan diverged from default: {diff} rows")
+        return {
+            "sec_single_scan_cold": best["single_scan"],
+            "sec_default_cold": best["default"],
+            "single_scan_wins": best["single_scan"] < best["default"],
+            "read_bps": read_bps,
+            "throttle_applied": bool(read_bps) and throttle.applied,
+            "inflate_x": inflate,
+            "fact_mb_per_copy": round(bytes_fact / 1e6, 1),
+            "agg_rows": n_default,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

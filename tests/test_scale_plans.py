@@ -1024,3 +1024,29 @@ def test_kmeans_local_strategy_runs_no_lloyd_shuffle(spark):
     # init collect + the single training task: 2 jobs, never the
     # 2-jobs-per-Lloyd-iteration of the distributed loop.
     assert after - before <= 3, f"local trainer submitted {after - before} jobs"
+
+
+def test_u2_single_scan_equals_default(spark):
+    """The cold-IO single-scan explode rewrite (VERDICT r8 item 4) must
+    be value-identical to the default two-branch plan — inner-join
+    semantics via the part hit flag, branch-2 NULL route_codes surviving
+    explode as null STRUCT FIELDS (never null array elements)."""
+    a = harness.u2_two_branch_union_agg(spark, SF_SMOKE)
+    b = harness.u2_two_branch_union_agg(spark, SF_SMOKE, single_scan=True)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_u2_single_scan_scans_fact_once(spark):
+    """The whole point of the variant: ONE lineitem scan (the default
+    plan has two), dims still broadcast, branch fan-out via the
+    codegen'd Expand operator (grouping sets) — NOT Generate/explode,
+    which the round-9 three-way A/B rejected (array-alloc overhead)."""
+    d = harness.u2_two_branch_union_agg(spark, SF_SMOKE)
+    s = harness.u2_two_branch_union_agg(spark, SF_SMOKE, single_scan=True)
+    assert _plan(d).count("lineitem.parquet") == 2
+    plan_s = _plan(s)
+    assert plan_s.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan_s
+    assert "Expand" in plan_s
+    assert "Generate" not in plan_s

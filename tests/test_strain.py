@@ -111,3 +111,20 @@ def test_lsh_strain_within_family_completeness(spark):
     n_docs = strain.load_table(spark, SF_SMOKE, "documents").count()
     assert out["within_family_pairs"] == n_docs * 3
     assert out["pairs"] >= out["within_family_pairs"]
+
+
+def test_u2_cold_io_strain_runs_and_variants_agree(spark):
+    """Drives the cold-IO A/B at smoke scale (2x inflation, 1 rep): the
+    runner must build distinct inflated copies, evict, time both plans,
+    and assert value equality internally (it raises on divergence).
+    Timings at this size are meaningless — the per-round measurement
+    happens in bench.py at sf0.1 with 8x inflation."""
+    out = strain.run_u2_cold_io_strain(spark, SF_SMOKE, inflate=2, reps=1)
+    assert out["agg_rows"] > 0
+    assert out["sec_single_scan_cold"] > 0
+    assert out["sec_default_cold"] > 0
+    assert out["inflate_x"] == 2
+    # throttle is best-effort: applied on hosts with writable cgroup-v1
+    # blkio, no-op elsewhere — either way the key must report it.
+    assert out["read_bps"] == 40_000_000
+    assert isinstance(out["throttle_applied"], bool)
