@@ -830,7 +830,7 @@ def connected_components(
     # One action materializes the upstream plan AND yields the edge count
     # used to pick the strategy and size the iteration tables below.
     n_sym = sym.count()
-    if strategy not in ("auto", "local", "distributed"):
+    if strategy not in ("auto", "local", "distributed", "star"):
         raise ValueError(f"unknown connected_components strategy {strategy!r}")
     if strategy == "auto":
         strategy = "local" if n_sym <= _CC_SINGLE_TASK_EDGES else "distributed"
@@ -844,6 +844,8 @@ def connected_components(
         # result themselves; sym stays persisted until release.
         out._cc_setup_cache = sym
         return out
+    if strategy == "star":
+        return _cc_star_loop(sym, n_sym, max_iter)
     nodes = _persist_once(sym.select("n").distinct())
     # Self-loops fold "own label" into the neighborhood aggregate, so
     # each round's closed-neighborhood minimum is ONE join + groupBy
@@ -1008,6 +1010,145 @@ def connected_components(
         out._cc_ckpt_dirs = frozenset(ckpt_dirs)
         out._cc_ckpt_tmpdir = own_tmpdir
     return out
+
+
+def _cc_star_loop(sym: DataFrame, n_sym: int, max_iter: int) -> DataFrame:
+    """Large-star / small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the classic
+    alternative to min-label propagation, A/B'd against the default
+    distributed loop per VERDICT r8 item 5. Explicitly selectable via
+    ``connected_components(..., strategy="star")``; never chosen by
+    auto (the A/B verdict lives in SCALE.md §23).
+
+    State is the EDGE table itself (canonically oriented child>parent),
+    rewritten each round instead of a static edge table joined against
+    a label table:
+
+    * large-star: every node connects its strictly-LARGER neighbors to
+      the minimum of its closed neighborhood — long chains fold toward
+      minima from every local dip at once;
+    * small-star: every node connects its smaller-or-equal neighbors
+      (and itself) to that minimum — stars flatten.
+
+    Termination is an EXACT structural test, not a fixpoint-theory
+    argument: the edge table is a star forest iff (1) no child has two
+    parents and (2) no parent is itself a child — both checked every
+    round on the current table; LS and SS are identities on star
+    forests, and both preserve connectivity, so stopping there is
+    exact. Labels then read straight off the edges: child -> parent,
+    and any node never appearing as a child (roots, singletons) labels
+    itself.
+
+    Each phase's output is localCheckpoint'd: the next phase reads its
+    input from two subtrees (the neighborhood aggregate and the join
+    back), and RDD-level block reuse computes a checkpointed phase once
+    where plan-subtree reuse would execute it twice. Superseded rounds'
+    blocks are freed by the same JVM-side id census the default loop
+    uses. Cluster regime note: this A/B strategy implements only the
+    local-checkpoint regime; use the default loop for
+    ``reliable=True``."""
+    spark = sym.sparkSession
+    sc = spark.sparkContext
+    # One canonical row per undirected edge; checkpointed because round
+    # 1 reads it from two subtrees (aggregate + join back).
+    e = (
+        sym.where(F.col("n") > F.col("m"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = _persist_once(sym.select("n").distinct())
+    nodes.count()
+
+    def both_ways(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("n"), F.col("m")),
+                    F.struct(F.col("m").alias("n"), F.col("n").alias("m")),
+                )
+            ).alias("__e")
+        ).select("__e.n", "__e.m")
+
+    def closed_nbr_min(sym2: DataFrame) -> DataFrame:
+        return (
+            sym2.groupBy("n")
+            .agg(F.min("m").alias("mn"))
+            .select("n", F.least("n", "mn").alias("ms"))
+        )
+
+    known_ids = _persistent_rdd_ids(sc)
+    ckpt_ids: set[int] = set()
+    converged = False
+    for _it in range(max_iter):
+        # Large-star: from each orientation (u -> v) with v > u, emit
+        # (v, min(closed nbrhood of u))  — child stays > parent.
+        sym2 = both_ways(e)
+        ls = (
+            sym2.where(F.col("m") > F.col("n"))
+            .join(closed_nbr_min(sym2), on="n")
+            .select(F.col("m").alias("n"), F.col("ms").alias("m"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # Small-star over the large-star output: smaller neighbors and
+        # self connect to the closed-neighborhood min.
+        sym3 = both_ways(ls)
+        nbr2 = closed_nbr_min(sym3)
+        ss = (
+            sym3.where(F.col("m") < F.col("n"))
+            .join(nbr2, on="n")
+            .select(F.col("m").alias("n"), F.col("ms").alias("m"))
+            .unionByName(nbr2.select("n", F.col("ms").alias("m")))
+            .where(F.col("n") != F.col("m"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # Exact star-forest probe; the first aggregate materializes the
+        # round's checkpoints.
+        max_parents = (
+            ss.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .collect()[0][0]
+        ) or 0
+        chained = (
+            ss.join(ss.select(F.col("n").alias("m")).distinct(), on="m", how="leftsemi")
+            .limit(1)
+            .count()
+        )
+        now_ids = _persistent_rdd_ids(sc)
+        fresh = now_ids - known_ids
+        _unpersist_rdd_ids(sc, ckpt_ids)
+        known_ids = (known_ids | fresh) - ckpt_ids
+        ckpt_ids = fresh
+        if _it == 0:
+            # Round 1's probe materialized e0's checkpoint blocks; the
+            # upstream (possibly an LSH self-join) is never read again.
+            sym.unpersist()
+        e = ss
+        if max_parents <= 1 and chained == 0:
+            converged = True
+            break
+    if not converged:
+        nodes.unpersist()
+        _unpersist_rdd_ids(sc, ckpt_ids)
+        raise RuntimeError(
+            f"star connected_components did not converge in {max_iter} "
+            "rounds — raise max_iter"
+        )
+    labels = e.select(
+        F.col("n").alias("node"), F.col("m").alias("component_id")
+    ).unionByName(
+        nodes.join(e.select("n"), on="n", how="left_anti").select(
+            F.col("n").alias("node"), F.col("n").alias("component_id")
+        )
+    )
+    # The returned frame reads the final checkpoint's blocks AND the
+    # node cache (for the root/singleton anti-join) — both released via
+    # release_components, NOT here (the caller hasn't materialized yet).
+    labels._cc_checkpoint_ids = frozenset(ckpt_ids)
+    labels._cc_setup_cache = nodes
+    return labels
 
 
 # --------------------------------------------------------------------------

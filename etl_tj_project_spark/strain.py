@@ -418,19 +418,35 @@ def run_daily_pipeline_strain(spark: SparkSession, sf_dir: str) -> dict:
         shutil.rmtree(wh_dir, ignore_errors=True)
 
 
-def run_streaming_strain(spark: SparkSession, sf_dir: str) -> dict:
+def run_streaming_strain(
+    spark: SparkSession,
+    sf_dir: str,
+    inflate: int = 1,
+    files: int = 32,
+    max_files_per_trigger: int = 32,
+) -> dict:
     """Structured-Streaming throughput under measurement: the events
-    table is staged as a 32-file parquet source, drained through the
-    REAL streaming pipeline — file readStream (4 micro-batches via
-    maxFilesPerTrigger), watermarked tumbling daily window, update-mode
-    ``foreachBatch`` exactly-once sink with group-granular dynamic
-    partition overwrite (streaming/daily_stream.py) — and the final
-    sink state is asserted equal to the batch twin through a
+    table (optionally inflated ``inflate``x with disjoint event_id
+    blocks — same window/group structure, counts scaled exactly) is
+    staged as a ``files``-file parquet source, drained through the REAL
+    streaming pipeline — file readStream (micro-batch size set by
+    ``max_files_per_trigger``), watermarked tumbling daily window,
+    update-mode ``foreachBatch`` exactly-once sink with group-granular
+    dynamic partition overwrite (streaming/daily_stream.py) — and the
+    final sink state is asserted equal to the batch twin through a
     distributed join (the availableNow-equality test's check, here run
     at bench scale every round). Measured seconds cover source listing,
     all micro-batches, state-store updates, and the partitioned sink
     writes: the number the headline's batch-shaped stream twin
-    (stream_window_agg) deliberately excludes."""
+    (stream_window_agg) deliberately excludes.
+
+    Defaults: the round-9 batch-size sweep (SCALE.md §23) measured the
+    drain as micro-batch-overhead-bound — each batch pays a fixed
+    plan/state-commit/sink-overwrite cost and per-row work is small —
+    so a CATCH-UP drain (availableNow semantics) defaults to the
+    largest batch (one trigger for the whole backlog). Small triggers
+    are for steady-state latency, not drains; pass
+    ``max_files_per_trigger`` explicitly to measure that regime."""
     import os
     import shutil
     import tempfile
@@ -440,6 +456,18 @@ def run_streaming_strain(spark: SparkSession, sf_dir: str) -> dict:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+    if inflate > 1:
+        n_src = ev.count()
+        ev = ev.select(
+            F.explode(F.sequence(F.lit(0), F.lit(inflate - 1))).alias("r"),
+            "*",
+        ).select(
+            (F.col("event_id") + F.col("r") * n_src).alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+        )
     root = tempfile.mkdtemp(prefix="tj_stream_strain_")
     src = os.path.join(root, "src")
     sink = os.path.join(root, "sink")
@@ -454,12 +482,12 @@ def run_streaming_strain(spark: SparkSession, sf_dir: str) -> dict:
         # measures micro-batch/state/sink throughput and exactly-once
         # convergence; late-arrival semantics are pinned separately by
         # the streaming tests.
-        ev.repartitionByRange(32, "ts").write.parquet(src)
+        ev.repartitionByRange(files, "ts").write.parquet(src)
         n_in = spark.read.parquet(src).count()
         t0 = time.perf_counter()
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
-            .option("maxFilesPerTrigger", 8)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .format("parquet")
             .load(src)
             .withWatermark("ts", "90 days")
@@ -502,6 +530,9 @@ def run_streaming_strain(spark: SparkSession, sf_dir: str) -> dict:
             "rows_in": n_in,
             "groups_out": n_groups,
             "rows_per_sec": round(n_in / sec, 1) if sec > 0 else None,
+            "micro_batches": -(-files // max_files_per_trigger),
+            "files": files,
+            "max_files_per_trigger": max_files_per_trigger,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

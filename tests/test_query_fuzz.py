@@ -2088,3 +2088,137 @@ def test_map_class_covers_hit_miss_and_introspection(spark):
     assert "CASE WHEN l_suppkey % 4" in joined, "no row-dependent key"
     assert ("size(" in joined or "map_keys" in joined
             or "map_values" in joined)
+
+
+# ---------------------------------------------------------------------------
+# Decimal narrowing casts / overflow (round 9): TRY_CAST to narrower
+# DECIMAL(p,s) — dual-SQL, with two NEW pinned engine divergences
+# ---------------------------------------------------------------------------
+#
+# Probed divergences (each pinned with a convergence-watch test below):
+#
+# * Narrowing-cast ROUNDING MODE: casting a decimal to a smaller scale
+#   ROUNDS HALF_UP (away from zero) in Spark but TRUNCATES toward zero
+#   in DuckDB: TRY_CAST(2.345 AS DECIMAL(3,2)) = 2.35 vs 2.34,
+#   -2.345 -> -2.35 vs -2.34.
+# * OVERFLOW AT THE ROUNDING BOUNDARY, a direct consequence:
+#   TRY_CAST(99.995 AS DECIMAL(4,2)) rounds to 100.00 and overflows to
+#   NULL in Spark; DuckDB truncates to 99.99 and keeps the row.
+# * Decimal DIVISION result scale: Spark divides exactly at its
+#   inferred result scale then casts, DuckDB divides in DOUBLE —
+#   CAST(7.00/3.00 AS DOUBLE) = 2.3333333333333 vs 2.3333333333333335.
+#   Division is excluded from this grammar (as from the others).
+#
+# The dual-SQL normalization: the DuckDB twin rounds explicitly before
+# the narrowing cast — TRY_CAST(ROUND(e, s) AS DECIMAL(p,s)) — because
+# DuckDB ROUND on decimals IS half-away-from-zero, matching Spark's
+# cast-time HALF_UP, including the overflow-after-round NULL. Overflow
+# rows (integer digits exceeding p-s) must agree as NULL in both.
+
+def _narrow_case(rng: random.Random) -> tuple[str, str, int, int]:
+    a = rng.choice(["l_extendedprice", "l_quantity", "l_discount"])
+    b = rng.choice(["l_tax", "l_quantity", "l_discount"])
+    base = rng.choice(
+        [
+            f"CAST({a} AS DECIMAL(12,2))",
+            f"CAST(CAST({a} AS DECIMAL(12,2)) + CAST({b} AS DECIMAL(12,2)) "
+            "AS DECIMAL(14,2))",
+            f"CAST(CAST(0 AS DECIMAL(12,2)) - CAST({a} AS DECIMAL(12,2)) "
+            "AS DECIMAL(14,2))",
+            f"CAST(CAST({a} AS DECIMAL(12,2)) * CAST({b} AS DECIMAL(8,2)) "
+            "AS DECIMAL(22,4))",
+        ]
+    )
+    # Narrow targets: s below the source scale forces the rounding-mode
+    # path; small p-s forces overflow-to-NULL on large rows. p > s keeps
+    # at least one integer digit (p == s is its own hazard family).
+    s = rng.randint(0, 3)
+    p = s + rng.randint(1, 5)
+    return base, f"DECIMAL({p},{s})", p, s
+
+
+def _gen_narrow(n: int) -> list[tuple[str, str, int, int]]:
+    rng = random.Random(20260915)
+    return [_narrow_case(rng) for _ in range(n)]
+
+
+NARROW_CASES = _gen_narrow(14)
+
+
+@pytest.mark.parametrize("idx", range(len(NARROW_CASES)))
+def test_random_decimal_narrowing_matches_oracle(spark, duck, li_view, idx):
+    base, target, _p, s = NARROW_CASES[idx]
+    s_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(TRY_CAST({base} AS {target}) AS DOUBLE) AS v "
+        f"FROM {li_view}"
+    )
+    d_sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(TRY_CAST(ROUND({base}, {s}) AS {target}) AS DOUBLE) AS v "
+        f"FROM lineitem"
+    )
+    compare(spark.sql(s_sql), duck, d_sql)
+
+
+def test_narrowing_class_produces_nulls_and_roundings(spark, li_view):
+    """Vacuity guard: across the cases, the narrowing must actually
+    (a) overflow some rows to NULL and (b) change some values by
+    rounding — otherwise the class only re-tests identity casts."""
+    nulls = rounded = 0
+    for base, target, _p, s in NARROW_CASES:
+        row = spark.sql(
+            f"SELECT COUNT(*) - COUNT(TRY_CAST({base} AS {target})) AS n, "
+            f"SUM(CASE WHEN CAST(TRY_CAST({base} AS {target}) AS DOUBLE) "
+            f"<> CAST({base} AS DOUBLE) THEN 1 ELSE 0 END) AS r "
+            f"FROM {li_view}"
+        ).collect()[0]
+        nulls += row.n
+        rounded += row.r or 0
+    assert nulls > 0, "no overflow-to-NULL rows generated"
+    assert rounded > 0, "no rounding-mode rows generated"
+
+
+def test_pin_decimal_narrowing_cast_rounding_divergence(spark, duck):
+    """PINNED divergence: Spark narrows decimal scale with HALF_UP
+    (away from zero), DuckDB truncates toward zero. Fails if either
+    engine changes — then the ROUND() normalization in the narrowing
+    class above must be revisited."""
+    s = spark.sql(
+        "SELECT CAST(TRY_CAST(2.345 AS DECIMAL(3,2)) AS DOUBLE) AS a, "
+        "CAST(TRY_CAST(-2.345 AS DECIMAL(3,2)) AS DOUBLE) AS b"
+    ).collect()[0]
+    assert (s.a, s.b) == (2.35, -2.35)
+    d = duck.sql(
+        "SELECT CAST(TRY_CAST(2.345 AS DECIMAL(3,2)) AS DOUBLE) AS a, "
+        "CAST(TRY_CAST(-2.345 AS DECIMAL(3,2)) AS DOUBLE) AS b"
+    ).fetchone()
+    assert d == (2.34, -2.34)
+
+
+def test_pin_decimal_overflow_at_rounding_boundary(spark, duck):
+    """PINNED divergence (consequence of the rounding mode): 99.995
+    into DECIMAL(4,2) rounds to 100.00 and overflows to NULL in Spark;
+    DuckDB truncates to 99.99 and keeps the value."""
+    s = spark.sql(
+        "SELECT TRY_CAST(99.995 AS DECIMAL(4,2)) AS v"
+    ).collect()[0].v
+    assert s is None
+    d = duck.sql("SELECT TRY_CAST(99.995 AS DECIMAL(4,2)) AS v").fetchone()[0]
+    assert float(d) == 99.99
+
+
+def test_pin_decimal_division_scale_divergence(spark, duck):
+    """PINNED divergence justifying the grammar's division exclusion:
+    Spark divides decimals exactly at its inferred result scale (13
+    fractional digits for (10,2)/(10,2)) before the double cast;
+    DuckDB divides in DOUBLE natively — the low bits differ."""
+    expr = (
+        "CAST(CAST(7.00 AS DECIMAL(10,2)) / CAST(3.00 AS DECIMAL(10,2)) "
+        "AS DOUBLE)"
+    )
+    s = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+    d = duck.sql(f"SELECT {expr} AS v").fetchone()[0]
+    assert s == 2.3333333333333
+    assert d == 2.3333333333333335
+    assert s != d
