@@ -83,19 +83,52 @@ def test_driver_window_has_no_rows_only_slots():
 def test_driver_window_is_oldest_green_first():
     """The rotation's point (VERDICT r7 item 2): beyond the stability
     core and this round's changed entries, window slots go to the
-    entries whose last driver green is OLDEST. Pin that the r1 cohort
-    (the stalest greens) is fully inside the window."""
-    r1_cohort = {
-        "text_token_count", "text_quality", "text_lang_id",
-        "text_fingerprint", "dedup_simhash", "dedup_ngram_jaccard",
-        "ann_brute_force_topk", "ann_lsh_bucketed_topk",
-        "dedup_embedding_cosine", "multimodal_decode",
-        "multimodal_resize", "multimodal_frame_sample", "sessionize",
-        "asof_join", "semi_join_exists", "anti_join_not_exists",
-        "percentile_by_group", "count_distinct_by_group",
+    entries whose last driver green is OLDEST. Computed DYNAMICALLY
+    from the recorded CORRECTNESS_r*.json files (the round-8 version
+    hardcoded the then-stalest r1 cohort and went stale the moment the
+    rotation it was pinning succeeded): every oracle-backed entry whose
+    newest driver green is in the oldest surviving round must hold a
+    window slot."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as fh:
+            rec = json.load(fh)
+        for name, row in rec.items():
+            if row.get("err") is None and row.get("rows_match"):
+                newest[name] = max(newest.get(name, 0), rnd)
+    if not newest:
+        pytest.skip("no CORRECTNESS records present")
+    # Oracle-backed entries only (rows-only slots are barred above) and
+    # only names still in the registry.
+    stale_pool = {
+        n: r
+        for n, r in newest.items()
+        if n in harness.REGISTRY and harness.REGISTRY[n].oracle is not None
     }
-    missing = r1_cohort - set(harness.DRIVER_WINDOW)
-    assert not missing, f"stalest entries missing from window: {missing}"
+    oldest_round = min(stale_pool.values())
+    stalest = {n for n, r in stale_pool.items() if r == oldest_round}
+    missing = stalest - set(harness.DRIVER_WINDOW)
+    # The stalest cohort can exceed the non-core window capacity (e.g.
+    # 40+ entries sharing one round); then the window must spend every
+    # non-core, non-changed slot on it. With 50 slots and <=6 reserved,
+    # 44 is the capacity floor.
+    if len(stalest) <= 44:
+        assert not missing, (
+            f"entries with oldest green r{oldest_round} missing from "
+            f"window: {sorted(missing)}"
+        )
+    else:
+        assert len(stalest & set(harness.DRIVER_WINDOW)) >= 44
 
 
 def test_canonicalizer_rejects_array_cells():
