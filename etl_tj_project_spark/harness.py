@@ -709,6 +709,63 @@ def partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_write_roundtrip",
+    """
+    SELECT doc_id, source, n_chars,
+           CAST(n_chars AS DECIMAL(18,2)) AS n_chars_dec,
+           DATE '2024-01-01' + CAST(doc_id % 7 AS INT) AS shard_date,
+           text AS text2, lang
+    FROM documents
+    """,
+    doc="ORC format coverage under the correctness gate: documents are "
+        "written as lang-partitioned ORC (Spark's built-in columnar "
+        "sibling to parquet — a user switching warehouses keeps the "
+        "same writer API) carrying an array<string> column "
+        "(split(text,' ')), a DECIMAL(18,2), and a computed DATE; the "
+        "read-back reassembles the array with array_join, and the "
+        "oracle states that the reassembly must equal the ORIGINAL "
+        "text bit-exactly (single-char split/join is an identity), so "
+        "the hash check proves array, decimal, date, and "
+        "partition-column fidelity through the ORC writer+reader",
+)
+def orc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("n_chars").cast(AMOUNT).alias("n_chars_dec"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("doc_id") % 7).cast("int"),
+        ).alias("shard_date"),
+        F.split("text", " ").alias("words"),
+        "lang",
+    )
+    out = tempfile.mkdtemp(prefix="tj_orc_roundtrip_")
+    try:
+        staged.write.mode("overwrite").partitionBy("lang").orc(out)
+        back = spark.read.orc(out).select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "n_chars_dec",
+            "shard_date",
+            F.array_join("words", " ").alias("text2"),
+            # Partition column comes back via directory inference.
+            F.col("lang").cast("string").alias("lang"),
+        )
+        # Materialize so the temp dir can be removed now (same pattern
+        # as partitioned_write_roundtrip; documents is the small table).
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "manifest_snapshot_roundtrip",
     """
     SELECT CAST(ts AS DATE) AS tanggal, event_type,
