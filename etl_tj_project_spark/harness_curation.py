@@ -431,3 +431,169 @@ def decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(hits, "doc_id", "left").select(
         "doc_id", F.col("__hit").isNotNull().alias("contaminated")
     )
+
+
+@register(
+    "dedup_paragraph_chunks",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(ws[i * 12 + 1 : i * 12 + 12], ' ')
+               AS chunk_text
+      FROM words,
+           UNNEST(range(CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS t(i)
+    ),
+    keyed AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             md5(chunk_text) AS k,
+             doc_id * 1000000 + chunk_idx AS ord
+      FROM chunks
+    ),
+    firsts AS (SELECT k, MIN(ord) AS first_ord FROM keyed GROUP BY k),
+    kept AS (
+      SELECT keyed.doc_id, keyed.chunk_idx, keyed.chunk_text
+      FROM keyed JOIN firsts
+        ON keyed.k = firsts.k AND keyed.ord = firsts.first_ord
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(kept.chunk_idx) AS BIGINT) AS n_kept,
+           string_agg(kept.chunk_text, ' ' ORDER BY kept.chunk_idx)
+             AS kept_text
+    FROM chunks c
+    LEFT JOIN kept
+      ON c.doc_id = kept.doc_id AND c.chunk_idx = kept.chunk_idx
+    GROUP BY c.doc_id
+    """,
+    doc="CCNet-style paragraph-level exact dedup with document "
+        "reassembly: each document is segmented into fixed 12-word "
+        "chunks (the paragraph proxy for the newline-free synthetic "
+        "corpus), every chunk occurrence EXCEPT the corpus-wide first "
+        "(ordered by doc_id then position) is dropped, and the "
+        "surviving chunks are re-joined in document order. This is the "
+        "boilerplate-removal pass CommonCrawl pipelines run before "
+        "doc-level dedup: headers/footers repeated across pages vanish "
+        "while each page keeps its unique body. Scale shape: chunking "
+        "is a pure higher-order-function projection (no explode until "
+        "after slicing); first-occurrence resolution shuffles the "
+        "32-char MD5 key + a single packed BIGINT order key — never "
+        "the chunk text as a shuffle KEY — via groupBy-min + "
+        "re-join (self-equi-join on the hash, broadcast-eligible "
+        "firsts at low dup rates); reassembly is one shuffle on "
+        "doc_id. At 100 TB every shuffle carries hashes and ids, and "
+        "text rides only where it must (the kept-chunk payload)",
+)
+def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(12.0)).cast("int")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(ws, i * 12 + 1, 12), " "
+                    ),
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_text",
+        )
+    )
+    keyed = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        F.md5(F.col("chunk_text").cast("binary")).alias("k"),
+        (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("ord"),
+    )
+    firsts = (
+        keyed.groupBy("k")
+        .agg(F.min("ord").alias("ord"))
+        .select(F.col("k").alias("fk"), "ord")
+    )
+    kept = keyed.join(
+        firsts,
+        (keyed["k"] == firsts["fk"]) & (keyed["ord"] == firsts["ord"]),
+    ).select(keyed["doc_id"], keyed["chunk_idx"], keyed["chunk_text"])
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept_"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    counts = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return counts.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept_"), F.lit(0)).cast("long").alias("n_kept"),
+        "kept_text",
+    )
+
+
+@register(
+    "corpus_systematic_weighted_sample",
+    """
+    SELECT source, doc_id, n_chars,
+           CAST(cum // 4096 - (cum - n_chars) // 4096 AS BIGINT)
+             AS n_points
+    FROM (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             SUM(CAST(n_chars AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM documents
+    ) t
+    WHERE cum // 4096 > (cum - n_chars) // 4096
+    """,
+    doc="Probability-proportional-to-size SYSTEMATIC sampling: lay the "
+        "per-source document stream end to end on its cumulative "
+        "character axis and take one sample point every 4096 chars — a "
+        "document is selected iff a stride point lands inside its span, "
+        "with multiplicity n_points (docs longer than the stride carry "
+        "proportionally more points, exactly the PPS weighting a "
+        "token-budgeted mixture sampler needs). Deterministic and "
+        "coordination-free — pure BIGINT cumulative sums and floor "
+        "divisions, no RNG and no transcendental math, so any engine "
+        "(and any re-run of one failed shard) selects the identical "
+        "set. One window shuffle on (source), same shard-parallel "
+        "shape as corpus_pack_sequences; selection itself is a "
+        "codegen'd filter",
+)
+def corpus_systematic_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col("n_chars").cast("long")
+    cum = F.sum(n).over(w)
+    # Positive BIGINTs throughout, so Spark's truncating DIV and
+    # DuckDB's flooring // agree exactly.
+    pts = F.expr("cum DIV 4096 - (cum - n_chars) DIV 4096")
+    return (
+        d.select("source", "doc_id", n.alias("n_chars"))
+        .withColumn("cum", cum)
+        .withColumn("n_points", pts.cast("long"))
+        .filter(F.col("n_points") > 0)
+        .select("source", "doc_id", "n_chars", "n_points")
+    )

@@ -2222,3 +2222,85 @@ def test_pin_decimal_division_scale_divergence(spark, duck):
     assert s == 2.3333333333333
     assert d == 2.3333333333333335
     assert s != d
+
+
+# ---------------------------------------------------------------------------
+# NULL-key joins / null-safe equality (round 9): the join-semantics
+# surface the existing join class never touches — keys with injected
+# NULLs, FULL OUTER joins, and `=` vs `IS NOT DISTINCT FROM`
+# ---------------------------------------------------------------------------
+#
+# SQL NULL join keys never match under plain `=` (so they surface as
+# unmatched rows under LEFT/FULL), but DO match each other under the
+# null-safe operator — and the three join kinds x two operators give six
+# distinct unmatched-row regimes. Both sides pre-aggregate to one row
+# per key so the FULL join stays small and every output is exactly
+# determined. The generated key expressions inject NULLs at a random
+# modulus on BOTH sides so the null-bucket genuinely exists (vacuity
+# guard below).
+
+def _nullkey_case(rng: random.Random) -> tuple[str, str, str, str]:
+    k = rng.choice([7, 11, 13])
+    null_l = rng.randint(0, 4)
+    null_r = rng.randint(0, 4)
+    key_l = (
+        f"CASE WHEN l_orderkey % 5 = {null_l} THEN NULL "
+        f"ELSE l_orderkey % {k} END"
+    )
+    key_r = (
+        f"CASE WHEN o_orderkey % 5 = {null_r} THEN NULL "
+        f"ELSE o_orderkey % {k} END"
+    )
+    kind = rng.choice(["JOIN", "LEFT JOIN", "FULL JOIN"])
+    op = rng.choice(["=", "IS NOT DISTINCT FROM"])
+    return key_l, key_r, kind, op
+
+
+def _gen_nullkey(n: int) -> list[tuple[str, str, str, str]]:
+    rng = random.Random(20260815)
+    return [_nullkey_case(rng) for _ in range(n)]
+
+
+NULLKEY_CASES = _gen_nullkey(14)
+
+
+def _nullkey_sql(case, li_name: str, o_name: str) -> str:
+    key_l, key_r, kind, op = case
+    return (
+        "SELECT l.k AS k_l, o.k AS k_o, l.cnt AS cnt_l, o.cnt AS cnt_o "
+        f"FROM (SELECT {key_l} AS k, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"      FROM {li_name} GROUP BY 1) l "
+        f"{kind} "
+        f"(SELECT {key_r} AS k, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"      FROM {o_name} GROUP BY 1) o "
+        f"ON l.k {op} o.k"
+    )
+
+
+@pytest.mark.parametrize("idx", range(len(NULLKEY_CASES)))
+def test_random_nullkey_join_matches_oracle(spark, duck, li_view, o_view, idx):
+    case = NULLKEY_CASES[idx]
+    sdf = spark.sql(_nullkey_sql(case, li_view, o_view))
+    compare(sdf, duck, _nullkey_sql(case, "lineitem", "orders"))
+
+
+def test_nullkey_class_is_not_vacuous(spark, li_view, o_view):
+    """The class must actually exercise (a) NULL keys on both sides,
+    (b) at least one FULL JOIN and one null-safe operator, and (c) a
+    case where `=` and `IS NOT DISTINCT FROM` would differ (a NULL
+    bucket exists on both sides simultaneously for some case)."""
+    kinds = {c[2] for c in NULLKEY_CASES}
+    ops = {c[3] for c in NULLKEY_CASES}
+    assert "FULL JOIN" in kinds and "JOIN" in kinds
+    assert ops == {"=", "IS NOT DISTINCT FROM"}
+    both_null = 0
+    for key_l, key_r, _kind, _op in NULLKEY_CASES:
+        row = spark.sql(
+            f"SELECT (SELECT COUNT(*) FROM {li_view} "
+            f"        WHERE ({key_l}) IS NULL) AS nl, "
+            f"       (SELECT COUNT(*) FROM {o_view} "
+            f"        WHERE ({key_r}) IS NULL) AS no"
+        ).collect()[0]
+        if row.nl > 0 and row.no > 0:
+            both_null += 1
+    assert both_null > 0, "no case has NULL keys on both sides"
