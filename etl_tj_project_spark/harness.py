@@ -766,6 +766,62 @@ def orc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "csv_write_roundtrip",
+    """
+    SELECT doc_id,
+           concat('q,"', source, '",x') AS tricky,
+           CASE WHEN lang = 'en' THEN NULL ELSE lang END AS maybe_null,
+           CAST(n_chars AS DECIMAL(18,2)) AS n_chars_dec,
+           DATE '2024-01-01' + CAST(doc_id % 7 AS INT) AS shard_date
+    FROM documents
+    """,
+    doc="CSV export/import fidelity under the correctness gate — the "
+        "third leg of the format matrix (parquet: "
+        "partitioned_write_roundtrip; ORC: orc_write_roundtrip). The "
+        "staged frame deliberately carries the CSV hazard classes: a "
+        "string containing commas AND embedded double quotes (forcing "
+        "the writer's quote-doubling path), a nullable string column "
+        "(NULL rides the default empty nullValue and must come back "
+        "NULL, not ''), a DECIMAL(18,2) and a DATE that must survive "
+        "text serialization exactly under an explicit read schema. The "
+        "oracle restates the staged values closed-form, so the hash "
+        "gate proves quoting, NULL, decimal, and date fidelity through "
+        "the writer+reader pair. Embedded newlines are the documented "
+        "scope cut: they require the multiLine reader, which "
+        "single-pass splitting cannot parallelize per-file at 100 TB — "
+        "a pipeline that needs them should use parquet, not CSV",
+)
+def csv_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.concat(F.lit('q,"'), F.col("source"), F.lit('",x')).alias(
+            "tricky"
+        ),
+        F.nullif(F.col("lang"), F.lit("en")).alias("maybe_null"),
+        F.col("n_chars").cast(AMOUNT).alias("n_chars_dec"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("doc_id") % 7).cast("int"),
+        ).alias("shard_date"),
+    )
+    out = tempfile.mkdtemp(prefix="tj_csv_roundtrip_")
+    try:
+        staged.write.mode("overwrite").option("header", True).csv(out)
+        back = spark.read.schema(staged.schema).option("header", True).csv(
+            out
+        )
+        # Materialize so the temp dir can be removed now (documents is
+        # the small table; same pattern as the parquet/ORC roundtrips).
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "manifest_snapshot_roundtrip",
     """
     SELECT CAST(ts AS DATE) AS tanggal, event_type,
