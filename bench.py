@@ -77,6 +77,12 @@ HEADLINE = [
     "graph_triangle_count",
     "dedup_incremental_lsh_candidates",
     "wau_rolling_distinct",
+    # Round-9 addition: paragraph-level exact dedup with document
+    # reassembly — a 12x row explode, a hash-keyed first-occurrence
+    # shuffle, and a collect_list reassembly in one plan; the heaviest
+    # new text-pipeline shape this round. (Round-over-round totals:
+    # compare the shared cohort, as prior rounds did for r5 additions.)
+    "dedup_paragraph_chunks",
 ]
 
 
@@ -84,7 +90,27 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     calib_pre = _cpu_calibration()
+    # Ambient-steal gate (round 9, hardening VERDICT r8 item 3): the r9
+    # validation run caught the shared VM at 3x parallel steal BEFORE
+    # Spark even started (calib_par_pre 0.246 vs the 0.079 recorded
+    # anchor and 0.08 measured idle minutes later) — a post-hoc retry
+    # pass cannot fix a run whose whole window is contended. So when
+    # the pre-run anchor says the host is badly stolen (>1.5x the last
+    # recorded round), WAIT it out in bounded 45 s steps (<= 4, ~3 min
+    # worst case) and keep the best observed anchor; if it never
+    # recovers, run anyway and let the record show the conditions.
     calib_par_pre = _cpu_calibration_parallel()
+    prev_par_gate = _prev_recorded_parallel_calib()
+    steal_waits = 0
+    if prev_par_gate:
+        import time as _t
+
+        while (
+            calib_par_pre > 1.5 * prev_par_gate and steal_waits < 4
+        ):
+            _t.sleep(45)
+            steal_waits += 1
+            calib_par_pre = min(calib_par_pre, _cpu_calibration_parallel())
     spark = get_spark("etl_tj_bench")
 
     def force(df) -> None:
@@ -167,8 +193,13 @@ def main() -> None:
         # Real Structured-Streaming drain: micro-batches + state store +
         # exactly-once group-granular sink, equality-pinned to the batch
         # twin — the headline's stream_window_agg measures the query
-        # SHAPE; this measures the streaming RUNTIME.
-        ("streaming_drain", strain_mod.run_streaming_strain),
+        # SHAPE; this measures the streaming RUNTIME. 1M events
+        # (inflate=10): at 100k a single-trigger drain is ~80% fixed
+        # startup cost and the recorded rows/s said nothing about
+        # throughput (SCALE.md §23 sweep — 12-14k rows/s at 100k vs
+        # ~200k rows/s at 1M under the same one-trigger regime).
+        ("streaming_drain", lambda s, d: strain_mod.run_streaming_strain(
+            s, d, inflate=10)),
         # Band-join under boilerplate skew: 8 identical replicas per
         # doc, exact within-family completeness asserted (C(8,2) per
         # family), ~3.8M candidate pairs at sf0.1.
@@ -256,6 +287,7 @@ def main() -> None:
             "cpu_calib_parallel_sec_pre": calib_par_pre,
             "cpu_calib_parallel_sec_post": calib_par_post,
             "prev_recorded_parallel_calib": prev_par,
+            "steal_gate_waits": steal_waits,
         }
     )
     try:

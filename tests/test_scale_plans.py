@@ -1050,3 +1050,24 @@ def test_u2_single_scan_scans_fact_once(spark):
     assert "BroadcastHashJoin" in plan_s
     assert "Expand" in plan_s
     assert "Generate" not in plan_s
+
+
+def test_paragraph_chunk_dedup_shuffles_hash_not_text(spark):
+    """dedup_paragraph_chunks (round 9): the first-occurrence
+    resolution must be an equi-join keyed on the 32-char MD5 — never a
+    nested-loop/cartesian over chunk text — and the exploded chunk text
+    must be absent from the groupBy that computes first owners (the
+    shuffle that would carry the corpus payload at 100 TB)."""
+    df = harness.REGISTRY["dedup_paragraph_chunks"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # The firsts aggregate groups on the hash key k and carries only
+    # the packed BIGINT order key — HashAggregate keys must include k
+    # and its aggregate buffer must not reference chunk_text.
+    agg_lines = [
+        ln for ln in plan.splitlines()
+        if "HashAggregate" in ln and "min(ord" in ln
+    ]
+    assert agg_lines, "first-occurrence min aggregate not found in plan"
+    assert all("chunk_text" not in ln for ln in agg_lines)
