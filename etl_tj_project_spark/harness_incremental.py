@@ -579,3 +579,63 @@ def incremental_agg_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_orders"),
         F.col("s").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "cdc_apply_latest",
+    """
+    WITH log AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, event_id, us, value, op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY us DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, event_id AS last_event_id, op AS last_op,
+           CAST(value AS DOUBLE) AS last_value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC changelog apply — the MERGE-from-changelog op that turns a "
+        "Debezium-style (key, op, payload) stream into the CURRENT "
+        "table snapshot: latest op per key wins (ordered by event time, "
+        "id-tiebroken), and a key whose latest op is a DELETE vanishes "
+        "from the state entirely — the semantics scd2_apply_changes "
+        "(validity ranges, no deletes) does not cover. The changelog is "
+        "derived deterministically from events (error=>D, signup=>I, "
+        "else U). ONE shuffle on the key; at 100 TB the key is the "
+        "natural partition and a rank-1 window beats a self-join "
+        "max-timestamp lookup (no second shuffle, no late-tie "
+        "ambiguity). Compacting a billion-row changelog to current "
+        "state is exactly this plan",
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("op").alias("last_op"),
+            F.col("value").cast("double").alias("last_value"),
+        )
+    )

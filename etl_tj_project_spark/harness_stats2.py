@@ -1735,3 +1735,86 @@ def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").cast("long").alias("n_customers"),
         F.round(num / den, 6).alias("gini"),
     )
+
+
+@register(
+    "groupwise_linear_fit",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE), 0.0) AS r2
+    FROM s
+    """,
+    doc="Group-wise ordinary-least-squares fit (value-in-cents vs "
+        "day-of-month per event_type): slope, intercept, r-squared — "
+        "the per-segment trend pass a metrics warehouse runs over "
+        "every KPI. Exactness: x (0..29) and y (cents) are BIGINTs, so "
+        "all five sufficient statistics are EXACT integer sums (bounds "
+        "n*sxy < 6e16 << 2^63, comment-audited); the only floating "
+        "steps are the final divisions on identical exact operands — "
+        "IEEE round-to-nearest on both engines, bit-equal results. "
+        "Deliberately NOT regr_slope/regr_r2: each engine computes "
+        "those with its own single-pass update formula and the low "
+        "bits differ. ONE partial-aggregatable shuffle on event_type "
+        "(sums combine map-side); at 100 TB this is scan-bound, the "
+        "optimal shape for a full-table fit",
+)
+def groupwise_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = (n * sxy - sx * sy).cast("double")
+    varx = F.nullif((n * sxx - sx * sx), F.lit(0)).cast("double")
+    slope = cov / varx
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((sy.cast("double") - slope * sx.cast("double")) / n.cast("double"))
+        .alias("intercept"),
+        (cov * cov
+         / F.nullif(
+             (n * sxx - sx * sx).cast("double")
+             * (n * syy - sy * sy).cast("double"),
+             F.lit(0.0),
+         )).alias("r2"),
+    )
