@@ -1332,3 +1332,95 @@ def array_hof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(clipped, 6).alias("clipped_sum"),
         (F.array_max("embedding").cast("double") >= 0.0).alias("has_nonneg_max"),
     )
+
+
+@register(
+    "partition_content_checksum",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substring(md5(
+                 CAST(event_id AS VARCHAR) || '|' || event_type || '|'
+                 || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT))
+             AS BIGINT) AS content_checksum
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    doc="Anti-entropy partition checksum — the replica/table-diff "
+        "primitive: every row is canonicalized to a delimited key "
+        "string, MD5'd, and the first 32 bits are SUMMED per day "
+        "partition. Sum is order-insensitive, so two replicas (or a "
+        "source and its copy) agree iff their per-partition checksums "
+        "agree — comparing day partitions of a 100 TB table costs one "
+        "scan each side plus a days-sized join, no row shipping. 32-bit "
+        "terms keep a billion-row partition's sum under 2^62 (bound "
+        "comment-audited); MD5-prefix parsing is engine-portable "
+        "(conv(_,16,10) / '0x' cast). One partial-aggregatable shuffle "
+        "on day",
+)
+def partition_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("user_id").cast("string"),
+    )
+    h32 = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h32).alias("content_checksum"),
+        )
+        .select("day", "n_rows", F.col("content_checksum").cast("long").alias("content_checksum"))
+    )
+
+
+@register(
+    "shuffle_key_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT event_type, CAST(ts AS DATE) AS k,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(m) AS BIGINT) AS total_rows,
+           CAST(MAX(m) AS BIGINT) AS max_key_rows,
+           CAST(SUM(m * m) AS BIGINT) AS self_join_rows,
+           CAST(MAX(m) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(m) AS DOUBLE) AS skew_ratio
+    FROM per_key GROUP BY event_type
+    """,
+    doc="Shuffle-key skew pre-flight — the audit a pipeline runs BEFORE "
+        "committing to a join/groupBy key at 100 TB: per-key "
+        "multiplicities m, their max (the straggler partition), "
+        "sum(m^2) (the EXACT output size of a self-join on that key — "
+        "the LSH-band blowup predictor), and skew_ratio = max/avg "
+        "(>10 means salt the key; the number operators/joins."
+        "salted_join acts on). Two partial-aggregatable shuffles "
+        "(key-level then group-level), both on shrinking aggregates — "
+        "the profile of a petabyte table is KB-sized. All counts are "
+        "exact BIGINTs; the single division is the last step on "
+        "identical exact operands",
+)
+def shuffle_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("k")
+    ).agg(F.count(F.lit(1)).alias("m"))
+    m, nk = F.col("m"), F.count(F.lit(1))
+    return per_key.groupBy("event_type").agg(
+        nk.cast("long").alias("n_keys"),
+        F.sum(m).cast("long").alias("total_rows"),
+        F.max(m).cast("long").alias("max_key_rows"),
+        F.sum(m * m).cast("long").alias("self_join_rows"),
+        (
+            F.max(m).cast("double") * nk.cast("double")
+            / F.sum(m).cast("double")
+        ).alias("skew_ratio"),
+    )
