@@ -6,6 +6,8 @@ sf0.01). A query without an oracle gets a rows-run smoke check.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
 
 from etl_tj_project_spark import harness
 from tests.conftest import SF_SMOKE
@@ -297,3 +299,119 @@ def test_approx_percentile_rank_error_bounded(spark):
             assert lo - tol <= target_rank <= hi + tol, (
                 r.l_linestatus, target, est, lo, hi, n
             )
+
+
+def test_systematic_sample_point_budget_invariant(spark):
+    """corpus_systematic_weighted_sample (round 9): per source, the
+    selected multiplicities must sum EXACTLY to floor(total_chars /
+    stride) — the systematic sampler's defining budget property (one
+    point per full stride of cumulative mass, never more, never
+    fewer)."""
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    out = harness.REGISTRY["corpus_systematic_weighted_sample"].spark(
+        spark, SF_SMOKE
+    )
+    got = {
+        r["source"]: r["pts"]
+        for r in out.groupBy("source")
+        .agg(F.sum("n_points").alias("pts"))
+        .collect()
+    }
+    want = {
+        r["source"]: int(r["total"]) // 4096
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.col("n_chars").cast("long")).alias("total"))
+        .collect()
+    }
+    assert got == {s: v for s, v in want.items() if v > 0} or got == want
+
+
+def test_paragraph_dedup_keeps_each_distinct_chunk_once(spark):
+    """dedup_paragraph_chunks: across the corpus, the kept-chunk count
+    must equal the number of DISTINCT chunk texts — first-occurrence
+    dedup keeps exactly one copy of every distinct chunk, and document
+    reassembly must not drop or duplicate any survivor."""
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    out = harness.REGISTRY["dedup_paragraph_chunks"].spark(spark, SF_SMOKE)
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    d = load_table(spark, SF_SMOKE, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(12.0)).cast("int")
+    distinct_chunks = (
+        d.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(F.slice(ws, i * 12 + 1, 12), " "),
+                )
+            ).alias("c")
+        )
+        .select("c")
+        .distinct()
+        .count()
+    )
+    assert total_kept == distinct_chunks
+
+
+def test_cdc_apply_latest_deletes_win(spark):
+    """cdc_apply_latest: a user whose LATEST event is an 'error'
+    (mapped to op D) must be absent from the applied state; every
+    other user with events must be present exactly once."""
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    out = harness.REGISTRY["cdc_apply_latest"].spark(spark, SF_SMOKE)
+    assert out.groupBy("user_id").count().filter("count > 1").count() == 0
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type")
+    )
+    deleted = {r["user_id"] for r in latest.filter("event_type = 'error'").collect()}
+    surviving = {r["user_id"] for r in out.select("user_id").collect()}
+    assert deleted.isdisjoint(surviving)
+    kept = {r["user_id"] for r in latest.filter("event_type <> 'error'").collect()}
+    assert surviving == kept
+
+
+def test_partition_checksum_detects_single_row_change(spark):
+    """partition_content_checksum: flipping ONE row's content in one
+    partition must change THAT partition's checksum and no other —
+    the anti-entropy property the op exists for."""
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    base = harness.REGISTRY["partition_content_checksum"].spark(
+        spark, SF_SMOKE
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    first_id = ev.agg(F.min("event_id")).collect()[0][0]
+    mutated = ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") == first_id, F.lit("__tampered__"))
+        .otherwise(F.col("event_type")),
+    )
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("user_id").cast("string"),
+    )
+    h32 = F.conv(
+        F.substring(F.md5(canon.cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    mut = mutated.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(h32).alias("content_checksum")
+    )
+    diff = (
+        base.select("day", "content_checksum")
+        .join(mut.withColumnRenamed("content_checksum", "mut_sum"), "day")
+        .filter(F.col("content_checksum") != F.col("mut_sum"))
+        .count()
+    )
+    assert diff == 1
