@@ -2304,3 +2304,109 @@ def test_nullkey_class_is_not_vacuous(spark, li_view, o_view):
         if row.nl > 0 and row.no > 0:
             both_null += 1
     assert both_null > 0, "no case has NULL keys on both sides"
+
+
+# ---------------------------------------------------------------------------
+# LATERAL derived tables (round 9): the correlated-subquery machinery
+# through the OTHER front door — FROM-clause LATERAL, which Spark plans
+# as a LateralJoin and DuckDB flattens at bind time
+# ---------------------------------------------------------------------------
+#
+# The correlated class (CORR_CASES) probes WHERE/SELECT-position
+# subqueries; LATERAL exercises a separate parse + plan path (Spark's
+# DecorrelateInnerQuery on a join operator) with its own hazard set:
+# empty-group scalars under CROSS vs LEFT lateral.
+#
+# PINNED divergence #13 (found by this class's first run): for a
+# comma/CROSS LATERAL whose body is an ungrouped MIN/MAX/SUM aggregate,
+# an EMPTY correlation group yields one NULL row in Spark (scalar
+# aggregate semantics — the outer row survives with v = NULL) but ZERO
+# rows in DuckDB (join semantics — the outer row is DROPPED; 215 vs
+# 208 rows on case 3). COUNT bodies agree (one 0 row in both). The
+# dual-SQL normalization: the oracle spells every comma-lateral as
+# LEFT JOIN LATERAL ... ON TRUE, which matches Spark's keep-with-NULL
+# exactly (and is a no-op for COUNT bodies).
+
+def _lateral_case(rng: random.Random) -> tuple[str, str, str]:
+    agg = rng.choice(
+        [
+            "CAST(COUNT(*) AS BIGINT)",
+            "CAST(MAX(i.l_quantity * 100) AS BIGINT)",
+            "CAST(MIN(i.l_linenumber) AS BIGINT)",
+            "CAST(SUM(CAST(i.l_quantity AS BIGINT)) AS BIGINT)",
+        ]
+    )
+    inner_pred = rng.choice(
+        [
+            "i.l_linenumber >= 2",
+            "i.l_quantity > 25",
+            "i.l_returnflag = 'R'",
+            "i.l_shipdate >= DATE '1995-01-01'",
+        ]
+    )
+    kind = rng.choice([",", "LEFT JOIN"])
+    return agg, inner_pred, kind
+
+
+def _gen_lateral(n: int) -> list[tuple[str, str, str]]:
+    rng = random.Random(20260915)
+    return [_lateral_case(rng) for _ in range(n)]
+
+
+LATERAL_CASES = _gen_lateral(10)
+
+
+def _lateral_sql(case, o_name: str, li_name: str, oracle: bool = False) -> str:
+    agg, inner_pred, kind = case
+    # Divergence-#13 normalization: DuckDB's comma-lateral drops outer
+    # rows on empty aggregate groups; LEFT JOIN LATERAL ... ON TRUE is
+    # the DuckDB spelling of Spark's keep-with-NULL comma-lateral.
+    if oracle and kind == ",":
+        kind = "LEFT JOIN"
+    on = " ON TRUE" if kind == "LEFT JOIN" else ""
+    return (
+        f"SELECT o.o_orderkey, t.v FROM {o_name} o {kind} "
+        f"LATERAL (SELECT {agg} AS v FROM {li_name} i "
+        f"WHERE i.l_orderkey = o.o_orderkey AND {inner_pred}) t{on} "
+        f"WHERE o.o_orderkey % 7 = 0"
+    )
+
+
+@pytest.mark.parametrize("idx", range(len(LATERAL_CASES)))
+def test_random_lateral_matches_oracle(spark, duck, li_view, o_view, idx):
+    case = LATERAL_CASES[idx]
+    sdf = spark.sql(_lateral_sql(case, o_view, li_view))
+    compare(sdf, duck, _lateral_sql(case, "orders", "lineitem", oracle=True))
+
+
+def test_pin_cross_lateral_empty_group_divergence(spark, duck):
+    """PINNED divergence #13: comma/CROSS LATERAL over an ungrouped
+    MAX on an empty correlation group — Spark keeps the outer row with
+    NULL (scalar-aggregate semantics), DuckDB drops it (join
+    semantics). Fails if either engine changes, at which point the
+    LEFT-JOIN normalization in _lateral_sql must be revisited."""
+    s = spark.sql(
+        "SELECT o.k, t.v FROM (SELECT 1 AS k UNION ALL SELECT 2) o, "
+        "LATERAL (SELECT MAX(l.v) AS v FROM (SELECT 1 AS k, 10 AS v) l "
+        "WHERE l.k = o.k) t"
+    ).collect()
+    assert sorted((r.k, r.v) for r in s) == [(1, 10), (2, None)]
+    d = duck.sql(
+        "SELECT o.k, t.v FROM (SELECT 1 AS k UNION ALL SELECT 2) o, "
+        "LATERAL (SELECT MAX(l.v) AS v FROM (SELECT 1 AS k, 10 AS v) l "
+        "WHERE l.k = o.k) t"
+    ).fetchall()
+    assert sorted(d) == [(1, 10)]
+
+
+def test_lateral_class_is_not_vacuous(spark, li_view, o_view):
+    """At least one case must produce a NULL scalar (empty correlation
+    group under MIN/MAX/SUM) so the INNER-lateral keep-with-NULL
+    semantics are genuinely probed."""
+    nulls = 0
+    for case in LATERAL_CASES:
+        if "COUNT" in case[0]:
+            continue
+        df = spark.sql(_lateral_sql(case, o_view, li_view))
+        nulls += df.filter("v IS NULL").count()
+    assert nulls > 0, "no empty correlation groups generated"
