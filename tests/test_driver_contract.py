@@ -83,3 +83,94 @@ def test_coverage_md_totals_match_registry():
         f"COVERAGE.md says {stated_total}/{stated_oracle}, registry has "
         f"{real_total}/{real_oracle} — update the totals line"
     )
+
+
+def test_bench_headline_names_are_registered():
+    """Every bench.py HEADLINE name must exist in the registry — a
+    renamed entry silently shrinking the headline cohort would corrupt
+    round-over-round comparisons."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    from etl_tj_project_spark import harness
+
+    missing = [n for n in bench.HEADLINE if n not in harness.REGISTRY]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+
+
+def test_bench_prev_calib_reader_survives_malformed_records(tmp_path):
+    """The steal gate and drift retry read the newest parsed
+    BENCH_r*.json; the reader must skip unparseable/parsed-null records
+    (the r8 failure shape) and return None when nothing usable exists —
+    never raise (a crashed bench run records NOTHING for the round)."""
+    import json
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    real = bench._prev_recorded_parallel_calib()
+    assert real is None or isinstance(real, float)
+    # Simulate the r8 shape in isolation: parsed null + junk + a good
+    # record; the reader must pick the good one's value.
+    orig = bench.os.path.dirname
+    files = {
+        "BENCH_r01.json": {"parsed": None},
+        "BENCH_r02.json": {"parsed": {"cpu_calib_parallel_sec": 0.08}},
+    }
+    for name, content in files.items():
+        (tmp_path / name).write_text(json.dumps(content))
+    (tmp_path / "BENCH_r03.json").write_text("{not json")
+    try:
+        bench.os.path.dirname = lambda p: str(tmp_path)
+        assert bench._prev_recorded_parallel_calib() == 0.08
+    finally:
+        bench.os.path.dirname = orig
+
+
+def test_bench_headline_line_fits_driver_tail():
+    """The headline object's compact JSON must stay under the 1700-char
+    guard even with every current HEADLINE query at 4-decimal
+    precision plus worst-case drift fields — the r8 'parsed: null'
+    regression, pinned as arithmetic instead of hope. (bench.py also
+    degrades precision at runtime if this ever grows past the guard;
+    this test says the degradation path is not yet needed.)"""
+    import json
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    fake = {
+        "metric": "headline_query_wall_clock_total",
+        "value": 9999.9999,
+        "unit": "sec",
+        "queries": {n: 99.9999 for n in bench.HEADLINE},
+        "sf": 0.1,
+        "cpu_calib_sec": 0.0485,
+        "cpu_calib_parallel_sec": 0.0878,
+        "calib_normalized_total": 99999.9,
+        "strain_sec": {k: 9999.9 for k in
+                       ("cc", "ivf", "pq", "daily", "stream", "lsh",
+                        "u2cold")},
+        "calib_par_drift_vs_prev": 0.1234,
+        "drift_rerun": True,
+        "value_pass1": 9999.9999,
+        "value_pass2": 9999.9999,
+    }
+    # Replay bench.py's actual degradation ladder: full precision,
+    # then 2-decimal queries, then dropping strain_sec — the FINAL
+    # rung must fit even at worst-case numeric widths.
+    line = json.dumps(fake, separators=(",", ":"))
+    if len(line) > 1700:
+        fake["queries"] = {k: round(v, 2) for k, v in fake["queries"].items()}
+        line = json.dumps(fake, separators=(",", ":"))
+    if len(line) > 1700:
+        fake.pop("strain_sec", None)
+        line = json.dumps(fake, separators=(",", ":"))
+    assert len(line) <= 1700, (
+        f"headline line bottoms out at {len(line)} chars even after "
+        "degradation; trim HEADLINE or add a rung in bench.py"
+    )
