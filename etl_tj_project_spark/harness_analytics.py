@@ -1424,3 +1424,98 @@ def shuffle_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(m).cast("double")
         ).alias("skew_ratio"),
     )
+
+
+@register(
+    "keyset_pagination_seek",
+    """
+    WITH page2 AS (
+      SELECT l_shipdate, l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+      LIMIT 200
+    ),
+    boundary AS (
+      SELECT l_shipdate AS bd, l_orderkey AS bk, l_linenumber AS bn,
+             l_quantity AS bq
+      FROM page2
+      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC,
+               l_quantity DESC
+      LIMIT 1
+    )
+    SELECT l_shipdate, l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem, boundary
+    WHERE l_shipdate > bd
+       OR (l_shipdate = bd AND (l_orderkey > bk
+           OR (l_orderkey = bk AND (l_linenumber > bn
+               OR (l_linenumber = bn AND l_quantity > bq)))))
+    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+    LIMIT 100
+    """,
+    doc="Keyset (seek-method) pagination — the scale-correct export "
+        "cursor: page N+1 starts strictly after the last key tuple of "
+        "page N via a lexicographic seek predicate, NEVER via OFFSET. "
+        "At 100 TB the difference is structural: OFFSET re-scans and "
+        "re-sorts everything before the page on every request, while "
+        "the seek predicate's leading column (l_shipdate > bd) is a "
+        "pushable range filter — partition/row-group pruning skips all "
+        "already-exported data and the LIMIT plans as "
+        "TakeOrderedAndProject. The boundary tuple itself is resolved "
+        "once (here: a one-row window subquery standing in for 'page "
+        "2's last row'; a real cursor passes it as literals). The "
+        "tuple comparison is spelled as the portable OR-expansion so "
+        "any ANSI engine executes the identical predicate. The cursor "
+        "includes l_quantity because this dataset's "
+        "(shipdate, orderkey, linenumber) is NOT unique (8 dupes at "
+        "sf0.01) — a non-unique cursor silently skips or repeats rows "
+        "at page boundaries, the classic keyset-pagination bug; "
+        "uniqueness of the 4-tuple is verified at every generated SF",
+)
+def keyset_pagination_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"]
+    # Page 2's last row via two TakeOrderedAndProject steps (top-200
+    # then top-1-desc) — never a global-order window, which would move
+    # the whole table to one partition.
+    boundary = (
+        li.select(*keys)
+        .orderBy(*keys)
+        .limit(200)
+        .orderBy(*[F.col(k).desc() for k in keys])
+        .limit(1)
+        .select(
+            F.col("l_shipdate").alias("bd"),
+            F.col("l_orderkey").alias("bk"),
+            F.col("l_linenumber").alias("bn"),
+            F.col("l_quantity").alias("bq"),
+        )
+    )
+    seek = (F.col("l_shipdate") > F.col("bd")) | (
+        (F.col("l_shipdate") == F.col("bd"))
+        & (
+            (F.col("l_orderkey") > F.col("bk"))
+            | (
+                (F.col("l_orderkey") == F.col("bk"))
+                & (
+                    (F.col("l_linenumber") > F.col("bn"))
+                    | (
+                        (F.col("l_linenumber") == F.col("bn"))
+                        & (F.col("l_quantity") > F.col("bq"))
+                    )
+                )
+            )
+        )
+    )
+    return (
+        li.crossJoin(F.broadcast(boundary))
+        .filter(seek)
+        .select(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        )
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+        .limit(100)
+    )
