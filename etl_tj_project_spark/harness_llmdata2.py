@@ -703,6 +703,79 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The canonical fixed merge table for the corpus-encoding entry: the 8
+# merges train_bpe learns on the sf0.01 documents corpus, hard-coded so
+# the ENCODE operator is deterministic at every SF (the ANN precedent:
+# fixed-centroid hash-checked twin of the trained path — here the
+# trained path is bpe_learned_merges). Includes a chained merge
+# ('m','er') so the fold's multi-char left symbols are exercised.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+]
+
+
+def _bpe_encode_oracle(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of the distributed corpus encoder: each word rendered
+    as ``|tok|`` wrapped segments, each merge one delimiter-safe
+    ``replace(seq, '|a||b|', '|ab|')`` — non-overlapping left-to-right,
+    so it reproduces the greedy fold exactly (the _bpe_merges_oracle
+    representation). The merge table is a literal, so the whole apply
+    chain is one nested-replace expression."""
+    seq = "regexp_replace(word, '(.)', '|\\1|', 'g')"
+    for a, b in merges:
+        seq = f"replace({seq}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ), vocab AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+    enc AS (SELECT {seq} AS seq, freq FROM vocab),
+    toks AS (
+      SELECT unnest(str_split(trim(seq, '|'), '||')) AS token, freq
+      FROM enc
+    )
+    SELECT token, CAST(SUM(freq) AS BIGINT) AS total
+    FROM toks GROUP BY token
+    ORDER BY total DESC, token LIMIT 50
+    """
+
+
+@register(
+    "bpe_encode_corpus",
+    _bpe_encode_oracle(BPE_FIXED_MERGES),
+    doc="Distributed BPE corpus ENCODING — the missing second half of "
+        "tokenizer work (VERDICT r9 item 4): apply a merge table to "
+        "every document's words and surface the top-50 BPE token "
+        "frequencies. The merge table is the fixed 8-merge "
+        "BPE_FIXED_MERGES (sf0.01-learned, incl. a chained 'm'+'er' "
+        "merge); the apply is operators/bpe.encode_corpus_vocab — all "
+        "8 greedy folds composed into ONE expression tree over the "
+        "distinct-word vocabulary, so a 100 TB corpus pays one "
+        "exact-dedup shuffle + vocab-sized fold work, never a per-"
+        "occurrence re-fold. Oracle applies the same table as chained "
+        "delimiter-safe string replaces; tests/test_bpe.py additionally "
+        "proves the distributed encode equals the driver-side reference "
+        "encoder word-for-word under LEARNED merges",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_ops.encode_corpus_vocab(docs, BPE_FIXED_MERGES)
+    return (
+        enc.select("freq", F.explode("symbols").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("total"))
+        .orderBy(F.col("total").desc(), "token")
+        .limit(50)
+    )
+
+
 def _pagerank_oracle() -> str:
     scale = 1_000_000
     return f"""

@@ -122,6 +122,31 @@ def train_bpe(
     return merges
 
 
+def encode_corpus_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, ...]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed corpus ENCODING — the second half of tokenizer work:
+    apply a learned merge table to every document's words. Returns
+    (word, freq, symbols) where ``symbols`` is the word's BPE token
+    sequence under ``merges`` (applied in order, greedy left-to-right —
+    exactly :func:`encode_with_merges`).
+
+    Scale shape: the merge folds run over the distinct-word VOCABULARY
+    (one exact-dedup shuffle builds it), never per corpus occurrence —
+    at 100 TB the vocabulary is orders of magnitude smaller than the
+    corpus, and per-document token streams are recoverable by joining
+    the encoded vocab back on the word key. All ``len(merges)`` folds
+    compose into ONE declarative expression tree (no per-merge
+    materialization, no Python in the data path).
+    """
+    vocab = with_symbols(word_vocab(docs, text_col))
+    for a, b, *_ in merges:
+        vocab = merge_pair(vocab, a, b)
+    return vocab
+
+
 def encode_with_merges(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
     """Reference (driver-side) encoder: apply the learned merge list to
     one word — used by tests to cross-check the distributed trainer."""

@@ -76,3 +76,45 @@ def test_encoder_applies_merges_in_order():
     merges = [("l", "o", 9), ("lo", "w", 5)]
     assert bpe.encode_with_merges("lower", merges) == ["low", "e", "r"]
     assert bpe.encode_with_merges("hello", merges) == ["h", "e", "l", "lo"]
+
+
+def test_distributed_encode_matches_reference_encoder(spark):
+    """encode_corpus_vocab (the distributed apply: N folds composed into
+    one expression tree over the vocabulary) must equal the driver-side
+    reference encoder word-for-word — under LEARNED merges, so chained
+    multi-char merges are exercised end-to-end."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    merges = bpe.train_bpe(docs, n_merges=8)
+    assert any(len(a) > 1 or len(b) > 1 for a, b, _ in merges), (
+        "corpus should learn at least one chained merge for this test "
+        "to exercise multi-char fold symbols"
+    )
+    enc = {
+        r["word"]: r["symbols"]
+        for r in bpe.encode_corpus_vocab(docs, merges).collect()
+    }
+    assert enc, "vocabulary should be non-empty"
+    for word, symbols in enc.items():
+        assert symbols == bpe.encode_with_merges(word, merges), word
+    # Round-trip invariant: concatenated tokens reconstruct every word.
+    assert all("".join(s) == w for w, s in enc.items())
+
+
+def test_bpe_encode_corpus_entry_fixed_table(spark):
+    """The registry entry's fixed-table encode: token totals conserve
+    the corpus letter mass (every letter lands in exactly one token),
+    and the fixed merges actually fire (merged tokens present)."""
+    from etl_tj_project_spark.harness_llmdata2 import (
+        BPE_FIXED_MERGES,
+        bpe_encode_corpus,
+    )
+
+    out = bpe_encode_corpus(spark, SF_SMOKE).collect()
+    assert 0 < len(out) <= 50
+    tokens = {r["token"] for r in out}
+    assert any(len(t) > 1 for t in tokens), "no merge fired"
+    merged_forms = {a + b for a, b in BPE_FIXED_MERGES}
+    assert tokens & merged_forms, "no fixed-table token surfaced"
+    # Deterministic ordering contract: (total desc, token asc).
+    pairs = [(r["total"], r["token"]) for r in out]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
