@@ -180,6 +180,55 @@ def main() -> None:
     # headline total so `value` stays comparable across rounds.
     from etl_tj_project_spark import strain as strain_mod
 
+    # Per-strain-row contention defense (VERDICT r9 item 3): BENCH_r09's
+    # official strain rows ran once and mid-run steal went unhandled —
+    # recorded ivf 16.7 s vs the same session's clean 4.9 s (3.4x). The
+    # headline's steal gate is pre-run-only and its drift retry
+    # headline-only, so each strain row now gets its own defense:
+    # bracket the row with the all-cores anchor; if either side reads
+    # >15% above this run's best observed anchor, the row's window was
+    # contended — retry ONCE and keep the faster pass. Both passes and
+    # the anchors land in the full record, so a kept-slow row is
+    # annotated, never silent. (Gating on the PREVIOUS round's strain
+    # values would inherit r9's taint, so the reference is always the
+    # current run's own clean anchor.)
+    run_anchor = min(calib_par_pre, calib_par_mid)
+
+    def _first_sec(row: dict) -> float | None:
+        return next(
+            (v for k, v in row.items()
+             if k.startswith("sec_") and isinstance(v, (int, float))),
+            None,
+        )
+
+    def run_strain_row(key: str, runner) -> dict:
+        pre = _cpu_calibration_parallel()
+        try:
+            row = runner(spark, sf_dir)
+        except Exception as exc:  # a failed strain run must be VISIBLE
+            return {"error": f"{type(exc).__name__}: {exc}"}
+        post = _cpu_calibration_parallel()
+        contended = max(pre, post) > 1.15 * run_anchor
+        row["calib_par_bracket"] = [pre, post]
+        if contended:
+            sec1 = _first_sec(row)
+            try:
+                row2 = runner(spark, sf_dir)
+            except Exception as exc:
+                row["strain_retry"] = f"retry failed: {type(exc).__name__}"
+                return row
+            row2["calib_par_bracket"] = [post, _cpu_calibration_parallel()]
+            sec2 = _first_sec(row2)
+            if sec1 is not None and sec2 is not None and sec2 < sec1:
+                row2["strain_retry"] = {
+                    "kept": "pass2", "sec_pass1": sec1, "sec_pass2": sec2,
+                }
+                return row2
+            row["strain_retry"] = {
+                "kept": "pass1", "sec_pass1": sec1, "sec_pass2": sec2,
+            }
+        return row
+
     strain_out: dict[str, dict] = {}
     for key, runner in (
         ("cc_distributed", strain_mod.run_cc_strain),
@@ -210,10 +259,7 @@ def main() -> None:
         # IO, the regime where the 5-vs-8-column single scan should win.
         ("u2_cold_io", strain_mod.run_u2_cold_io_strain),
     ):
-        try:
-            strain_out[key] = runner(spark, sf_dir)
-        except Exception as exc:  # a failed strain run must be VISIBLE
-            strain_out[key] = {"error": f"{type(exc).__name__}: {exc}"}
+        strain_out[key] = run_strain_row(key, runner)
 
     # Host-speed anchor: round 3 proved the shared VM drifts (identical
     # code measured 1.45× slower across rounds — SCALE.md §13). The fixed

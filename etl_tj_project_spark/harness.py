@@ -485,9 +485,23 @@ def u2_plan(
         # the cold-storage A/B (two distinct physical copies + fadvise
         # eviction + optional read-throttling) is measured per-round by
         # strain.run_u2_cold_io_strain.
-        # ASSUMES p_partkey is unique (part's PK): a duplicate-key part
-        # side would fan the fused row out and duplicate branch-2
-        # contributions — use the default plan for non-key join dims.
+        # ASSUMES (ADVICE r9 — all three required for equivalence to
+        # the default two-branch plan, all PK/domain facts of this
+        # schema; use the default plan when any fails):
+        # (1) p_partkey is unique (part's PK): a duplicate-key part
+        #     side would fan the fused row out and duplicate branch-2
+        #     contributions;
+        # (2) s_suppkey is unique (supplier's PK): in the FUSED plan a
+        #     duplicate supplier fans out branch-1 (part) contributions
+        #     too — rows that never even join supplier in the default
+        #     plan;
+        # (3) p_brand and s_name value domains are DISJOINT ('Brand#xx'
+        #     vs 'Supplier#xxx' here): the default plan groups AFTER
+        #     the union, merging any cross-branch groups that share
+        #     (tanggal, route_code, gate), while grouping sets emits
+        #     two separate rows for them. The smoke-scale equality test
+        #     (tests/test_scale_plans.py) holds only because this
+        #     schema satisfies all three.
         hit_part = F.broadcast(
             part.select("p_partkey", "p_brand", F.lit(True).alias("p_hit"))
         )

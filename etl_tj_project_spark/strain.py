@@ -684,29 +684,48 @@ class _ReadThrottle:
                 os.path.join(group, "blkio.throttle.read_bps_device"), "w"
             ) as fh:
                 fh.write(f"{dev} {self.bps}")
-            self._pids = self._spark_pids()
-            for pid in self._pids:
+            # Record each pid only AFTER its cgroup.procs write succeeds
+            # and keep _group set from the first move on: if a later
+            # write raises (a JVM pid vanished mid-loop), the except arm
+            # below restores the partial set instead of leaving already-
+            # moved processes read-capped for the rest of the bench run
+            # while applied=False reports the throttle inactive
+            # (ADVICE r9).
+            self._group = group
+            for pid in self._spark_pids():
                 with open(os.path.join(group, "cgroup.procs"), "w") as fh:
                     fh.write(str(pid))
-            self._group = group
+                self._pids.append(pid)
             self.applied = True
         except OSError:
+            self._restore()
             self.applied = False
         return self
 
-    def __exit__(self, *exc):
+    def _restore(self):
+        """Move every recorded pid back to its original blkio cgroup and
+        drop the throttle group. Best-effort per pid: one unrestorable
+        pid (e.g. exited) must not strand the others."""
         import os
 
         if not self._group:
-            return False
-        try:
-            target = self._orig or self._ROOT
-            for pid in self._pids:
+            return
+        target = self._orig or self._ROOT
+        for pid in self._pids:
+            try:
                 with open(os.path.join(target, "cgroup.procs"), "w") as fh:
                     fh.write(str(pid))
+            except OSError:
+                continue  # pid gone — nothing left to uncap
+        self._pids = []
+        try:
             os.rmdir(self._group)
         except OSError:
-            pass  # restore is best-effort; group leaks, throttle off at exit
+            pass  # group leaks empty; throttle applies to no process
+        self._group = None
+
+    def __exit__(self, *exc):
+        self._restore()
         return False
 
 
@@ -813,7 +832,17 @@ def run_u2_cold_io_strain(
                         best[name], round(time.perf_counter() - t0, 4)
                     )
 
+        # Multiset equality needs BOTH directions (ADVICE r9: one empty
+        # exceptAll still passes when single_scan is a strict sub-
+        # multiset of default). Equal cardinality + one empty exceptAll
+        # implies full multiset equality, so the count we already take
+        # doubles as the second direction.
         n_default = default_df.count()
+        n_single = single_df.count()
+        _require(
+            n_single == n_default,
+            f"single_scan row count diverged: {n_single} vs {n_default}",
+        )
         diff = single_df.exceptAll(default_df).count()
         _require(diff == 0, f"single_scan diverged from default: {diff} rows")
         return {

@@ -2410,3 +2410,104 @@ def test_lateral_class_is_not_vacuous(spark, li_view, o_view):
         df = spark.sql(_lateral_sql(case, o_view, li_view))
         nulls += df.filter("v IS NULL").count()
     assert nulls > 0, "no empty correlation groups generated"
+
+
+# ---------------------------------------------------------------------------
+# GROUPING() disambiguation + HAVING over multi-group aggregation
+# (round 10 — VERDICT r9 item 5)
+# ---------------------------------------------------------------------------
+#
+# The existing grouping-sets class (round 7) uses NON-NULL keys and no
+# HAVING, so it never probes the two semantics that make the expand +
+# multi-group physical shape tricky: (a) GROUPING() flags telling a
+# DATA NULL key cell apart from a super-aggregate marker NULL — here
+# keys are built with NULLIF so data NULLs genuinely occur — and
+# (b) HAVING evaluated per EXPANDED group (super-aggregate rows must
+# pass/fail the aggregate predicate independently of their leaf rows).
+# GROUPING() return types differ (Spark TINYINT/INT vs DuckDB BIGINT):
+# both sides pin CAST(... AS INTEGER). Shared SQL text otherwise.
+
+_GSHAV_KEYS = [
+    "NULLIF(l_returnflag, 'N')",          # data NULLs: ~1/3 of rows
+    "NULLIF(l_linestatus, 'F')",          # data NULLs: ~1/2 of rows
+    "(l_suppkey % 3)",                    # never NULL
+]
+
+
+def _gshav_case(rng: random.Random) -> tuple[str, str, str, str]:
+    ks = rng.sample(_GSHAV_KEYS, rng.randint(2, 3))
+    form = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    if form == "SETS":
+        subsets = ["(" + ", ".join(ks) + ")", "()"]
+        if rng.random() < 0.7:
+            subsets.insert(1, "(" + ks[0] + ")")
+        if rng.random() < 0.4 and len(ks) >= 2:
+            subsets.insert(1, "(" + ks[1] + ")")
+        grp = f"GROUPING SETS ({', '.join(subsets)})"
+    else:
+        grp = f"{form} ({', '.join(ks)})"
+    sel = ", ".join(f"{k} AS k{i}" for i, k in enumerate(ks))
+    gsel = ", ".join(
+        f"CAST(GROUPING({k}) AS INTEGER) AS g{i}" for i, k in enumerate(ks)
+    )
+    qty = "CAST(l_quantity AS BIGINT)"
+    hav = rng.choice(
+        [f"COUNT(*) > {rng.randint(50, 3000)}",
+         f"SUM({qty}) > {rng.randint(1000, 80000)}",
+         f"COUNT(*) > {rng.randint(50, 500)} AND MIN({qty}) >= 1",
+         f"MAX({qty}) >= {rng.randint(30, 50)}"]
+    )
+    return sel, gsel, grp, hav
+
+
+def _gen_gshav(n: int) -> list[tuple[str, str, str, str]]:
+    rng = random.Random(20260830)
+    return [_gshav_case(rng) for _ in range(n)]
+
+
+GSHAV_CASES = _gen_gshav(14)
+
+
+def _gshav_sql(case, t: str) -> str:
+    sel, gsel, grp, hav = case
+    qty = "CAST(l_quantity AS BIGINT)"
+    return (
+        f"SELECT {sel}, {gsel}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM({qty}) AS BIGINT) AS sq "
+        f"FROM {t} GROUP BY {grp} HAVING {hav}"
+    )
+
+
+@pytest.mark.parametrize("idx", range(len(GSHAV_CASES)))
+def test_random_grouping_having_matches_oracle(spark, duck, li_view, idx):
+    case = GSHAV_CASES[idx]
+    sdf = spark.sql(_gshav_sql(case, li_view))
+    compare(sdf, duck, _gshav_sql(case, "lineitem"))
+
+
+def test_grouping_having_class_is_not_vacuous(spark, li_view):
+    """The class must genuinely probe what it claims: across the cases
+    (1) some surviving row is a super-aggregate (a grouping flag = 1),
+    (2) some surviving row carries a DATA NULL key (cell NULL while its
+    grouping flag = 0) — the ambiguity GROUPING() exists to resolve —
+    and (3) HAVING actually filters (some case returns fewer rows than
+    its unfiltered twin)."""
+    saw_super = saw_data_null = saw_filtering = False
+    for case in GSHAV_CASES:
+        sel, gsel, grp, hav = case
+        rows = spark.sql(_gshav_sql(case, li_view)).collect()
+        nk = sel.count(" AS k")
+        for r in rows:
+            for i in range(nk):
+                if r[f"g{i}"] == 1:
+                    saw_super = True
+                if r[f"g{i}"] == 0 and r[f"k{i}"] is None:
+                    saw_data_null = True
+        unfiltered = spark.sql(
+            _gshav_sql((sel, gsel, grp, "TRUE"), li_view)
+        ).count()
+        if len(rows) < unfiltered:
+            saw_filtering = True
+    assert saw_super, "no super-aggregate row survived any HAVING"
+    assert saw_data_null, "no data-NULL key row observed (NULLIF vacuous)"
+    assert saw_filtering, "HAVING never filtered anything"

@@ -1030,7 +1030,14 @@ def test_u2_single_scan_equals_default(spark):
     """The cold-IO single-scan explode rewrite (VERDICT r8 item 4) must
     be value-identical to the default two-branch plan — inner-join
     semantics via the part hit flag, branch-2 NULL route_codes surviving
-    explode as null STRUCT FIELDS (never null array elements)."""
+    explode as null STRUCT FIELDS (never null array elements).
+
+    This equality holds only under the fused plan's three documented
+    assumptions (see the ASSUMES block in harness.u2_plan, ADVICE r9):
+    unique p_partkey, unique s_suppkey, and disjoint p_brand/s_name
+    domains — all PK/domain facts of the TPC-H-ish schema at every
+    generated SF. A schema violating any of them must use the default
+    plan; this test pins the equivalence on data that satisfies them."""
     a = harness.u2_two_branch_union_agg(spark, SF_SMOKE)
     b = harness.u2_two_branch_union_agg(spark, SF_SMOKE, single_scan=True)
     assert a.exceptAll(b).count() == 0
@@ -1071,3 +1078,42 @@ def test_paragraph_chunk_dedup_shuffles_hash_not_text(spark):
     ]
     assert agg_lines, "first-occurrence min aggregate not found in plan"
     assert all("chunk_text" not in ln for ln in agg_lines)
+
+
+def test_keyset_boundary_guard_exact_semantics(spark):
+    """_keyset_boundary (VERDICT r9 item 6): the in-query cursor guard
+    must fire EXACTLY when the boundary tuple straddles the page edge —
+    duplicates fully inside a page are harmless and must pass."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from etl_tj_project_spark.harness_analytics import _keyset_boundary
+
+    keys = ["k1", "k2"]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k1 int, k2 int")
+
+    # Straddling duplicate: page_size=3, rows 3 and 4 share the tuple
+    # -> a strict seek after page 1 would skip row 4. Must raise and
+    # name the tuple.
+    bad = mk([(1, 1), (2, 1), (3, 7), (3, 7), (9, 9)])
+    with pytest.raises(SparkRuntimeException, match="skip rows"):
+        _keyset_boundary(bad, keys, page_size=3).collect()
+
+    # Same duplicate entirely INSIDE the page: harmless, boundary is
+    # the page's last row.
+    ok_inside = mk([(1, 1), (3, 7), (3, 7), (8, 1), (9, 9)])
+    b = _keyset_boundary(ok_inside, keys, page_size=3).collect()[0]["b"]
+    assert (b["k1"], b["k2"]) == (3, 7)
+
+    # Table smaller than the page: boundary = true last row, no guard.
+    small = mk([(1, 1), (2, 2)])
+    b = _keyset_boundary(small, keys, page_size=3).collect()[0]["b"]
+    assert (b["k1"], b["k2"]) == (2, 2)
+
+    # Table exactly page-sized (the desc-top-2 sees rows N and N-1 —
+    # must NOT misread them as a straddle).
+    exact = mk([(1, 1), (2, 2), (3, 3)])
+    b = _keyset_boundary(exact, keys, page_size=3).collect()[0]["b"]
+    assert (b["k1"], b["k2"]) == (3, 3)
