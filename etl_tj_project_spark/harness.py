@@ -836,6 +836,75 @@ def csv_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_write_roundtrip",
+    """
+    SELECT doc_id,
+           'he said "hi" \\' || source || chr(10) || lang AS hazard,
+           CASE WHEN lang = 'en' THEN NULL ELSE lang END AS maybe_null,
+           CAST(n_chars AS DECIMAL(18,2)) AS n_chars_dec,
+           DATE '2024-01-01' + CAST(doc_id % 7 AS INT) AS shard_date,
+           source AS meta_s, n_chars AS meta_n
+    FROM documents
+    """,
+    doc="JSONL export/import fidelity — the fourth leg of the format "
+        "matrix (parquet / ORC / CSV / JSONL), and the interchange "
+        "format the corpus pipeline ingests (sources/jsonl). The "
+        "staged frame carries the JSON hazard classes: a string with "
+        "embedded double quotes, a literal backslash AND an embedded "
+        "NEWLINE — the exact hazard the CSV leg documents as its scope "
+        "cut. JSON escapes them in-value (\\n, \\\", \\\\), so every "
+        "record stays ONE physical line and a 100 TB export remains "
+        "line-splittable per file; NULL fields ride the writer's "
+        "drop-null-keys default and must come back NULL; DECIMAL(18,2) "
+        "and DATE survive text serialization under an explicit read "
+        "schema; a nested STRUCT column proves schema-on-read "
+        "round-trips compound types (projected to scalars for the "
+        "hash gate). Oracle restates the staged values closed-form",
+)
+def jsonl_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('he said "hi" \\'),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("lang"),
+        ).alias("hazard"),
+        F.nullif(F.col("lang"), F.lit("en")).alias("maybe_null"),
+        F.col("n_chars").cast(AMOUNT).alias("n_chars_dec"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("doc_id") % 7).cast("int"),
+        ).alias("shard_date"),
+        F.struct(
+            F.col("source").alias("s"), F.col("n_chars").alias("n")
+        ).alias("meta"),
+    )
+    out = tempfile.mkdtemp(prefix="tj_jsonl_roundtrip_")
+    try:
+        staged.write.mode("overwrite").json(out)
+        back = spark.read.schema(staged.schema).json(out)
+        flat = back.select(
+            "doc_id",
+            "hazard",
+            "maybe_null",
+            "n_chars_dec",
+            "shard_date",
+            F.col("meta.s").alias("meta_s"),
+            F.col("meta.n").alias("meta_n"),
+        )
+        # Materialize so the temp dir can be removed now (documents is
+        # the small table; same pattern as the parquet/ORC roundtrips).
+        return spark.createDataFrame(flat.collect(), schema=flat.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "manifest_snapshot_roundtrip",
     """
     SELECT CAST(ts AS DATE) AS tanggal, event_type,
@@ -1565,6 +1634,7 @@ DRIVER_WINDOW: list[str] = [
     "shuffle_key_skew_profile",
     "keyset_pagination_seek",
     "bpe_encode_corpus",
+    "jsonl_write_roundtrip",
     # (c) oldest-green rotation: the 14 remaining r4 entries (newest
     # green r4), alphabetical = their r4-window relative order
     "ann_lsh_recall",
@@ -1604,7 +1674,6 @@ DRIVER_WINDOW: list[str] = [
     "mad_robust_dispersion",
     "interval_merge_overlaps",
     "dense_grid_zero_fill",
-    "topk_with_ties",
 ]
 
 

@@ -1117,3 +1117,27 @@ def test_keyset_boundary_guard_exact_semantics(spark):
     exact = mk([(1, 1), (2, 2), (3, 3)])
     b = _keyset_boundary(exact, keys, page_size=3).collect()[0]["b"]
     assert (b["k1"], b["k2"]) == (3, 3)
+
+
+def test_jsonl_writer_keeps_one_line_per_record(spark, tmp_path):
+    """The jsonl_write_roundtrip scale claim: values containing literal
+    newlines are ESCAPED in-value by the JSON writer, so every record
+    stays one physical line and a 100 TB export remains line-splittable
+    per file (the hazard the CSV leg documents as its scope cut)."""
+    import glob
+    import os
+
+    df = spark.createDataFrame(
+        [(1, 'multi\nline "quoted" \\ payload'), (2, "plain")],
+        "id int, body string",
+    )
+    out = str(tmp_path / "jl")
+    df.coalesce(1).write.mode("overwrite").json(out)
+    files = glob.glob(os.path.join(out, "part-*"))
+    assert files
+    lines = [ln for f in files for ln in open(f).read().splitlines() if ln]
+    assert len(lines) == 2, lines  # one physical line per record
+    back = spark.read.schema(df.schema).json(out).collect()
+    assert {r.body for r in back} == {
+        'multi\nline "quoted" \\ payload', "plain"
+    }
