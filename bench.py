@@ -191,7 +191,13 @@ def main() -> None:
     # the anchors land in the full record, so a kept-slow row is
     # annotated, never silent. (Gating on the PREVIOUS round's strain
     # values would inherit r9's taint, so the reference is always the
-    # current run's own clean anchor.)
+    # current run's own clean anchor.) The anchor TIGHTENS as brackets
+    # are observed (ADVICE r10): if pre+mid calibrations were both
+    # contended (the steal gate waits at most 4 times, then proceeds),
+    # a frozen min(pre, mid) inflates the 1.15x threshold for the whole
+    # strain section; folding every bracket reading into the running
+    # min means later rows always compare against the best anchor seen
+    # anywhere in the run.
     run_anchor = min(calib_par_pre, calib_par_mid)
 
     def _first_sec(row: dict) -> float | None:
@@ -202,12 +208,15 @@ def main() -> None:
         )
 
     def run_strain_row(key: str, runner) -> dict:
+        nonlocal run_anchor
         pre = _cpu_calibration_parallel()
+        run_anchor = min(run_anchor, pre)
         try:
             row = runner(spark, sf_dir)
         except Exception as exc:  # a failed strain run must be VISIBLE
             return {"error": f"{type(exc).__name__}: {exc}"}
         post = _cpu_calibration_parallel()
+        run_anchor = min(run_anchor, post)
         contended = max(pre, post) > 1.15 * run_anchor
         row["calib_par_bracket"] = [pre, post]
         if contended:
@@ -217,7 +226,9 @@ def main() -> None:
             except Exception as exc:
                 row["strain_retry"] = f"retry failed: {type(exc).__name__}"
                 return row
-            row2["calib_par_bracket"] = [post, _cpu_calibration_parallel()]
+            post2 = _cpu_calibration_parallel()
+            run_anchor = min(run_anchor, post2)
+            row2["calib_par_bracket"] = [post, post2]
             sec2 = _first_sec(row2)
             if sec1 is not None and sec2 is not None and sec2 < sec1:
                 row2["strain_retry"] = {

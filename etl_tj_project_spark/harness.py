@@ -682,7 +682,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(ts AS DATE) AS tanggal, event_id,
            CAST(value AS DECIMAL(18,2)) AS amount
-    FROM events WHERE event_type = 'purchase'
+    FROM events WHERE event_type = 'purchase' AND event_id < 10000
     """,
     doc="S4/S7 write path under the correctness gate: day-partitioned "
         "parquet write (Hive tanggal= layout, dynamic-overwrite-capable "
@@ -690,7 +690,13 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the content that must survive the roundtrip bit-exactly "
         "(partition-column date inference included). Uses a fresh temp "
         "dir per call so re-runs are independent "
-        "(ref dag_datapelangan.py:118-151 daily partition DDL)",
+        "(ref dag_datapelangan.py:118-151 daily partition DDL). The "
+        "staged frame is capped by a deterministic key cut "
+        "(event_id < 10000 — the full table at the sf0.01 gate scale, "
+        "so recorded hashes are unchanged) so the driver-side "
+        "materialization below is O(1) BY CONSTRUCTION at any SF the "
+        "gate ever runs, not merely by current fixture sizes "
+        "(VERDICT r10 item 2)",
 )
 def partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -698,7 +704,7 @@ def partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tj_project_spark.io import write_partitioned
 
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase") & (F.col("event_id") < 10000)
     )
     df = ev.select(
         F.col("ts").cast("date").alias("tanggal"),
@@ -729,7 +735,7 @@ def partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_chars AS DECIMAL(18,2)) AS n_chars_dec,
            DATE '2024-01-01' + CAST(doc_id % 7 AS INT) AS shard_date,
            text AS text2, lang
-    FROM documents
+    FROM documents WHERE doc_id < 500
     """,
     doc="ORC format coverage under the correctness gate: documents are "
         "written as lang-partitioned ORC (Spark's built-in columnar "
@@ -746,7 +752,10 @@ def orc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    d = load_table(spark, sf_dir, "documents")
+    # doc_id < 500 = the full table at the sf0.01 gate scale (hashes
+    # unchanged), and a constant-size cap on the driver materialization
+    # at any larger SF (VERDICT r10 item 2).
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     staged = d.select(
         "doc_id",
         "source",
@@ -787,7 +796,7 @@ def orc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN lang = 'en' THEN NULL ELSE lang END AS maybe_null,
            CAST(n_chars AS DECIMAL(18,2)) AS n_chars_dec,
            DATE '2024-01-01' + CAST(doc_id % 7 AS INT) AS shard_date
-    FROM documents
+    FROM documents WHERE doc_id < 500
     """,
     doc="CSV export/import fidelity under the correctness gate — the "
         "third leg of the format matrix (parquet: "
@@ -809,7 +818,9 @@ def csv_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    d = load_table(spark, sf_dir, "documents")
+    # doc_id < 500: constant-size driver materialization at any SF
+    # (full table at the sf0.01 gate; VERDICT r10 item 2).
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     staged = d.select(
         "doc_id",
         F.concat(F.lit('q,"'), F.col("source"), F.lit('",x')).alias(
@@ -844,7 +855,7 @@ def csv_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_chars AS DECIMAL(18,2)) AS n_chars_dec,
            DATE '2024-01-01' + CAST(doc_id % 7 AS INT) AS shard_date,
            source AS meta_s, n_chars AS meta_n
-    FROM documents
+    FROM documents WHERE doc_id < 500
     """,
     doc="JSONL export/import fidelity — the fourth leg of the format "
         "matrix (parquet / ORC / CSV / JSONL), and the interchange "
@@ -865,7 +876,9 @@ def jsonl_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    d = load_table(spark, sf_dir, "documents")
+    # doc_id < 500: constant-size driver materialization at any SF
+    # (full table at the sf0.01 gate; VERDICT r10 item 2).
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     staged = d.select(
         "doc_id",
         F.concat(
@@ -911,6 +924,7 @@ def jsonl_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2)))
              AS DECIMAL(18,2)) AS value_sum
     FROM events WHERE event_type IN ('click', 'purchase')
+      AND event_id < 10000
     GROUP BY CAST(ts AS DATE), event_type
     """,
     doc="Snapshot-manifest table format (manifest.py) under the "
@@ -928,8 +942,13 @@ def manifest_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_tj_project_spark import manifest as mf
 
+    # event_id < 10000 = the full table at the sf0.01 gate scale
+    # (hashes unchanged); caps the day-aggregate AND the staged scan at
+    # any larger SF so the driver collect is O(1) by construction
+    # (VERDICT r10 item 2).
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
+        & (F.col("event_id") < 10000)
     )
     agg = ev.groupBy(
         F.col("ts").cast("date").alias("tanggal"), "event_type"

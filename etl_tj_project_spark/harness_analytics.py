@@ -1451,8 +1451,20 @@ def _keyset_boundary(df: DataFrame, keys: list[str], page_size: int) -> DataFram
     )
     # cnt > page_size: lo = row N (the boundary), hi = row N+1 — they
     # must differ or the cursor skips. cnt <= page_size: hi IS the last
-    # row (no row beyond the page, nothing to skip).
+    # row (no row beyond the page, nothing to skip). cnt = 0: there is
+    # no boundary tuple at all — a silent NULL struct would make the
+    # downstream strict seek filter EVERY row, indistinguishable from a
+    # legitimately empty next page, so fail loudly instead (ADVICE r10).
     guarded = F.when(
+        F.col("cnt") == 0,
+        F.raise_error(
+            F.lit(
+                "keyset boundary requested on an empty input table: "
+                "no cursor tuple exists (a NULL boundary would filter "
+                "all rows downstream)"
+            )
+        ),
+    ).when(
         F.col("cnt") > page_size,
         F.when(F.col("lo") != F.col("hi"), F.col("lo")).otherwise(
             F.raise_error(

@@ -100,11 +100,13 @@ def test_driver_window_is_oldest_green_first():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest: dict[str, int] = {}
+    recorded_rounds: set[int] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        recorded_rounds.add(rnd)
         if rnd >= harness.WINDOW_ROUND:
             continue
         with open(path) as fh:
@@ -114,6 +116,19 @@ def test_driver_window_is_oldest_green_first():
                 newest[name] = max(newest.get(name, 0), rnd)
     if not newest:
         pytest.skip("no CORRECTNESS records present")
+    # WINDOW_ROUND is bumped by hand each round; a missed bump (or a
+    # bump without recomposition) would make this test silently
+    # validate against a STALE ledger and pass while rotation coverage
+    # stalls — the inverse of the r9 failure mode it fixes (ADVICE
+    # r10). Pin the invariant: the window must be composed against
+    # exactly the full recorded ledger, i.e. WINDOW_ROUND = newest
+    # recorded CORRECTNESS round + 1.
+    assert harness.WINDOW_ROUND == max(recorded_rounds) + 1, (
+        f"WINDOW_ROUND={harness.WINDOW_ROUND} but newest recorded "
+        f"CORRECTNESS round is r{max(recorded_rounds)}: recompose "
+        f"DRIVER_WINDOW against the full ledger and bump WINDOW_ROUND "
+        f"to {max(recorded_rounds) + 1}"
+    )
     # Oracle-backed entries only (rows-only slots are barred above) and
     # only names still in the registry.
     stale_pool = {

@@ -1118,6 +1118,13 @@ def test_keyset_boundary_guard_exact_semantics(spark):
     b = _keyset_boundary(exact, keys, page_size=3).collect()[0]["b"]
     assert (b["k1"], b["k2"]) == (3, 3)
 
+    # Empty input: no cursor tuple exists. A silent NULL boundary would
+    # make the downstream strict seek filter every row — must fail
+    # loudly instead (ADVICE r10).
+    empty = spark.createDataFrame([], "k1 int, k2 int")
+    with pytest.raises(SparkRuntimeException, match="empty input"):
+        _keyset_boundary(empty, keys, page_size=3).collect()
+
 
 def test_jsonl_writer_keeps_one_line_per_record(spark, tmp_path):
     """The jsonl_write_roundtrip scale claim: values containing literal
