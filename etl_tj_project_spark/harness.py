@@ -1628,71 +1628,74 @@ from etl_tj_project_spark import parity  # noqa: E402
 # COVERAGE.md per round.
 #
 # WINDOW_ROUND pins WHICH CORRECTNESS ledger this window was composed
-# against: the window below was computed from CORRECTNESS_r01..r09 and
-# is the round-10 submission. tests/test_oracle_parity.py's rotation
+# against: the window below was computed from CORRECTNESS_r01..r10 and
+# is the round-11 submission. tests/test_oracle_parity.py's rotation
 # test must ignore CORRECTNESS files >= this round — otherwise the
 # moment the driver lands the NEXT record the test demands a window
-# that can't exist yet (the r9 failure mode, VERDICT r9 item 1b).
-WINDOW_ROUND = 10
+# that can't exist yet (the r9 failure mode, VERDICT r9 item 1b) —
+# and must equal the newest recorded round + 1 (a missed bump fails
+# loudly instead of silently pinning a stale window; ADVICE r10).
+WINDOW_ROUND = 11
 DRIVER_WINDOW: list[str] = [
-    # (a) §2 stability core (driver-green every round they ran, r2-r9)
+    # (a) §2 stability core (driver-green every round they ran, r2-r10)
     "p1_typed_projection",
     "j1_inner_join_fanout",
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
-    # (b) oracle-backed entries with no driver green yet: r8/r9
-    # post-window additions (oldest registration first) + round 10's
-    # bpe_encode_corpus
-    "orc_write_roundtrip",
-    "dedup_paragraph_chunks",
-    "corpus_systematic_weighted_sample",
-    "csv_write_roundtrip",
-    "cdc_apply_latest",
-    "groupwise_linear_fit",
-    "partition_content_checksum",
-    "shuffle_key_skew_profile",
-    "keyset_pagination_seek",
-    "bpe_encode_corpus",
-    "jsonl_write_roundtrip",
-    # (c) oldest-green rotation: the 14 remaining r4 entries (newest
-    # green r4), alphabetical = their r4-window relative order
-    "ann_lsh_recall",
-    "cohort_retention",
-    "corpus_quality_filter",
-    "date_spine_gap_fill",
-    "dedup_levenshtein_pairs",
-    "dq_expectations",
-    "embedding_centroids_long",
-    "funnel_stages",
-    "profile_columns",
-    "range_band_join",
-    "reaggregate_partials",
-    "repetition_filter",
-    "source_curation_stats",
-    "tfidf_top_terms",
-    # ...then fill to 50 with the oldest of the r5 cohort (newest green
-    # r5) in its r5-window order
-    "multimodal_audio_downsample",
-    "char_trigram_lang_profile",
-    "bpe_pair_counts",
-    "graph_pagerank_fixedpoint",
-    "month_end_clamp_pack",
-    "array_setops_pack",
-    "window_nth_lead_pack",
-    "scan_lineage_per_file",
-    "share_of_parent_rollup",
-    "moment_stats_manual",
-    "rfm_customer_segments",
-    "basket_part_pairs_top50",
-    "activity_heatmap_dow_hour",
-    "pareto_revenue_concentration",
-    "rolling_zscore_anomaly",
-    "gaps_and_islands_daily",
-    "event_transition_matrix",
-    "relational_division",
-    "mad_robust_dispersion",
-    "interval_merge_overlaps",
-    "dense_grid_zero_fill",
+    # (b) oracle-backed entries with no driver green yet: round 11's
+    # sorted-export law + classifier inference (registration order)
+    "sorted_export_ntile_ranges",
+    "quality_classifier_inference",
+    # (c) oldest-green rotation: the full 22-entry r5 cohort (newest
+    # green r5 — the oldest cohort left after r10 cleared r4), in its
+    # r5-window order; topk_with_ties and iso_week_rollup lead (they
+    # were displaced from the r10 fill, VERDICT r10 item 1)
+    "topk_with_ties",
+    "iso_week_rollup",
+    "union_by_name_schema_evolution",
+    "bloom_filter_membership",
+    "time_bucket_interpolate",
+    "running_sum_reset_on_marker",
+    "rolling_cov_manual",
+    "inverted_index_postings",
+    "phrase_search_positional",
+    "pareto_frontier_2d",
+    "gini_impurity_by_group",
+    "window_null_ordering_pack",
+    "regex_backreference_pack",
+    "explode_outer_empty_preserved",
+    "dedup_prefix_filter_jaccard",
+    "ann_knn_join_topk",
+    "corpus_ngram_novelty",
+    "multimodal_image_histogram",
+    "incremental_join_maintenance",
+    "incremental_agg_retractions",
+    "chisq_lang_source_cells",
+    "weighted_median_price",
+    # ...then fill to 50 with the oldest of the r6 cohort (newest green
+    # r6) in its r6-window order
+    "manifest_snapshot_roundtrip",
+    "multimodal_audio_features",
+    "embedding_int8_quantize",
+    "tpch_q2ish_min_cost_supplier",
+    "tpch_q11ish_value_concentration",
+    "tpch_q16ish_supplier_cnt_by_part",
+    "tpch_q20ish_excess_stock_suppliers",
+    "dedup_rate_by_source",
+    "uniform_sample_k_per_group",
+    "truncate_head_tail_budget",
+    "decontaminate_13gram",
+    "interval_containment_join",
+    "asof_join_tolerance",
+    "scd2_apply_changes",
+    "zorder_key_2d",
+    "bigram_top50",
+    "histogram_fixed_buckets",
+    "dedup_repeated_ngram_spans",
+    "corpus_mixture_plan",
+    "posexplode_tokens",
+    "regexp_extract_all_numbers",
+    "text_corpus_stopword_fraction",
 ]
 
 

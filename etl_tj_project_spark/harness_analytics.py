@@ -1570,3 +1570,126 @@ def keyset_pagination_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .limit(100)
     )
+
+
+# Packing factor for the sorted-export order key: days*2^35 keeps the
+# (shipdate, orderkey, linenumber) tuple's lexicographic order as ONE
+# BIGINT comparison (days < 2^15, orderkey < 2^32, linenumber < 8 at
+# every generated SF; at sf100+ orderkey exceeds 2^32 and the packed
+# key gives way to the raw struct key the production writer sorts on).
+_PK_DAY_FACTOR = 34359738368  # 2^35
+
+
+def _sorted_export_pk() -> "F.Column":
+    return (
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long")
+        * F.lit(_PK_DAY_FACTOR).cast("long")
+        + F.col("l_orderkey").cast("long") * 8
+        + F.col("l_linenumber").cast("long")
+    )
+
+
+@register(
+    "sorted_export_ntile_ranges",
+    f"""
+    WITH k AS (
+      SELECT (DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                * {_PK_DAY_FACTOR}
+              + l_orderkey * 8 + l_linenumber) AS pk
+      FROM lineitem
+    ), t AS (
+      SELECT pk, NTILE(8) OVER (ORDER BY pk) AS file_id FROM k
+    )
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           COUNT(*) AS n_rows,
+           MIN(pk) AS min_pk,
+           MAX(pk) AS max_pk
+    FROM t GROUP BY file_id
+    """,
+    doc="Total-order sorted export, row-to-file-range assignment law "
+        "(VERDICT r10 item 2): which rows land in which of the 8 "
+        "sorted output files, as per-file (count, min_pk, max_pk) — "
+        "exact NTILE(8) semantics, hash-checked against DuckDB's "
+        "NTILE. The production writer (io.export_sorted) uses sampled "
+        "RangePartitioning for row-balanced files; its boundaries are "
+        "sampler-dependent, so THIS entry pins the law with a "
+        "deterministic equivalent: exact global rank via "
+        "bucket-local row_number + bucket prefix-sum offsets, where "
+        "the bucket (32-day window of l_shipdate = the packed key's "
+        "leading bits) is a PURE FUNCTION of the row — no sampling, "
+        "no driver collect, fully declarative. Shape: one narrow "
+        "3-column scan -> hash shuffle on ~80 buckets for the "
+        "partitioned row_number window (never a global-order window: "
+        "the only unpartitioned window runs over the ~80-row "
+        "per-bucket count frame), prefix-sum offsets broadcast back, "
+        "NTILE arithmetic from the total-count scalar, then one "
+        "8-group aggregate. Per-bucket aggregates are tie-insensitive "
+        "(duplicate (shipdate,orderkey,linenumber) tuples share pk, "
+        "and swapping equal-pk rows across a bucket boundary changes "
+        "neither counts nor min/max), so the hash is deterministic on "
+        "both engines. At 100 TB the bucket width is the parallelism "
+        "knob (day-granular buckets -> thousands of tasks); the "
+        "file-boundary monotonicity + content equality of the real "
+        "sampled writer are pinned in tests/test_scale_plans.py",
+)
+def sorted_export_ntile_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n_files = 8
+    proj = li.select(
+        _sorted_export_pk().alias("pk"),
+        # Bucket = the packed key's leading bits (32-day windows), so
+        # bucket order == pk order and buckets never interleave.
+        F.floor(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            / 32
+        )
+        .cast("long")
+        .alias("ym"),
+    )
+    per_bucket = proj.groupBy("ym").agg(F.count(F.lit(1)).alias("bn"))
+    # ~80 rows: the single-partition prefix-sum window is over the
+    # BUCKET COUNT frame, never the data.
+    w_off = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_bucket.select(
+        "ym",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    total = per_bucket.agg(F.sum("bn").cast("long").alias("n_total"))
+    w_rn = Window.partitionBy("ym").orderBy("pk")
+    ranked = (
+        proj.withColumn("rn", F.row_number().over(w_rn))
+        .join(F.broadcast(offs), "ym")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pk",
+            (F.col("off") + F.col("rn").cast("long")).alias("rank"),
+            "n_total",
+        )
+    )
+    # Exact NTILE(k): the first (n % k) files take ceil(n/k) rows, the
+    # rest floor(n/k). floor(double) is exact here (n < 2^52).
+    q = F.floor(F.col("n_total") / n_files).cast("long")
+    r = F.pmod(F.col("n_total"), F.lit(n_files)).cast("long")
+    big = r * (q + F.lit(1))  # rows covered by the (q+1)-sized files
+    file_id = F.when(
+        F.col("rank") <= big,
+        F.floor((F.col("rank") - 1) / (q + F.lit(1))) + F.lit(1),
+    ).otherwise(
+        # q = 0 only when n < k; then rank <= big always holds and this
+        # branch (with its division by q) is never evaluated.
+        r + F.floor((F.col("rank") - big - F.lit(1)) / q) + F.lit(1)
+    )
+    return (
+        ranked.select(file_id.cast("long").alias("file_id"), "pk")
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+        )
+    )

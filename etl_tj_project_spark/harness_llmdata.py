@@ -791,3 +791,89 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_rate"),
         )
     )
+
+
+# =========================================================================
+# Model-based quality filter: fastText-style linear classifier inference
+# =========================================================================
+
+from etl_tj_project_spark.operators import classifier as _clf  # noqa: E402
+
+# The shipped "model": integer marker weights over the corpus
+# vocabulary (a real pipeline trains these offline; inference shape is
+# what this entry pins). Positive = content-bearing engine terms,
+# negative = filler; bigram features catch degenerate repetition.
+# (Chosen collision-free under the md5 bucket hash — "join" and
+# "a a" collide with "the" and "a" at N_BUCKETS=1024, so "group" and
+# "a the" stand in; injectivity is pinned in tests/test_classifier.py.)
+_CLF_WEIGHTS: list[tuple[str, int]] = [
+    ("spark", 40), ("data", 30), ("query", 30), ("vector", 25),
+    ("window", 20), ("stream", 20), ("group", 15), ("agg", 15),
+    ("merge", 15), ("sort", 10), ("hash", 10), ("column", 10),
+    ("slow", -40), ("small", -25), ("big", -25), ("the", -20),
+    ("a", -30), ("row", -10), ("line", -10),
+    ("spark data", 50), ("fast fast", 30), ("slow slow", -60),
+    ("table table", -30), ("the the", -40), ("a the", -50),
+]
+
+_CLF_VALUES = ", ".join(f"('{w}', {n})" for w, n in _CLF_WEIGHTS)
+
+
+@register(
+    "quality_classifier_inference",
+    f"""
+    WITH w(word, wt) AS (VALUES {_CLF_VALUES}),
+    wb AS (
+      SELECT {_clf.md5_bucket_sql('word')} AS bucket, SUM(wt) AS wt
+      FROM w GROUP BY 1
+    ),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END
+               AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             unnest(list_concat(
+               toks,
+               CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+               END)) AS feat
+      FROM t
+    ),
+    s AS (
+      SELECT f.doc_id, COUNT(*) AS n_feats,
+             CAST(COALESCE(SUM(wb.wt), 0) AS BIGINT) AS score_sum
+      FROM f LEFT JOIN wb ON wb.bucket = {_clf.md5_bucket_sql('f.feat')}
+      GROUP BY f.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(s.score_sum, 0) AS BIGINT) AS score_sum,
+           (COALESCE(s.score_sum, 0) * {_clf.SCORE_SCALE}
+              >= COALESCE(s.n_feats, 0) * {_clf.THRESHOLD}
+            AND COALESCE(s.n_feats, 0) > 0) AS quality
+    FROM t LEFT JOIN s USING (doc_id)
+    """,
+    doc="fastText-style linear quality classifier INFERENCE (VERDICT "
+        "r10 item 7) — the model-based document filter that runs after "
+        "the rule-based corpus_quality_filter in every modern LLM data "
+        "pipeline: hashed unigram+bigram features (portable md5 bucket "
+        "hash, collisions deterministic on both engines) -> broadcast "
+        "integer weight table -> exact BIGINT per-doc dot product -> "
+        "mean-score threshold in integer cross-multiplication (no "
+        "floats anywhere). All native expressions; one narrow "
+        "(doc_id, bucket) explode and ONE per-doc aggregation shuffle; "
+        "the weight table broadcasts at any vocabulary size (fastText "
+        "buckets are int weights, KB-MB). Blank docs are KEPT with "
+        "n_feats=0/quality=false, so the output row count equals the "
+        "corpus row count. Precision/recall on a planted fixture is "
+        "pinned in tests/test_classifier.py",
+)
+def quality_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _clf.weight_table(spark, _CLF_WEIGHTS)
+    return _clf.score_documents(docs, w)

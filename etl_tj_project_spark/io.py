@@ -206,6 +206,44 @@ def write_zordered(
     )
 
 
+def export_sorted(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    num_files: int = 8,
+) -> None:
+    """Total-order sorted export: write ``df`` globally ORDER BY'd on
+    ``keys`` as ``num_files`` parquet files with NON-OVERLAPPING,
+    MONOTONIC per-file key ranges — "export the corpus sorted by key",
+    the everyday warehouse op (no reference citation: the reference has
+    no ORDER BY at all, SURVEY §2.6; north-star surface).
+
+    ``repartitionByRange(num_files, *keys)`` plans a RangePartitioning
+    exchange: boundary keys come from a reservoir SAMPLE of the key
+    columns (driver holds num_files boundaries, never data), every row
+    routes by binary search, and rows with equal keys never straddle a
+    boundary. ``sortWithinPartitions`` then orders each partition
+    locally — a per-task spillable sort, NO single-partition global
+    sort anywhere (the naive ``orderBy().coalesce(1)`` would serialize
+    100 TB through one task). Reading files back in lexicographic file
+    order yields the exact global order; per-file parquet min/max
+    footer stats are tight on the leading key, so range predicates
+    prune whole files. Scale knob: at 100 TB set ``num_files`` so each
+    file is ~256 MB-1 GB; sampled boundaries make files row-balanced
+    even under key skew (unlike fixed value-width splits).
+
+    File-boundary monotonicity + content equality are pinned in
+    tests/test_scale_plans.py; the exact row-to-file-range assignment
+    law (NTILE semantics) is hash-checked end-to-end by the
+    ``sorted_export_ntile_ranges`` registry entry."""
+    (
+        df.repartitionByRange(num_files, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
