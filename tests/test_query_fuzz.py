@@ -2511,3 +2511,179 @@ def test_grouping_having_class_is_not_vacuous(spark, li_view):
     assert saw_super, "no super-aggregate row survived any HAVING"
     assert saw_data_null, "no data-NULL key row observed (NULLIF vacuous)"
     assert saw_filtering, "HAVING never filtered anything"
+
+
+# ---------------------------------------------------------------------------
+# Composed-shape differential fuzzing: WINDOW over JOIN / SET-OP input
+# ---------------------------------------------------------------------------
+#
+# VERDICT r10 item 6: the 32 prior classes randomize each shape in
+# ISOLATION; this class composes them — a window function whose input is
+# a LEFT JOIN (unmatched rows inject genuine NULLs into the partition
+# key) or a UNION [ALL] (each branch derives a different NULLIF key) —
+# to probe optimizer rewrite interactions (window pushdown through
+# joins/unions, partition-key NULL grouping, null-ordering in composed
+# sorts). Determinism rules inherited from the window class, plus one
+# new one: ANY nullable expression in an ORDER BY carries an EXPLICIT
+# NULLS FIRST/LAST (Spark defaults NULLS FIRST for ASC, DuckDB NULLS
+# LAST — the one dialect divergence composition would otherwise trip).
+
+_CW_NK_JOIN = [
+    # Nullable partition keys derived from the OUTER side of the join:
+    # NULL where the lineitem row found no (filtered) order.
+    "o.o_orderpriority",
+    "NULLIF(o.o_orderstatus, 'F')",
+    "o.o_custkey % 7",
+    "CASE WHEN o.o_totalprice > 150000 THEN l.l_returnflag END",
+]
+_CW_OPRED = [
+    "o_orderkey % 2 = 0",
+    "o_orderstatus = 'O'",
+    "o_totalprice > 120000",
+    "o_orderkey % 3 <> 1",
+]
+_CW_NK_UNION = [
+    ("NULLIF(l_returnflag, 'R')", "NULLIF(l_linestatus, 'O')"),
+    ("NULLIF(l_linestatus, 'F')", "CASE WHEN l_discount > 0.05 THEN 'd' END"),
+    ("CASE WHEN l_quantity > 25 THEN l_returnflag END",
+     "NULLIF(l_returnflag, 'A')"),
+]
+_CW_SORTS = [
+    "l_quantity",
+    "l_extendedprice DESC",
+    "l_shipdate",
+]
+
+
+def _cw_window(rng: random.Random, nullable_sort: str | None) -> str:
+    """A window expression over partition key nk; ORDER BY leads with
+    either a base sort or the nullable key itself (explicit NULLS
+    placement), then the full-column tiebreak incl. nk."""
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    if nullable_sort is not None and rng.random() < 0.4:
+        lead = f"{nullable_sort} {nulls}"
+    else:
+        lead = f"{rng.choice(_CW_SORTS)}"
+    tiebreak = (
+        "l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+        "l_discount, l_shipdate, nk " + rng.choice(["NULLS FIRST",
+                                                    "NULLS LAST"])
+    )
+    over = f"PARTITION BY nk ORDER BY {lead}, {tiebreak}"
+    qty = "CAST(l_quantity AS BIGINT)"
+    lo = rng.randint(1, 4)
+    frame = rng.choice(
+        [
+            f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ]
+    )
+    fn = rng.random()
+    if fn < 0.35:
+        expr = (
+            f"{rng.choice(['row_number()', 'rank()', 'dense_rank()'])}"
+            f" OVER ({over})"
+        )
+    elif fn < 0.6:
+        expr = f"SUM({qty}) OVER ({over} {frame})"
+    elif fn < 0.8:
+        expr = f"COUNT(*) OVER ({over} {frame})"
+    else:
+        expr = (
+            f"{rng.choice(['lag', 'lead'])}({qty}, {rng.randint(1, 3)}, -1)"
+            f" OVER ({over})"
+        )
+    return f"CAST({expr} AS BIGINT)"
+
+
+def _gen_composed_windows(n: int) -> list[tuple[str, ...]]:
+    rng = random.Random(20260818)
+    out: list[tuple[str, ...]] = []
+    for _ in range(n):
+        if rng.random() < 0.5:
+            nk = rng.choice(_CW_NK_JOIN)
+            opred = rng.choice(_CW_OPRED)
+            # o_orderstatus is nullable post-join: usable as a nullable
+            # lead sort when the key itself isn't a string CASE.
+            win = _cw_window(rng, "o_orderstatus")
+            out.append(("join", nk, opred, win))
+        else:
+            nk1, nk2 = rng.choice(_CW_NK_UNION)
+            op = rng.choice(["UNION", "UNION ALL"])
+            p1, p2 = _pred(rng, 2), _pred(rng, 2)
+            win = _cw_window(rng, None)
+            out.append(("union", nk1, nk2, op, p1, p2, win))
+    return out
+
+
+COMPOSED_WIN_CASES = _gen_composed_windows(16)
+
+_CW_LI_COLS = (
+    "l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+    "l_discount, l_shipdate, l_returnflag, l_linestatus"
+)
+
+
+def _composed_win_sql(case: tuple[str, ...], li: str, o: str) -> str:
+    if case[0] == "join":
+        _, nk, opred, win = case
+        src = (
+            f"SELECT {', '.join('l.' + c for c in _CW_LI_COLS.split(', '))},"
+            f" o.o_orderstatus, {nk} AS nk "
+            f"FROM {li} l LEFT JOIN (SELECT * FROM {o} WHERE {opred}) o "
+            "ON o.o_orderkey = l.l_orderkey"
+        )
+        win_fixed = win
+    else:
+        _, nk1, nk2, op, p1, p2, win = case
+        src = (
+            f"SELECT {_CW_LI_COLS}, {nk1} AS nk FROM {li} WHERE {p1} "
+            f"{op} "
+            f"SELECT {_CW_LI_COLS}, {nk2} AS nk FROM {li} WHERE {p2}"
+        )
+        # The union source has no o_orderstatus column.
+        win_fixed = win
+    return (
+        f"WITH src AS ({src}) "
+        f"SELECT l_orderkey, l_linenumber, nk, {win_fixed} AS w FROM src"
+    )
+
+
+@pytest.mark.parametrize("idx", range(len(COMPOSED_WIN_CASES)))
+def test_random_composed_window_matches_oracle(
+    spark, duck, li_view, o_view, idx
+):
+    case = COMPOSED_WIN_CASES[idx]
+    sdf = spark.sql(_composed_win_sql(case, li_view, o_view))
+    compare(sdf, duck, _composed_win_sql(case, "lineitem", "orders"))
+
+
+def test_composed_window_class_is_not_vacuous(spark, li_view, o_view):
+    """The composition must genuinely probe what it claims: across the
+    cases, (1) some join-sourced case has a NULL partition key (the
+    LEFT JOIN's order filter really drops matches), (2) some
+    union-sourced case has a NULL partition key (NULLIF/CASE really
+    fires), and (3) nearly every case's key has >= 2 distinct
+    partitions (the window is partitioned, not global) — a couple of
+    empty/degenerate sources are tolerated (random predicates can
+    select nothing; the differential check still covers that shape)."""
+    saw_join_null = saw_union_null = False
+    multi_part = 0
+    for case in COMPOSED_WIN_CASES:
+        sql = _composed_win_sql(case, li_view, o_view)
+        src_sql = sql.split("WITH src AS (")[1].rsplit(") SELECT", 1)[0]
+        probe = spark.sql(
+            f"SELECT COUNT(CASE WHEN nk IS NULL THEN 1 END) AS n_null, "
+            f"COUNT(DISTINCT nk) AS n_keys FROM ({src_sql})"
+        ).collect()[0]
+        # Distinct partitions include the NULL partition.
+        n_parts = probe.n_keys + (1 if probe.n_null > 0 else 0)
+        if n_parts >= 2:
+            multi_part += 1
+        if case[0] == "join" and probe.n_null > 0:
+            saw_join_null = True
+        if case[0] == "union" and probe.n_null > 0:
+            saw_union_null = True
+    assert multi_part >= len(COMPOSED_WIN_CASES) - 2, multi_part
+    assert saw_join_null, "no join case produced a NULL partition key"
+    assert saw_union_null, "no union case produced a NULL partition key"
