@@ -1643,9 +1643,12 @@ DRIVER_WINDOW: list[str] = [
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
     # (b) oracle-backed entries with no driver green yet: round 11's
-    # sorted-export law + classifier inference (registration order)
+    # sorted-export law, classifier inference, boilerplate removal,
+    # epoch allocation (registration order)
     "sorted_export_ntile_ranges",
     "quality_classifier_inference",
+    "boilerplate_chunk_removal",
+    "corpus_epoch_allocation",
     # (c) oldest-green rotation: the full 22-entry r5 cohort (newest
     # green r5 — the oldest cohort left after r10 cleared r4), in its
     # r5-window order; topk_with_ties and iso_week_rollup lead (they
@@ -1694,8 +1697,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_repeated_ngram_spans",
     "corpus_mixture_plan",
     "posexplode_tokens",
-    "regexp_extract_all_numbers",
-    "text_corpus_stopword_fraction",
 ]
 
 

@@ -877,3 +877,96 @@ def quality_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = _clf.weight_table(spark, _CLF_WEIGHTS)
     return _clf.score_documents(docs, w)
+
+
+# Epoch-allocation constants: a training-token budget of 3x the corpus
+# (forces genuine upsampling) and a hard repeat cap of 4 epochs per
+# language (the Gopher/LLaMA-style guard against cooking small
+# high-weight sources).
+_EPOCH_BUDGET_X = 3
+_EPOCH_CAP = 4
+
+
+@register(
+    "corpus_epoch_allocation",
+    f"""
+    WITH weights(lang, weight_permille) AS (
+      VALUES ('en', 500), ('fr', 150), ('es', 150), ('de', 100), ('zh', 100)
+    ), avail AS (
+      SELECT d.lang,
+             CAST(SUM(CASE WHEN trim(d.text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END)
+               AS BIGINT) AS avail_tokens
+      FROM documents d GROUP BY d.lang
+    ), budget AS (
+      SELECT SUM(avail_tokens) * {_EPOCH_BUDGET_X} AS total_budget FROM avail
+    ), alloc AS (
+      SELECT a.lang, a.avail_tokens, wt.weight_permille,
+             CAST(b.total_budget * wt.weight_permille // 1000 AS BIGINT)
+               AS target_tokens
+      FROM avail a JOIN weights wt ON wt.lang = a.lang, budget b
+    )
+    SELECT lang, avail_tokens, weight_permille, target_tokens,
+           CAST(least(target_tokens, avail_tokens * {_EPOCH_CAP}) AS BIGINT)
+             AS actual_tokens,
+           CAST(target_tokens
+                - least(target_tokens, avail_tokens * {_EPOCH_CAP})
+             AS BIGINT) AS shortfall_tokens,
+           CAST(least(target_tokens, avail_tokens * {_EPOCH_CAP}) * 1000
+                // avail_tokens AS BIGINT) AS epochs_milli
+    FROM alloc
+    """,
+    doc="Epoch allocation under a training-token budget — the "
+        "UPSAMPLING counterpart of corpus_mixture_plan (which only "
+        "plans rates <= 1): with a budget of 3x the corpus and target "
+        "language shares, each language's target tokens may exceed its "
+        "availability, so the allocator repeats data (epochs) up to a "
+        "hard 4-epoch cap and reports the capped actual tokens, the "
+        "unfillable shortfall, and the repeat factor in exact "
+        "milli-epochs (integer floor-div; no floats anywhere) — the "
+        "Gopher/LLaMA data-recipe step deciding how many times each "
+        "source is seen in training. Shape: one per-lang token "
+        "aggregate (partial-aggregatable), a 1-row budget broadcast, "
+        "and a 5-row broadcast weight join — KB-sized at any corpus",
+)
+def corpus_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.functions.text import token_count
+
+    weights = spark.createDataFrame(
+        [("en", 500), ("fr", 150), ("es", 150), ("de", 100), ("zh", 100)],
+        "lang string, weight_permille int",
+    )
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("avail_tokens")
+    )
+    budget = avail.agg(
+        (F.sum("avail_tokens") * _EPOCH_BUDGET_X).alias("total_budget")
+    )
+    alloc = (
+        avail.join(F.broadcast(weights), "lang")
+        .crossJoin(F.broadcast(budget))
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                "CAST(total_budget * weight_permille div 1000 AS BIGINT)"
+            ),
+        )
+    )
+    actual = F.least(
+        F.col("target_tokens"), F.col("avail_tokens") * _EPOCH_CAP
+    )
+    return alloc.select(
+        "lang",
+        "avail_tokens",
+        "weight_permille",
+        "target_tokens",
+        actual.cast("long").alias("actual_tokens"),
+        (F.col("target_tokens") - actual).cast("long").alias(
+            "shortfall_tokens"
+        ),
+        F.expr(
+            f"CAST(least(target_tokens, avail_tokens * {_EPOCH_CAP}) "
+            "* 1000 div avail_tokens AS BIGINT)"
+        ).alias("epochs_milli"),
+    )
