@@ -83,6 +83,15 @@ HEADLINE = [
     # new text-pipeline shape this round. (Round-over-round totals:
     # compare the shared cohort, as prior rounds did for r5 additions.)
     "dedup_paragraph_chunks",
+    # Round-11 additions: the total-order sorted-export assignment law
+    # (range bucketing + partitioned rank + NTILE arithmetic), the
+    # fastText-style classifier inference (hashed n-gram explode +
+    # broadcast weight join), and C4-style cross-document boilerplate
+    # removal (chunk explode + distinct-doc frequency + reassembly).
+    # (Round-over-round totals: compare the shared cohort, as before.)
+    "sorted_export_ntile_ranges",
+    "quality_classifier_inference",
+    "boilerplate_chunk_removal",
 ]
 
 
