@@ -2687,3 +2687,100 @@ def test_composed_window_class_is_not_vacuous(spark, li_view, o_view):
     assert multi_part >= len(COMPOSED_WIN_CASES) - 2, multi_part
     assert saw_join_null, "no join case produced a NULL partition key"
     assert saw_union_null, "no union case produced a NULL partition key"
+
+
+# ---------------------------------------------------------------------------
+# Composed-shape differential fuzzing #2: JOIN of two AGGREGATES
+# ---------------------------------------------------------------------------
+#
+# The second composition axis (round 11): two independently-grouped
+# subqueries joined on their (NULLABLE) group keys. Probes aggregate
+# pushdown / join-reordering interplay plus the NULL-key equi-join rule
+# (NULL groups exist on both sides after NULLIF keys, but = never
+# matches them — the composed shape must agree with DuckDB on exactly
+# which groups pair up) and join-type asymmetry (LEFT keeps the NULL
+# group from one side only).
+
+_JA_KEYS = [
+    "NULLIF(l_returnflag, 'R')",
+    "NULLIF(l_linestatus, 'O')",
+    "CASE WHEN l_quantity > 30 THEN l_returnflag END",
+    "NULLIF(CAST(l_suppkey % 5 AS BIGINT), 2)",
+]
+
+
+def _ja_aggs(rng: random.Random) -> str:
+    qty = "CAST(l_quantity AS BIGINT)"
+    cents = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    pool = [
+        "CAST(COUNT(*) AS BIGINT)",
+        f"CAST(SUM({qty}) AS BIGINT)",
+        f"MIN({qty})",
+        f"MAX({cents})",
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)",
+    ]
+    return rng.choice(pool)
+
+
+def _gen_join_aggs(n: int) -> list[tuple[str, str, str, str, str, str]]:
+    rng = random.Random(20260819)
+    out = []
+    for _ in range(n):
+        k = rng.choice(_JA_KEYS)
+        out.append(
+            (
+                k,
+                _pred(rng, 2),
+                _ja_aggs(rng),
+                _pred(rng, 2),
+                _ja_aggs(rng),
+                rng.choice(["JOIN", "LEFT JOIN"]),
+            )
+        )
+    return out
+
+
+JOIN_AGG_CASES = _gen_join_aggs(12)
+
+
+def _join_agg_sql(case: tuple[str, ...], t: str) -> str:
+    k, p1, a1, p2, a2, jt = case
+    # Both sides group by the SAME key expression over differently
+    # filtered inputs; the join is on the nullable key, so NULL groups
+    # never pair (SQL equality) — LEFT JOIN resurfaces the left NULL
+    # group with NULL right-side aggregates.
+    return (
+        f"WITH s1 AS (SELECT {k} AS k, {a1} AS v1 FROM {t} "
+        f"WHERE {p1} GROUP BY {k}), "
+        f"s2 AS (SELECT {k} AS k, {a2} AS v2 FROM {t} "
+        f"WHERE {p2} GROUP BY {k}) "
+        f"SELECT s1.k AS k, s1.v1, s2.v2 FROM s1 {jt} s2 ON s1.k = s2.k"
+    )
+
+
+@pytest.mark.parametrize("idx", range(len(JOIN_AGG_CASES)))
+def test_random_join_of_aggregates_matches_oracle(spark, duck, li_view, idx):
+    case = JOIN_AGG_CASES[idx]
+    sdf = spark.sql(_join_agg_sql(case, li_view))
+    compare(sdf, duck, _join_agg_sql(case, "lineitem"))
+
+
+def test_join_agg_class_is_not_vacuous(spark, li_view):
+    """(1) some case's grouped sides genuinely contain a NULL group,
+    (2) some LEFT JOIN case keeps an unmatched left group (NULL v2) —
+    the two semantics this composition exists to probe."""
+    saw_null_group = saw_unmatched = False
+    for case in JOIN_AGG_CASES:
+        k, p1, _a1, _p2, _a2, jt = case
+        has_null = spark.sql(
+            f"SELECT COUNT(*) AS n FROM (SELECT {k} AS k FROM {li_view} "
+            f"WHERE {p1}) WHERE k IS NULL"
+        ).collect()[0].n
+        if has_null:
+            saw_null_group = True
+        if jt == "LEFT JOIN":
+            rows = spark.sql(_join_agg_sql(case, li_view)).collect()
+            if any(r.v2 is None and r.v1 is not None for r in rows):
+                saw_unmatched = True
+    assert saw_null_group, "no case produced a NULL group"
+    assert saw_unmatched, "no LEFT JOIN case kept an unmatched left group"
