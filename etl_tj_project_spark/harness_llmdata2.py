@@ -1678,3 +1678,77 @@ def text_zipf_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("head_share"),
         )
     )
+
+
+# k-hop traversal bound: fixed depth makes the iterative-join unrolling
+# finite and the DuckDB WITH RECURSIVE twin depth-bounded.
+_KHOP_DEPTH = 3
+_KHOP_SEEDS = 20
+_KHOP_MOD = 997
+
+
+@register(
+    "khop_reachability",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT o_custkey AS src, o_orderkey % {_KHOP_MOD} + 1 AS dst
+      FROM orders
+    ),
+    walk(seed, node, depth) AS (
+      SELECT c_custkey, c_custkey, 0
+      FROM customer WHERE c_custkey <= {_KHOP_SEEDS}
+      UNION
+      SELECT w.seed, e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.depth < {_KHOP_DEPTH}
+    )
+    SELECT CAST(seed AS BIGINT) AS seed,
+           CAST(COUNT(DISTINCT node) AS BIGINT) AS n_reachable,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM walk GROUP BY seed
+    """,
+    doc="Bounded k-hop reachability — the recursive-CTE shape of the "
+        "implied ANSI surface (graph feature engineering: 'everything "
+        "within 3 hops of these accounts'). Spark has no WITH "
+        "RECURSIVE; the depth-bounded traversal unrolls into k "
+        "frontier-join iterations (the BSP/Pregel superstep as plain "
+        "DataFrame joins): frontier JOIN edges -> next frontier, "
+        "distinct per hop so path multiplicity never amplifies rows, "
+        "union into the reached set. Hash-checked against DuckDB's "
+        "WITH RECURSIVE twin over the same deterministic edge relation "
+        "(custkey -> orderkey mod {mod}+1 — synthetic fan, identical "
+        "on both engines; dead-end sinks are legal BFS targets). "
+        "Scale shape: each hop is one equi-join on the node id + one "
+        "distinct — per-hop shuffles of FRONTIER-sized id pairs, never "
+        "paths; the fixed depth bounds the plan (at production depth, "
+        "checkpoint per hop to cut lineage — same regime as the "
+        "pointer-doubling CC in operators/dedup.py, which covers the "
+        "UNBOUNDED closure case)".format(mod=_KHOP_MOD),
+)
+def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("o_orderkey") % _KHOP_MOD + 1).cast("long").alias("dst"),
+    ).distinct()
+    seeds = c.filter(F.col("c_custkey") <= _KHOP_SEEDS).select(
+        F.col("c_custkey").cast("long").alias("seed"),
+        F.col("c_custkey").cast("long").alias("node"),
+    )
+    reached = seeds
+    frontier = seeds
+    for _ in range(_KHOP_DEPTH):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        reached = reached.union(nxt).distinct()
+        frontier = nxt
+    return reached.groupBy("seed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reachable"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
