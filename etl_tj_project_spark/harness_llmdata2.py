@@ -1752,3 +1752,108 @@ def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+_NEG_K = 4          # negatives per anchor
+_NEG_ANCHORS = 100  # bounded anchor set for the gate
+
+
+@register(
+    "contrastive_negative_sampling",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    anchors AS (
+      SELECT vec_id AS anchor, label AS a_label
+      FROM embeddings WHERE vec_id < {_NEG_ANCHORS}
+    ),
+    slots AS (
+      SELECT anchor, a_label, CAST(i AS BIGINT) AS slot, n.n_vecs,
+             CAST(('0x' || substr(md5(CAST(anchor AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR)), 1, 8))
+                  AS BIGINT) % n.n_vecs AS raw
+      FROM anchors, unnest([0, 1, 2, 3]) AS t(i), n
+    ),
+    fixed AS (
+      SELECT anchor, a_label, slot,
+             CASE WHEN raw = anchor THEN (raw + 1) % n_vecs
+                  ELSE raw END AS neg_id
+      FROM slots
+    )
+    SELECT f.anchor, f.slot, f.neg_id,
+           CAST(f.a_label AS BIGINT) AS a_label,
+           CAST(e.label AS BIGINT) AS neg_label,
+           (f.a_label = e.label) AS label_collision
+    FROM fixed f JOIN embeddings e ON e.vec_id = f.neg_id
+    """,
+    doc="Deterministic negative sampling for contrastive/embedding "
+        "training: k=4 negatives per anchor drawn by the portable md5 "
+        "hash over (anchor, slot) mod corpus size — reproducible "
+        "RNG-free sampling (the repo-wide salted-hash idiom, so resumed "
+        "or re-run jobs draw the SAME negatives), with the "
+        "anchor-collision remapped deterministically and each "
+        "negative's label joined back to flag label collisions (the "
+        "false-negative audit every contrastive pipeline wants on its "
+        "sampler). Shape: anchors x k is a pure projection + 4-element "
+        "explode; corpus size is a 1-row broadcast; the only real work "
+        "is the id-equi-join fetching negative metadata — at 100 TB "
+        "that join is shuffle-on-id or broadcast when the id->label "
+        "map is dim-sized. Anchor bound keeps the gate output fixed; "
+        "the operator itself is corpus-wide",
+)
+def contrastive_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    anchors = e.filter(F.col("vec_id") < _NEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor"), F.col("label").alias("a_label")
+    )
+    slots = (
+        anchors.select(
+            "anchor",
+            "a_label",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(_NEG_K - 1).cast("long"))
+            ).alias("slot"),
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "raw",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("anchor").cast("string"),
+                            F.lit(":"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n_vecs"),
+        )
+    )
+    fixed = slots.select(
+        "anchor",
+        "a_label",
+        "slot",
+        F.when(
+            F.col("raw") == F.col("anchor"),
+            (F.col("raw") + 1) % F.col("n_vecs"),
+        )
+        .otherwise(F.col("raw"))
+        .alias("neg_id"),
+    )
+    negs = e.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return fixed.join(negs, "neg_id").select(
+        "anchor",
+        "slot",
+        "neg_id",
+        F.col("a_label").cast("long").alias("a_label"),
+        F.col("neg_label").cast("long").alias("neg_label"),
+        (F.col("a_label") == F.col("neg_label")).alias("label_collision"),
+    )

@@ -97,3 +97,43 @@ def test_inference_plan_is_single_agg_with_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_streaming_inference_matches_batch(spark, tmp_path):
+    """The classifier is a streaming-safe plan: hashed-feature explode +
+    stream-static broadcast weight join + per-doc aggregation runs as a
+    REAL Structured Streaming query (file source, availableNow, memory
+    sink, complete mode) and must equal the batch scores row-for-row —
+    the shape an online ingest pipeline uses to score documents as they
+    land."""
+    from etl_tj_project_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "docs")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.coalesce(1).write.parquet(src)
+
+    w = clf.weight_table(spark, _CLF_WEIGHTS)
+    stream_docs = (
+        spark.readStream.format("parquet").schema(docs.schema).load(src)
+    )
+    q = (
+        clf.score_documents(stream_docs, w)
+        .writeStream.format("memory")
+        .queryName("clf_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {
+        r.doc_id: (r.n_feats, r.score_sum, r.quality)
+        for r in spark.table("clf_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.n_feats, r.score_sum, r.quality)
+        for r in clf.score_documents(docs, w).collect()
+    }
+    assert got == want
