@@ -602,50 +602,11 @@ _BOILERPLATE_MIN_DOCS = 3
         "doc_id shuffle. Text never rides a shuffle KEY",
 )
 def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators.corpus import boilerplate_chunk_stats
+
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(ws) / F.lit(12.0)).cast("int")
-    chunks = d.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(ws, i * 12 + 1, 12), " "),
-            )
-        ).alias("chunk_idx", "chunk_text"),
-    ).select(
-        "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        "chunk_text",
-        F.md5(F.col("chunk_text").cast("binary")).alias("k"),
-    )
-    freq = (
-        chunks.groupBy("k")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") < _BOILERPLATE_MIN_DOCS)
-        .select(F.col("k").alias("fk"))
-    )
-    kept = chunks.join(freq, chunks["k"] == freq["fk"]).select(
-        "doc_id", "chunk_idx", "chunk_text"
-    )
-    kept_agg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept_"),
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
-                ),
-                lambda s: s["chunk_text"],
-            ),
-            " ",
-        ).alias("kept_text"),
-    )
-    counts = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
-    return counts.join(kept_agg, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce(F.col("n_kept_"), F.lit(0)).cast("long").alias("n_kept"),
-        "kept_text",
+    return boilerplate_chunk_stats(
+        d, chunk_words=12, min_docs=_BOILERPLATE_MIN_DOCS
     )
 
 

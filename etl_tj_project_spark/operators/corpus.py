@@ -81,3 +81,104 @@ def prepare_corpus(
     return drop_near_duplicates(
         out, id_col, text_col, threshold=near_dup_threshold
     )
+
+
+def boilerplate_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 12,
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style cross-document frequency boilerplate removal, as stats:
+    per document, (n_chunks, n_kept, kept_text) where any
+    ``chunk_words``-word chunk appearing in >= ``min_docs`` DISTINCT
+    documents is dropped from every document and the survivors are
+    re-joined in order. Shuffles carry md5 hashes + ids; text rides
+    only as the kept-chunk payload (single source of truth for the
+    ``boilerplate_chunk_removal`` registry entry and the corpus
+    pipeline's optional boilerplate stage)."""
+    ws = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(chunk_words))).cast("int")
+    chunks = df.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(ws, i * chunk_words + 1, chunk_words), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.md5(F.col("chunk_text").cast("binary")).alias("k"),
+    )
+    freq = (
+        chunks.groupBy("k")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") < min_docs)
+        .select(F.col("k").alias("fk"))
+    )
+    kept = chunks.join(freq, chunks["k"] == freq["fk"]).select(
+        id_col, "chunk_idx", "chunk_text"
+    )
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept_"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    counts = chunks.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return counts.join(kept_agg, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce(F.col("n_kept_"), F.lit(0)).cast("long").alias("n_kept"),
+        "kept_text",
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 12,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Rewrite ``text_col`` with boilerplate chunks removed; documents
+    whose every chunk was boilerplate are DROPPED (nothing left to
+    train on)."""
+    stats = boilerplate_chunk_stats(
+        df, id_col, text_col, chunk_words, min_docs
+    ).filter(F.col("n_kept") > 0)
+    return (
+        df.drop(text_col)
+        .join(stats.select(id_col, "kept_text"), id_col)
+        .withColumnRenamed("kept_text", text_col)
+    )
+
+
+def classifier_quality_filter(
+    df: DataFrame,
+    word_weights: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based document filter: keep documents the fastText-style
+    linear scorer (operators/classifier.py) labels quality=true. Runs
+    AFTER the rule-based quality_filter in the pipeline — the standard
+    two-stage curation (cheap rules first, model second)."""
+    from etl_tj_project_spark.operators import classifier as clf
+
+    w = clf.weight_table(df.sparkSession, word_weights)
+    scored = clf.score_documents(df, w, id_col=id_col, text_col=text_col)
+    keep = scored.filter(F.col("quality")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -1,6 +1,7 @@
-"""End-to-end training-corpus build: ingest → quality/language filter →
-exact + near dedup → PII redaction → deterministic split assignment →
-atomic multi-table manifest commit.
+"""End-to-end training-corpus build: ingest → [boilerplate removal] →
+quality/language filter → exact + near dedup → [model-based classifier
+filter] → PII redaction → deterministic split assignment → atomic
+multi-table manifest commit (bracketed stages are opt-in, round 11).
 
 One function composes the engine's curation operators into the pipeline
 a training-data team actually runs, publishing THREE tables in one
@@ -38,6 +39,8 @@ def build_training_corpus(
     near_dup_threshold: float = 0.8,
     train_frac_hex: str = "cc",  # md5-prefix split bounds: 00..cb train
     val_hi_hex: str = "e6",  # cc..e5 val, e6..ff test (~80/10/10)
+    boilerplate_min_docs: int | None = None,
+    classifier_weights: list[tuple[str, int]] | None = None,
 ) -> dict:
     """Build and PUBLISH a training corpus snapshot; returns stage
     counts (small driver-side dict).
@@ -58,14 +61,51 @@ def build_training_corpus(
     # Input count via the Observation API: the metric is collected
     # DURING the publication job's scan below — at 100 TB an extra
     # count() here would be a second full pass over the ingest.
-    obs_in = Observation("corpus_input")
-    clean = clean.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    clean_raw = clean
+    # Input count via the Observation API — EXCEPT when an opt-in stage
+    # is enabled: both opt-in stages self-join the ingest frame without
+    # a persist boundary, and an Observation node reached through both
+    # sides of an unpersisted self-join fails metric collection. There
+    # the count is one explicit narrow scan (the documented cost of the
+    # opt-in stages; at 100 TB observe on the pipeline spine instead).
+    use_observe = boilerplate_min_docs is None and classifier_weights is None
+    obs_in = Observation("corpus_input") if use_observe else None
+    if use_observe:
+        clean = clean.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    # Optional C4-style boilerplate removal BEFORE dedup (C4's order:
+    # template text must vanish before fingerprints are computed, or
+    # every page sharing a header near-dups every other page). The
+    # chunk-frequency side of the self-join is built from the
+    # UN-observed frame: an Observation node appearing on both sides of
+    # a self-join fails metric collection (and would double-count).
+    if boilerplate_min_docs is not None:
+        from etl_tj_project_spark.operators.corpus import (
+            boilerplate_chunk_stats,
+        )
+
+        stats = boilerplate_chunk_stats(
+            clean_raw, min_docs=boilerplate_min_docs
+        ).filter(F.col("n_kept") > 0)
+        clean = (
+            clean.drop("text")
+            .join(stats.select("doc_id", "kept_text"), "doc_id")
+            .withColumnRenamed("kept_text", "text")
+        )
     curated = prepare_corpus(
         clean,
         th=thresholds,
         languages=languages,
         near_dup_threshold=near_dup_threshold,
     )
+    # Optional model-based filter AFTER the rule-based one and after
+    # dedup (the two-stage curation: cheap rules first, model second;
+    # post-dedup so the model scores each surviving doc exactly once).
+    if classifier_weights is not None:
+        from etl_tj_project_spark.operators.corpus import (
+            classifier_quality_filter,
+        )
+
+        curated = classifier_quality_filter(curated, classifier_weights)
     # PII redaction AFTER dedup (dedup must see original bytes so
     # fingerprints match across copies; redaction must not create
     # artificial near-dups).
@@ -98,7 +138,11 @@ def build_training_corpus(
         if quarantine is not None
         else 0
     )
-    n_in = int(obs_in.get["n"])
+    n_in = (
+        int(obs_in.get["n"])
+        if use_observe
+        else clean_raw.select("doc_id").count()
+    )
     return {
         "version": version,
         "n_input": n_in,

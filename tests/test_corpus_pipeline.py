@@ -85,3 +85,57 @@ def test_pipeline_split_is_deterministic_and_versioned(
     # time travel still serves v1
     v1 = manifest.read_table(spark, root, "corpus", version=1)
     assert v1.count() == len(first)
+
+
+def test_pipeline_with_boilerplate_and_classifier_stages(spark, tmp_path):
+    """Round-11 opt-in stages, end-to-end with planted inputs: (1) a
+    header chunk shared by many docs must be stripped from every
+    published text (boilerplate removal runs BEFORE dedup, so the
+    shared header must also not glue distinct docs into near-dups);
+    (2) a junk doc that passes the RULE-based filters must be dropped
+    by the MODEL-based classifier stage."""
+    from etl_tj_project_spark.harness_llmdata import _CLF_WEIGHTS
+
+    header = (
+        "shared banner chunk repeated on every page of this site "
+        "navigation home about contact login"  # 15 words: chunk 0 of
+        # every doc is the identical first 12 — the boilerplate unit
+    )
+    topics = ["ingestion", "compaction", "lineage", "watermarks"]
+    bodies = [
+        # Distinct bodies (near-dup must NOT collapse them), each with
+        # en lang-ID markers ('the', 'of', 'and') and positive
+        # classifier mass (spark/data/query/...).
+        f"the spark data query of stream and window merge sort hash "
+        f"column group agg vector notes on {t} covering {t} details "
+        f"and more {t} specific content words here for {t}"
+        for t in topics
+    ]
+    junk = (
+        "a a the the slow slow small big row line a the slow small big "
+        "row line a the slow"
+    )
+    rows = [(i, header + " " + bodies[i], "en", "srcA") for i in range(4)]
+    rows.append((10, junk, "en", "srcB"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    root = str(tmp_path / "published")
+    stats = build_training_corpus(
+        spark,
+        docs,
+        root,
+        boilerplate_min_docs=3,
+        classifier_weights=_CLF_WEIGHTS,
+        thresholds=None,
+    )
+    corpus = manifest.read_table(spark, root, "corpus")
+    texts = [r.text for r in corpus.collect()]
+    # (1) the shared header chunk is gone from every published doc...
+    assert texts and all("shared banner chunk" not in t for t in texts)
+    # ...while each doc's unique body survived.
+    assert all("content words here" in t for t in texts)
+    # (2) the junk doc was dropped by the classifier stage (it passes
+    # rule-based thresholds: long enough, alpha-heavy, 'en').
+    assert all("slow slow" not in t for t in texts)
+    assert stats["n_published"] == len(texts) == 4
