@@ -970,3 +970,97 @@ def corpus_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 1000 div avail_tokens AS BIGINT)"
         ).alias("epochs_milli"),
     )
+
+
+# Per-language keep quotas for the quality-ranked sample (a mixture
+# plan's output, pinned as literals so the entry is self-contained).
+_QUOTA_VALUES = "('en', 40), ('fr', 15), ('es', 15), ('de', 10), ('zh', 10)"
+_QUOTAS = [("en", 40), ("fr", 15), ("es", 15), ("de", 10), ("zh", 10)]
+
+
+@register(
+    "quality_ranked_quota_sample",
+    f"""
+    WITH w(word, wt) AS (VALUES {_CLF_VALUES}),
+    wb AS (
+      SELECT {_clf.md5_bucket_sql('word')} AS bucket, SUM(wt) AS wt
+      FROM w GROUP BY 1
+    ),
+    t AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END
+               AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             unnest(list_concat(
+               toks,
+               CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+               END)) AS feat
+      FROM t
+    ),
+    s AS (
+      SELECT f.doc_id,
+             CAST(COALESCE(SUM(wb.wt), 0) AS BIGINT) AS score_sum
+      FROM f LEFT JOIN wb ON wb.bucket = {_clf.md5_bucket_sql('f.feat')}
+      GROUP BY f.doc_id
+    ),
+    ranked AS (
+      SELECT t.lang, t.doc_id, COALESCE(s.score_sum, 0) AS score_sum,
+             row_number() OVER (PARTITION BY t.lang
+                                ORDER BY COALESCE(s.score_sum, 0) DESC,
+                                         t.doc_id) AS rn
+      FROM t LEFT JOIN s USING (doc_id)
+    ),
+    q(lang, quota) AS (VALUES {_QUOTA_VALUES})
+    SELECT r.lang, CAST(r.rn AS BIGINT) AS rn, r.doc_id,
+           CAST(r.score_sum AS BIGINT) AS score_sum
+    FROM ranked r JOIN q ON q.lang = r.lang
+    WHERE r.rn <= q.quota
+    """,
+    doc="Quality-ranked quota sampling — the curriculum/selection step "
+        "composing two r11 operators: every document is scored by the "
+        "linear classifier (exact BIGINT dot product), ranked WITHIN "
+        "its language by (score DESC, doc_id) — the deterministic "
+        "tiebreak makes the selected SET reproducible — and the top "
+        "quota_l per language is kept (quotas = a mixture plan's "
+        "output, broadcast). This is 'take the best N tokens per "
+        "source' from the LLaMA/phi-style data recipes, as one query. "
+        "Scale shape: scoring is the classifier's single aggregation "
+        "shuffle; ranking is a per-language window over (lang, "
+        "doc_id, score) triples — id-sized rows, and the quota bound "
+        "means rank() could early-stop via TopK per group at 100 TB "
+        "(w1_topk_per_group pins that plan); quotas broadcast",
+)
+def quality_ranked_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _clf.weight_table(spark, _CLF_WEIGHTS)
+    scored = _clf.score_documents(docs, w).select("doc_id", "score_sum")
+    quotas = spark.createDataFrame(_QUOTAS, "lang string, quota int")
+    ranked = (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .withColumn("score_sum", F.coalesce(F.col("score_sum"), F.lit(0)))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("score_sum").desc(), "doc_id"
+                )
+            ),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select(
+            "lang",
+            F.col("rn").cast("long").alias("rn"),
+            "doc_id",
+            F.col("score_sum").cast("long").alias("score_sum"),
+        )
+    )
