@@ -1064,3 +1064,71 @@ def quality_ranked_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score_sum").cast("long").alias("score_sum"),
         )
     )
+
+
+_DUP_CURVE_NS = (5, 8, 13)
+
+
+@register(
+    "ngram_dup_rate_curve",
+    f"""
+    WITH t AS (
+      SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END
+               AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT n.n,
+             unnest(CASE WHEN len(toks) < n.n THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(toks) - n.n + 2),
+                         i -> array_to_string(toks[i : i + n.n - 1], ' '))
+                    END) AS gram
+      FROM t, unnest([{', '.join(str(n) for n in _DUP_CURVE_NS)}]) AS n(n)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT md5(gram)) AS BIGINT) AS distinct_ngrams,
+           CAST((COUNT(*) - COUNT(DISTINCT md5(gram))) * 1000 // COUNT(*)
+             AS BIGINT) AS dup_rate_milli
+    FROM g GROUP BY n
+    """,
+    doc="n-gram duplication-rate curve: corpus-wide total vs distinct "
+        "n-gram counts at n = 5, 8, 13 — the measurement that TUNES the "
+        "span-dedup / decontamination n (too small = false positives "
+        "on common phrases, too large = misses; the curve's knee is "
+        "the answer; 13 is the Gopher/GPT-3 convention the "
+        "decontaminate_13gram entry uses). One staged tokenization, "
+        "one explode over (n, gram), one aggregate; distinct counting "
+        "runs on md5(gram) so the shuffle carries 32-char hashes, not "
+        "text — at 100 TB swap COUNT(DISTINCT) for HLL "
+        "(approx_count_distinct) per the documented sketch policy. "
+        "Exact integer rate (milli) — no floats",
+)
+def ngram_dup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.when(
+        F.trim("text") == "", F.array()
+    ).otherwise(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    staged = docs.select(toks.alias("toks"))
+    ns = ", ".join(str(n) for n in _DUP_CURVE_NS)
+    grams = staged.select(
+        F.explode(F.expr(f"array({ns})")).alias("n"), "toks"
+    ).select(
+        "n",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < n THEN array() "
+                "ELSE transform(sequence(0, size(toks) - n), "
+                "i -> array_join(slice(toks, i + 1, n), ' ')) END"
+            )
+        ).alias("gram"),
+    )
+    total, dist = F.count(F.lit(1)), F.countDistinct(F.md5("gram"))
+    return grams.groupBy(F.col("n").cast("long").alias("n")).agg(
+        total.cast("long").alias("total_ngrams"),
+        dist.cast("long").alias("distinct_ngrams"),
+        F.floor((total - dist) * 1000 / total).cast("long").alias(
+            "dup_rate_milli"
+        ),
+    )
