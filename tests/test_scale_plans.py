@@ -1207,3 +1207,74 @@ def test_export_sorted_file_ranges_monotonic_and_content_exact(
     a = sorted(map(tuple, li.collect()))
     b = sorted(map(tuple, back.select(*li.columns).collect()))
     assert a == b
+
+
+def test_merge_sorted_export_rewrites_only_touched_ranges(spark, tmp_path):
+    """io.merge_sorted_export: folding a delta into a sorted export must
+    (a) produce content EXACTLY equal to a full re-sort of base+delta,
+    (b) keep per-file ranges monotonic in file-name order, (c) rewrite
+    ONLY the files whose key range the delta touches — untouched files
+    come through as byte-identical copies (the merge-on-write pruning
+    that makes sorted-table maintenance O(delta), not O(table))."""
+    import hashlib
+    import os
+
+    from etl_tj_project_spark.io import export_sorted, merge_sorted_export
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    keys = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    base_dir = str(tmp_path / "base")
+    out_dir = str(tmp_path / "merged")
+    export_sorted(li, base_dir, keys, num_files=8)
+
+    # Delta: rows landing inside a NARROW key band (plus one beyond the
+    # global max) — most files' ranges must be untouched.
+    mid = li.orderBy(*keys).limit(200).orderBy(*[F.col(k).desc() for k in keys]).limit(1).collect()[0]
+    from datetime import datetime
+
+    delta = spark.createDataFrame(
+        [(mid.l_shipdate, mid.l_orderkey, 90 + i, float(i)) for i in range(5)]
+        + [(datetime(2099, 12, 31), 999999999, 1, 1.0)],
+        li.schema,
+    )
+    stats = merge_sorted_export(spark, base_dir, delta, keys, out_dir)
+    assert stats["files_total"] == stats["files_rewritten"] + stats["files_copied"]
+    # The narrow delta touches the first range and the last (overflow
+    # key) — at most 3 of 8 files rewritten, the rest copied.
+    assert stats["files_rewritten"] <= 3, stats
+    assert stats["files_copied"] >= 5, stats
+
+    # (a) content equality vs full re-sort (multiset of full rows).
+    want = sorted(map(tuple, li.unionByName(delta).collect()))
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    assert got == want
+
+    # (b) monotonic non-overlapping ranges in file-name order.
+    tup = F.struct(*keys)
+    per_file = (
+        spark.read.parquet(out_dir)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(tup).alias("lo"), F.max(tup).alias("hi"))
+        .orderBy("f")
+        .collect()
+    )
+    for prev, nxt in zip(per_file, per_file[1:]):
+        assert tuple(prev.hi) <= tuple(nxt.lo), (prev.hi, nxt.lo)
+
+    # (c) copied files byte-identical to their source counterparts.
+    def md5s(d):
+        out = {}
+        for p in sorted(os.listdir(d)):
+            if p.endswith(".parquet"):
+                with open(os.path.join(d, p), "rb") as fh:
+                    out[p] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    src_by_idx = list(md5s(base_dir).values())
+    merged = md5s(out_dir)
+    identical = sum(
+        1 for i, p in enumerate(sorted(merged)) if merged[p] == src_by_idx[i]
+    )
+    assert identical == stats["files_copied"], (identical, stats)
