@@ -75,6 +75,28 @@ def main(argv: list[str] | None = None) -> int:
     p_bf.add_argument("--data-dir", required=True)
     p_bf.add_argument("--warehouse", required=True)
 
+    p_c = sub.add_parser(
+        "build-corpus",
+        help="curate JSONL document shards into a published training "
+        "corpus snapshot (plans/corpus_pipeline)",
+    )
+    p_c.add_argument("--input", required=True, help="JSONL shard dir")
+    p_c.add_argument("--out", required=True, help="manifest root to publish")
+    p_c.add_argument(
+        "--languages", default="en", help="comma-separated allowlist"
+    )
+    p_c.add_argument(
+        "--boilerplate-min-docs",
+        type=int,
+        default=None,
+        help="enable C4-style boilerplate removal at this threshold",
+    )
+    p_c.add_argument(
+        "--classifier",
+        action="store_true",
+        help="enable the model-based quality filter (shipped weights)",
+    )
+
     p_q = sub.add_parser(
         "query", help="run a registered query by name (see `query --list`)"
     )
@@ -126,6 +148,26 @@ def main(argv: list[str] | None = None) -> int:
                 df.explain("formatted")
             df.show(args.show, truncate=40)
             print(f"{args.name}: {df.count()} rows")
+        elif args.cmd == "build-corpus":
+            from etl_tj_project_spark.plans.corpus_pipeline import (
+                build_training_corpus,
+            )
+
+            weights = None
+            if args.classifier:
+                from etl_tj_project_spark.harness_llmdata import _CLF_WEIGHTS
+
+                weights = _CLF_WEIGHTS
+            stats = build_training_corpus(
+                spark,
+                args.input,
+                args.out,
+                languages=tuple(args.languages.split(",")),
+                boilerplate_min_docs=args.boilerplate_min_docs,
+                classifier_weights=weights,
+            )
+            for k, v in stats.items():
+                print(f"{k}: {v}")
         return 0
     finally:
         spark.stop()

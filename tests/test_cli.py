@@ -72,3 +72,32 @@ def test_cli_query_list_and_run(monkeypatch, spark, capsys):
     assert "a4_count_probe:" in out
 
     assert _run(monkeypatch, spark, ["query", "nope_not_a_query"]) == 2
+
+
+def test_cli_build_corpus(monkeypatch, spark, tmp_path, capsys):
+    """build-corpus: JSONL shards -> published snapshot via the CLI,
+    with the round-11 opt-in stages switched on."""
+    from etl_tj_project_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    shards = str(tmp_path / "shards")
+    load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).coalesce(1).write.json(shards)
+    root = str(tmp_path / "published")
+    assert _run(monkeypatch, spark, [
+        "build-corpus", "--input", shards, "--out", root,
+        "--languages", "en", "--boilerplate-min-docs", "3",
+        "--classifier",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "n_published:" in out and "version: 1" in out
+
+    from etl_tj_project_spark import manifest
+
+    corpus = manifest.read_table(spark, root, "corpus")
+    n = corpus.count()
+    assert 0 < n < 500
+    assert set(corpus.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
