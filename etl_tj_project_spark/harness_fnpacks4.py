@@ -1540,3 +1540,71 @@ def union_by_name_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
     return current.unionByName(legacy, allowMissingColumns=True).select(
         "o_orderkey", "o_totalprice", "o_orderpriority", "src"
     )
+
+
+@register(
+    "timezone_dst_pack",
+    """
+    WITH m AS (
+      SELECT event_id, ts + INTERVAL 66 DAY AS mts
+      FROM events WHERE event_id < 2000
+    ),
+    conv AS (
+      SELECT event_id, mts,
+             timezone('America/New_York', CAST(mts AS TIMESTAMPTZ))
+               AS ny_local,
+             timezone('Asia/Kolkata', CAST(mts AS TIMESTAMPTZ))
+               AS kolkata_local
+      FROM m
+    )
+    SELECT event_id, mts, ny_local,
+           CAST(date_diff('minute', mts, ny_local) AS BIGINT)
+             AS ny_offset_min,
+           kolkata_local,
+           CAST(date_diff('minute', mts, kolkata_local) AS BIGINT)
+             AS kolkata_offset_min,
+           (timezone('America/New_York', ny_local) = CAST(mts AS TIMESTAMPTZ))
+             AS ny_roundtrip_ok
+    FROM conv
+    """,
+    doc="Timezone conversion across a DST transition — the warehouse "
+        "hazard every daily-local-report query hits twice a year: "
+        "event timestamps shifted +66 days straddle the 2024-03-10 US "
+        "spring-forward, converted UTC->America/New_York (offset "
+        "flips -300 -> -240 minutes mid-dataset) and UTC->Asia/Kolkata "
+        "(the +330 FRACTIONAL-hour offset that breaks hour-granular "
+        "assumptions). Offsets are exact integer minutes; the "
+        "local->UTC round-trip flag must be TRUE everywhere here "
+        "(UTC->local is total; only fall-back-ambiguous local times "
+        "can break the round-trip, pinned out of range). Cross-engine "
+        "value: Spark's JSR-310 tz rules vs DuckDB's ICU must agree "
+        "on every row or the hash fails — the entry is the canary for "
+        "tz-database skew between engines. Pure row-local expressions; "
+        "event_id < 2000 bounds gate output, not semantics",
+)
+def timezone_dst_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    mts = F.col("ts") + F.expr("INTERVAL 66 DAYS")
+    m = ev.select("event_id", mts.alias("mts"))
+    conv = m.select(
+        "event_id",
+        "mts",
+        F.from_utc_timestamp("mts", "America/New_York").alias("ny_local"),
+        F.from_utc_timestamp("mts", "Asia/Kolkata").alias("kolkata_local"),
+    )
+    def mins(a, b):
+        return (
+            (F.unix_timestamp(a) - F.unix_timestamp(b)) / 60
+        ).cast("long")
+    return conv.select(
+        "event_id",
+        "mts",
+        "ny_local",
+        mins("ny_local", "mts").alias("ny_offset_min"),
+        "kolkata_local",
+        mins("kolkata_local", "mts").alias("kolkata_offset_min"),
+        (
+            F.to_utc_timestamp("ny_local", "America/New_York")
+            == F.col("mts")
+        ).alias("ny_roundtrip_ok"),
+    )
