@@ -244,6 +244,74 @@ def export_sorted(
     )
 
 
+def delete_where_partitioned(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partition_col: str = "tanggal",
+) -> dict:
+    """Partition-pruned DELETE on a Hive-partitioned parquet table —
+    the GDPR/right-to-be-forgotten primitive: remove every row matching
+    ``predicate`` (a Column) while REWRITING ONLY the partitions that
+    contain matches. Untouched day-partitions are never read for the
+    write and never rewritten (at 100 TB with ~36,500 day-partitions, a
+    user's rows live in a handful of days — the rewrite is O(affected
+    days), not O(table)).
+
+    Mechanics: (1) one pruned scan finds the affected partition values
+    (bounded collect: one row per affected partition); (2) surviving
+    rows of ONLY those partitions are rewritten via dynamic partition
+    overwrite (session.tune pins partitionOverwriteMode=dynamic);
+    (3) partitions whose every row matched are left EMPTY by dynamic
+    overwrite (no batch row → untouched), so their directories are
+    removed explicitly — the classic dynamic-overwrite delete gap.
+    Invariants (content, untouched-file byte-identity, empty-partition
+    removal) pinned in tests/test_scale_plans.py."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    affected = [
+        r[0]
+        for r in df.filter(predicate)
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return {"partitions_rewritten": 0, "partitions_removed": 0}
+    survivors = df.filter(
+        F.col(partition_col).isin(affected) & ~predicate
+    )
+    kept_parts = {
+        r[0] for r in survivors.select(partition_col).distinct().collect()
+    }
+    # Dynamic overwrite is LOAD-BEARING here: in the default (static)
+    # mode this write would truncate every other partition of the
+    # table. Pin it for this write and restore, so the function is
+    # safe on a vanilla session, not only after session.tune.
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)
+    removed = 0
+    for v in affected:
+        if v in kept_parts:
+            continue
+        d = os.path.join(path, f"{partition_col}={v}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed += 1
+    return {
+        "partitions_rewritten": len(kept_parts),
+        "partitions_removed": removed,
+    }
+
+
 def merge_sorted_export(
     spark: SparkSession,
     src_dir: str,

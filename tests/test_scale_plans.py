@@ -1278,3 +1278,76 @@ def test_merge_sorted_export_rewrites_only_touched_ranges(spark, tmp_path):
         1 for i, p in enumerate(sorted(merged)) if merged[p] == src_by_idx[i]
     )
     assert identical == stats["files_copied"], (identical, stats)
+
+
+def test_delete_where_partitioned_rewrites_only_affected_days(
+    spark, tmp_path
+):
+    """io.delete_where_partitioned (GDPR delete): (a) matching rows are
+    gone and everything else survives exactly; (b) day-partitions with
+    no matches are untouched on disk (byte-identical files); (c) a day
+    whose EVERY row matched has its directory removed (the dynamic-
+    overwrite delete gap, handled explicitly)."""
+    import hashlib
+    import os
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    ev.repartition(1).write.partitionBy("event_date").parquet(out)
+    days = sorted(
+        r[0] for r in ev.select("event_date").distinct().collect()
+    )
+    kill_day = days[2]  # fully deleted
+    kill_user = ev.filter(F.col("event_date") == days[0]).select(
+        "user_id"
+    ).first()[0]  # partially deletes a few other days
+
+    def file_md5s():
+        out_map = {}
+        for root, _dirs, files in os.walk(out):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out_map[os.path.relpath(p, out)] = hashlib.md5(
+                            fh.read()
+                        ).hexdigest()
+        return out_map
+
+    before = file_md5s()
+    pred = (F.col("event_date") == F.lit(str(kill_day)).cast("date")) | (
+        F.col("user_id") == kill_user
+    )
+    want = sorted(map(tuple, ev.filter(~pred).collect()))
+    from etl_tj_project_spark.io import delete_where_partitioned
+
+    stats = delete_where_partitioned(
+        spark, out, pred, partition_col="event_date"
+    )
+    # (a) content: survivors only, exactly.
+    back = spark.read.parquet(out).select(*ev.columns)
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+
+    # (c) fully-deleted day directory removed.
+    assert not os.path.isdir(
+        os.path.join(out, f"event_date={kill_day}")
+    )
+    assert stats["partitions_removed"] >= 1
+
+    # (b) untouched days byte-identical; affected days changed.
+    after = file_md5s()
+    affected_days = {
+        str(r[0])
+        for r in ev.filter(pred).select("event_date").distinct().collect()
+    }
+    untouched = 0
+    for rel, h in after.items():
+        day = rel.split("/")[0].split("=", 1)[1]
+        if day not in affected_days:
+            assert before.get(rel) == h, rel
+            untouched += 1
+    assert untouched > 0
+    assert stats["partitions_rewritten"] == len(affected_days) - 1
