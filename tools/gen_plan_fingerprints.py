@@ -1,0 +1,77 @@
+"""Regenerate tools/plan_fingerprints.json — the committed plan-shape
+baseline for every bench HEADLINE query (see
+tests/test_plan_fingerprints.py). Run after an INTENTIONAL plan change:
+
+    python tools/gen_plan_fingerprints.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "plan_fingerprints.json")
+
+_NODE = re.compile(r"^[\s:+*-]*([A-Za-z][A-Za-z0-9_]*)")
+
+
+def fingerprint(plan: str) -> list[str]:
+    """Node-name sequence of a physical plan string: invariant to
+    expression ids, paths, sizes, and statistics — it changes exactly
+    when the plan SHAPE changes (a join strategy flip, a new exchange,
+    a lost pushdown)."""
+    out = []
+    for ln in plan.splitlines():
+        m = _NODE.match(ln)
+        if m:
+            out.append(m.group(1))
+    return out
+
+
+def snapshot(spark) -> dict[str, list[str]]:
+    import bench
+    from etl_tj_project_spark import harness
+
+    fps: dict[str, list[str]] = {}
+    for name in bench.HEADLINE:
+        if name not in harness.REGISTRY:
+            continue
+        build = lambda: (  # noqa: E731
+            harness.REGISTRY[name]
+            .spark(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # First construction may populate operator-internal caches
+        # (_persist_once) whose presence changes later plans
+        # (InMemoryTableScan); fingerprint the STEADY state.
+        build()
+        fps[name] = fingerprint(build())
+    return fps
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    fps = snapshot(spark)
+    with open(OUT, "w") as fh:
+        json.dump(fps, fh, indent=1, sort_keys=True)
+    print(f"wrote {len(fps)} fingerprints to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
