@@ -30,7 +30,7 @@ def test_headline_plan_shapes_match_committed_baseline(spark):
 
     sys.path.insert(0, REPO)
     import bench
-    from tools.gen_plan_fingerprints import snapshot
+    from tools.gen_plan_fingerprints import CACHE_SENSITIVE, snapshot
 
     if not os.path.exists(BASELINE):
         pytest.fail(
@@ -44,7 +44,11 @@ def test_headline_plan_shapes_match_committed_baseline(spark):
     # a committed fingerprint is itself a finding).
     from etl_tj_project_spark import harness
 
-    expected_names = {n for n in bench.HEADLINE if n in harness.REGISTRY}
+    expected_names = {
+        n
+        for n in bench.HEADLINE
+        if n in harness.REGISTRY and n not in CACHE_SENSITIVE
+    }
     assert set(want) == expected_names, (
         "baseline out of date with HEADLINE: regenerate "
         f"(missing={sorted(expected_names - set(want))}, "

@@ -34,13 +34,25 @@ def fingerprint(plan: str) -> list[str]:
     return out
 
 
+# Entries whose plan depends on the session's CACHE STATE (the LSH
+# family persists its band/signature tables via _persist_once; whether
+# an InMemoryTableScan appears, and where, depends on which OTHER
+# queries ran first in the session). Their shapes are pinned by the
+# dedicated tests in test_scale_plans.py instead; the fingerprint guard
+# pins the deterministic rest.
+CACHE_SENSITIVE = {
+    "dedup_minhash_lsh",
+    "dedup_incremental_lsh_candidates",
+}
+
+
 def snapshot(spark) -> dict[str, list[str]]:
     import bench
     from etl_tj_project_spark import harness
 
     fps: dict[str, list[str]] = {}
     for name in bench.HEADLINE:
-        if name not in harness.REGISTRY:
+        if name not in harness.REGISTRY or name in CACHE_SENSITIVE:
             continue
         build = lambda: (  # noqa: E731
             harness.REGISTRY[name]
