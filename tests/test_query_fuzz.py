@@ -2616,7 +2616,7 @@ def _gen_composed_windows(n: int) -> list[tuple[str, ...]]:
     return out
 
 
-COMPOSED_WIN_CASES = _gen_composed_windows(16)
+COMPOSED_WIN_CASES = _gen_composed_windows(24)
 
 _CW_LI_COLS = (
     "l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
@@ -2740,7 +2740,7 @@ def _gen_join_aggs(n: int) -> list[tuple[str, str, str, str, str, str]]:
     return out
 
 
-JOIN_AGG_CASES = _gen_join_aggs(12)
+JOIN_AGG_CASES = _gen_join_aggs(18)
 
 
 def _join_agg_sql(case: tuple[str, ...], t: str) -> str:
