@@ -1125,10 +1125,26 @@ def ngram_dup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram"),
     )
     total, dist = F.count(F.lit(1)), F.countDistinct(F.md5("gram"))
-    return grams.groupBy(F.col("n").cast("long").alias("n")).agg(
-        total.cast("long").alias("total_ngrams"),
-        dist.cast("long").alias("distinct_ngrams"),
-        F.floor((total - dist) * 1000 / total).cast("long").alias(
-            "dup_rate_milli"
-        ),
+    return (
+        grams.groupBy(F.col("n").cast("long").alias("n"))
+        .agg(
+            total.cast("long").alias("total_ngrams"),
+            dist.cast("long").alias("distinct_ngrams"),
+        )
+        .select(
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            # Integer `div` end-to-end (ADVICE r11): the former
+            # floor((t-d)*1000 / t) double division rounds once
+            # (t-d)*1000 exceeds 2^53 — plausible at the documented
+            # 100 TB corpus scale — while the DuckDB oracle's `//`
+            # stays exact. BIGINT div BIGINT never leaves the integer
+            # domain, so both engines agree at any corpus size.
+            F.expr(
+                "(total_ngrams - distinct_ngrams) * 1000 div total_ngrams"
+            )
+            .cast("long")
+            .alias("dup_rate_milli"),
+        )
     )

@@ -1771,7 +1771,7 @@ _NEG_ANCHORS = 100  # bounded anchor set for the gate
              CAST(('0x' || substr(md5(CAST(anchor AS VARCHAR) || ':'
                                       || CAST(i AS VARCHAR)), 1, 8))
                   AS BIGINT) % n.n_vecs AS raw
-      FROM anchors, unnest([0, 1, 2, 3]) AS t(i), n
+      FROM anchors, unnest([{", ".join(str(i) for i in range(_NEG_K))}]) AS t(i), n
     ),
     fixed AS (
       SELECT anchor, a_label, slot,
