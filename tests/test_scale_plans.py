@@ -1351,3 +1351,104 @@ def test_delete_where_partitioned_rewrites_only_affected_days(
             untouched += 1
     assert untouched > 0
     assert stats["partitions_rewritten"] == len(affected_days) - 1
+
+
+def test_merge_assignment_is_range_join_not_case_chain(spark):
+    """The delta→file assignment of io.merge_sorted_export must be the
+    broadcast range-join (plan O(1) in file count), NOT the r11 literal
+    CASE chain (one WHEN per file — Catalyst analysis blows up at
+    manifest scale, ~400k files at 100 TB / 256 MB; VERDICT r11 item 4).
+    Pins: (a) a broadcast join node is present; (b) NO CaseWhen at all
+    in the optimized assignment plan; (c) assignment semantics — below
+    every range → file 0, inside a half-open interval → owning file,
+    at/above the last lo → last file — each delta row exactly once."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    keys = ["l_orderkey", "l_linenumber"]
+    key_schema = StructType(
+        [StructField(k, LongType(), True) for k in keys]
+    )
+    lows = [(100, 1), (500, 1), (900, 3)]
+    out = tj_io._assign_delta_to_ranges(
+        spark, li.limit(50), lows, keys, key_schema
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" not in optimized, optimized[:2000]
+
+    probe = spark.createDataFrame(
+        [(1, 1), (100, 1), (499, 9), (500, 1), (899, 9), (900, 3), (10**9, 1)],
+        schema=StructType([StructField(k, LongType(), False) for k in keys]),
+    )
+    got = {
+        (r.l_orderkey, r.l_linenumber): r["__file_idx"]
+        for r in tj_io._assign_delta_to_ranges(
+            spark, probe, lows, keys, key_schema
+        ).collect()
+    }
+    assert got == {
+        (1, 1): 0,       # below every lo → first file
+        (100, 1): 0,
+        (499, 9): 0,
+        (500, 1): 1,
+        (899, 9): 1,
+        (900, 3): 2,
+        (10**9, 1): 2,   # above the last lo → last file
+    }, got
+    # exactly-once: 7 probes in, 7 rows out (the intervals partition
+    # the key space — no row lost, none duplicated).
+    assert len(got) == 7
+
+
+def test_merge_sorted_export_works_through_fs_uris(spark, tmp_path):
+    """FS-abstraction pin (VERDICT r11 item 4): merge_sorted_export's
+    copy/rename/mkdir/list side effects route through the Hadoop
+    FileSystem API, so the whole op must work when BOTH directories are
+    addressed as `file:` URIs (the shape every object-store path takes;
+    shutil/os.replace would have choked on the scheme prefix)."""
+    from etl_tj_project_spark.io import export_sorted, merge_sorted_export
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    keys = ["l_orderkey", "l_linenumber"]
+    base = "file:" + str(tmp_path / "base")
+    out = "file:" + str(tmp_path / "out")
+    export_sorted(li, base, keys, num_files=4)
+    lo = li.orderBy(*keys).limit(1).collect()[0]
+    delta = spark.createDataFrame(
+        [(int(lo.l_orderkey), 99, 1.0)], li.schema
+    )
+    stats = merge_sorted_export(spark, base, delta, keys, out)
+    assert stats["files_total"] == 4
+    assert stats["files_copied"] >= 2, stats
+    want = sorted(map(tuple, li.unionByName(delta).collect()))
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == want
+
+
+def test_merge_sorted_export_empty_source_falls_back(spark, tmp_path):
+    """ADVICE r11: an EMPTY source export used to silently drop every
+    delta row (files_total=0 with delta_rows>0). Now it must fall back
+    to export_sorted(delta) — the delta becomes the new export."""
+    from etl_tj_project_spark.io import merge_sorted_export
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).limit(20)
+    keys = ["l_orderkey", "l_linenumber"]
+    src = str(tmp_path / "empty_base")
+    # A source dir containing only a ZERO-ROW parquet file: ranges with
+    # NULL min/max must be skipped, leaving no usable range → fallback.
+    li.filter(F.lit(False)).coalesce(1).write.parquet(src)
+    out = str(tmp_path / "out")
+    stats = merge_sorted_export(spark, src, li, keys, out)
+    assert stats["delta_rows"] == 20
+    assert stats["files_total"] >= 1
+    assert stats["files_rewritten"] == stats["files_total"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*li.columns).collect()))
+    assert got == sorted(map(tuple, li.collect()))
