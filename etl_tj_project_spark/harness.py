@@ -1628,75 +1628,78 @@ from etl_tj_project_spark import parity  # noqa: E402
 # COVERAGE.md per round.
 #
 # WINDOW_ROUND pins WHICH CORRECTNESS ledger this window was composed
-# against: the window below was computed from CORRECTNESS_r01..r10 and
-# is the round-11 submission. tests/test_oracle_parity.py's rotation
+# against: the window below was computed from CORRECTNESS_r01..r11 and
+# is the round-12 submission. tests/test_oracle_parity.py's rotation
 # test must ignore CORRECTNESS files >= this round — otherwise the
 # moment the driver lands the NEXT record the test demands a window
 # that can't exist yet (the r9 failure mode, VERDICT r9 item 1b) —
-# and must equal the newest recorded round + 1 (a missed bump fails
-# loudly instead of silently pinning a stale window; ADVICE r10).
-WINDOW_ROUND = 11
+# and must equal the newest recorded round (record just landed,
+# recomposition pending) or that + 1 (recomposed — the steady state);
+# a missed bump fails loudly instead of silently pinning a stale
+# window (ADVICE r10/r11).
+WINDOW_ROUND = 12
 DRIVER_WINDOW: list[str] = [
-    # (a) §2 stability core (driver-green every round they ran, r2-r10)
+    # (a) §2 stability core (driver-green every round they ran, r2-r11)
     "p1_typed_projection",
     "j1_inner_join_fanout",
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
-    # (b) oracle-backed entries with no driver green yet: round 11's
-    # sorted-export law, classifier inference, boilerplate removal,
-    # epoch allocation (registration order)
-    "sorted_export_ntile_ranges",
-    "quality_classifier_inference",
-    "boilerplate_chunk_removal",
-    "corpus_epoch_allocation",
-    # (c) oldest-green rotation: the full 22-entry r5 cohort (newest
-    # green r5 — the oldest cohort left after r10 cleared r4), in its
-    # r5-window order; topk_with_ties and iso_week_rollup lead (they
-    # were displaced from the r10 fill, VERDICT r10 item 1)
-    "topk_with_ties",
-    "iso_week_rollup",
-    "union_by_name_schema_evolution",
-    "bloom_filter_membership",
-    "time_bucket_interpolate",
-    "running_sum_reset_on_marker",
-    "rolling_cov_manual",
-    "inverted_index_postings",
-    "phrase_search_positional",
-    "pareto_frontier_2d",
-    "gini_impurity_by_group",
-    "window_null_ordering_pack",
-    "regex_backreference_pack",
-    "explode_outer_empty_preserved",
-    "dedup_prefix_filter_jaccard",
-    "ann_knn_join_topk",
-    "corpus_ngram_novelty",
-    "multimodal_image_histogram",
-    "incremental_join_maintenance",
-    "incremental_agg_retractions",
-    "chisq_lang_source_cells",
-    "weighted_median_price",
-    # ...then fill to 50 with the oldest of the r6 cohort (newest green
-    # r6) in its r6-window order
-    "manifest_snapshot_roundtrip",
-    "multimodal_audio_features",
-    "embedding_int8_quantize",
-    "tpch_q2ish_min_cost_supplier",
-    "tpch_q11ish_value_concentration",
-    "tpch_q16ish_supplier_cnt_by_part",
-    "tpch_q20ish_excess_stock_suppliers",
-    "dedup_rate_by_source",
-    "uniform_sample_k_per_group",
-    "truncate_head_tail_budget",
-    "decontaminate_13gram",
-    "interval_containment_join",
-    "asof_join_tolerance",
-    "scd2_apply_changes",
-    "zorder_key_2d",
-    "bigram_top50",
-    "histogram_fixed_buckets",
-    "dedup_repeated_ngram_spans",
-    "corpus_mixture_plan",
-    "posexplode_tokens",
+    # (b) oracle-backed entries with no driver green yet (VERDICT r11
+    # item 1 — these lead): the two round-12 write-path roundtrips
+    # (GDPR partition-pruned delete, incremental sorted-export merge —
+    # VERDICT r11 item 3), then the five round-11 post-window landings
+    # that have never been driver-checked, in registration order
+    "gdpr_delete_roundtrip",
+    "merge_sorted_export_roundtrip",
+    "quality_ranked_quota_sample",
+    "ngram_dup_rate_curve",
+    "khop_reachability",
+    "contrastive_negative_sampling",
+    "timezone_dst_pack",
+    # (c) oldest-green rotation: the full 22-entry r6 cohort (newest
+    # green r6 — the oldest cohort left after r11 cleared r5), in its
+    # r6-window order
+    "regexp_extract_all_numbers",
+    "text_corpus_stopword_fraction",
+    "text_unigram_commonness",
+    "doc_length_percentile_band",
+    "embedding_q8_norm_profile",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "dedup_semantic_semdedup",
+    "minhash_accuracy_audit",
+    "embedding_pca_power_fixedpoint",
+    "embedding_random_projection_16",
+    "ann_projected_rerank_topk",
+    "text_bigram_coverage",
+    "ann_filtered_topk_per_label",
+    "lang_label_confusion_matrix",
+    "text_zipf_head_share",
+    "bitwise_agg_pack",
+    "median_iqr_pack",
+    "mode_top1_per_group",
+    "moving_agg_rows_frame",
+    "running_distinct_count",
+    "approx_distinct_kmv",
+    # ...then fill to 50 with the oldest of the r7 cohort (newest green
+    # r7) in its r7-window order
+    "bpe_learned_merges",
+    "full_outer_reconcile",
+    "not_in_null_semantics",
+    "variant_json_extract",
+    "try_arithmetic_pack",
+    "yoy_growth_accounts",
+    "wau_rolling_distinct",
+    "skewed_distinct_two_phase",
+    "cms_heavy_hitters",
+    "spearman_rank_corr",
+    "impute_group_mean",
+    "rebase_index_100",
+    "vocab_jaccard_sources",
+    "assoc_rules_support_lift",
+    "interval_prorate_weekly",
+    "winsorize_price_p05_p95",
+    "running_max_drawdown",
 ]
 
 

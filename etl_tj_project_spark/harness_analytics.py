@@ -1693,3 +1693,214 @@ def sorted_export_ntile_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pk").alias("max_pk"),
         )
     )
+
+
+@register(
+    "gdpr_delete_roundtrip",
+    """
+    WITH staged AS (
+      SELECT CAST(ts AS DATE) AS tanggal, event_id, user_id,
+             CAST(value AS DECIMAL(18,2)) AS amount
+      FROM events WHERE event_type = 'purchase' AND event_id < 10000
+    )
+    SELECT tanggal, event_id, user_id, amount
+    FROM staged
+    WHERE NOT (user_id % 7 = 3
+               OR tanggal = (SELECT MIN(tanggal) FROM staged))
+    """,
+    doc="GDPR partition-pruned DELETE under the correctness gate "
+        "(VERDICT r11 item 3): stage a day-partitioned parquet table "
+        "(same bounded staged frame as partitioned_write_roundtrip), "
+        "run io.delete_where_partitioned with a planted predicate that "
+        "BOTH partially deletes many days (user_id % 7 = 3 — the "
+        "right-to-be-forgotten shape: one user's rows scattered across "
+        "days) AND fully clears one day (tanggal = min day — the "
+        "dynamic-overwrite delete gap where the emptied partition "
+        "directory must be removed explicitly), then hash-check the "
+        "SURVIVING content read back from disk against the oracle's "
+        "closed-form restatement. Scale: the delete rewrites only "
+        "affected day-partitions (O(affected days), never O(table)); "
+        "file-level byte-identity of untouched days is pytest-pinned "
+        "in tests/test_scale_plans.py; this entry gives the write "
+        "primitive its driver hash. Bounded staging (event_id < 10000 "
+        "= the full table at the sf0.01 gate, so hashes are "
+        "SF-stable) keeps the driver-side materialization O(1) at any "
+        "SF (the partitioned_write_roundtrip convention)",
+)
+def gdpr_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etl_tj_project_spark.io import (
+        delete_where_partitioned,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") < 10000)
+    )
+    df = ev.select(
+        F.col("ts").cast("date").alias("tanggal"),
+        "event_id",
+        "user_id",
+        F.col("value").cast(AMOUNT).alias("amount"),
+    )
+    out = tempfile.mkdtemp(prefix="tj_gdpr_")
+    try:
+        write_partitioned(df, out, partition_col="tanggal")
+        # One-row bounded scalar: the day to clear completely.
+        kill_day = df.agg(F.min("tanggal")).collect()[0][0]
+        pred = (F.col("user_id") % 7 == 3) | (
+            F.col("tanggal") == F.lit(str(kill_day)).cast("date")
+        )
+        delete_where_partitioned(spark, out, pred, partition_col="tanggal")
+        back = spark.read.parquet(out).select(
+            "tanggal", "event_id", "user_id", "amount"
+        )
+        # Materialize so the temp table can be deleted now (survivor set
+        # is bounded by the staged cap — the roundtrip convention).
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "merge_sorted_export_roundtrip",
+    """
+    WITH base AS (
+      SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS payload
+      FROM documents WHERE doc_id < 500
+    ),
+    t AS (SELECT k, payload, NTILE(4) OVER (ORDER BY k) AS f FROM base),
+    ranges AS (SELECT f, MIN(k) AS lo FROM t GROUP BY f),
+    delta AS (
+      SELECT (doc_id * 37) % 500 AS k,
+             CAST(n_chars + 1000000 AS BIGINT) AS payload
+      FROM documents WHERE doc_id % 100 = 3
+    ),
+    asg AS (
+      SELECT d.k, d.payload,
+             COALESCE((SELECT MAX(r.f) FROM ranges r WHERE r.lo <= d.k),
+                      (SELECT MIN(f) FROM ranges)) AS f
+      FROM delta d
+    ),
+    merged AS (
+      SELECT k, payload, f FROM t UNION ALL SELECT k, payload, f FROM asg
+    )
+    SELECT CAST(f AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key,
+           CAST(SUM(payload) AS BIGINT) AS sum_payload
+    FROM merged GROUP BY f
+    """,
+    doc="Incremental sorted-export maintenance under the correctness "
+        "gate (VERDICT r11 item 3): build a 4-file sorted export of "
+        "(doc_id, n_chars) with DETERMINISTIC exact-NTILE file "
+        "boundaries (the production io.export_sorted samples its "
+        "boundaries, so this entry constructs the base with the same "
+        "NTILE law sorted_export_ntile_ranges pins — driver-side over "
+        "the <=500-row bounded base, the write-path-entry convention), "
+        "fold in a planted delta (keys (doc_id*37) % 500 scatter "
+        "across the key space; payload offset +1000000 makes delta "
+        "rows distinguishable in the per-file sums) via "
+        "io.merge_sorted_export, and hash-check the per-file "
+        "(n_rows, min, max, sum) stats of the MERGED export read back "
+        "from disk. The oracle restates the whole law closed-form: "
+        "NTILE(4) base assignment, last-lo-<=-key delta ownership "
+        "with below-all-ranges folding into the first file, then "
+        "per-file aggregates — so the hash proves the broadcast "
+        "range-join assignment, the touched-file rewrite, AND the "
+        "untouched-file copy (a dropped or double-counted row anywhere "
+        "shifts a file's n_rows/sum). Scale: merge work is O(touched "
+        "files + delta), untouched bytes move server-side through the "
+        "Hadoop FS API; plan/FS invariants pytest-pinned in "
+        "tests/test_scale_plans.py",
+)
+def merge_sorted_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etl_tj_project_spark.io import merge_sorted_export
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Bounded base (<=500 rows by the key cut): exact NTILE(4) split,
+    # driver-side — the base CONSTRUCTION is test scaffolding; the op
+    # under test is the distributed merge below.
+    base_rows = sorted(
+        docs.filter(F.col("doc_id") < 500).select("doc_id", "n_chars").collect(),
+        key=lambda r: r.doc_id,
+    )
+    n, k = len(base_rows), 4
+    q, rmd = divmod(n, k)
+    sizes = [q + 1] * rmd + [q] * (k - rmd)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="tj_msort_rt_")
+    src_dir = os.path.join(root, "base")
+    out_dir = os.path.join(root, "out")
+    os.makedirs(src_dir)
+    try:
+        pos = 0
+        for i, sz in enumerate(sizes):
+            if sz == 0:
+                continue
+            chunk = [tuple(r) for r in base_rows[pos : pos + sz]]
+            pos += sz
+            tmp = os.path.join(root, f"tmp{i}")
+            (
+                spark.createDataFrame(chunk, schema)
+                .coalesce(1)
+                .sortWithinPartitions("doc_id")
+                .write.parquet(tmp)
+            )
+            part = next(
+                p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+            )
+            os.replace(
+                os.path.join(tmp, part),
+                os.path.join(src_dir, f"part-{i:05d}.parquet"),
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+        delta = docs.filter(F.col("doc_id") % 100 == 3).select(
+            ((F.col("doc_id") * 37) % 500).alias("doc_id"),
+            (F.col("n_chars") + 1000000).alias("n_chars"),
+        )
+        merge_sorted_export(spark, src_dir, delta, ["doc_id"], out_dir)
+        per_file = sorted(
+            spark.read.parquet(out_dir)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("doc_id").cast("long").alias("min_key"),
+                F.max("doc_id").cast("long").alias("max_key"),
+                F.sum("n_chars").cast("long").alias("sum_payload"),
+            )
+            .collect(),  # bounded: one row per export file (<=4)
+            key=lambda r: r.f,
+        )
+        out_schema = StructType(
+            [
+                StructField("file_id", LongType(), False),
+                StructField("n_rows", LongType(), True),
+                StructField("min_key", LongType(), True),
+                StructField("max_key", LongType(), True),
+                StructField("sum_payload", LongType(), True),
+            ]
+        )
+        return spark.createDataFrame(
+            [
+                (i + 1, r.n_rows, r.min_key, r.max_key, r.sum_payload)
+                for i, r in enumerate(per_file)
+            ],
+            schema=out_schema,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
