@@ -135,21 +135,60 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Per-query contention defense (VERDICT r11 item 2): BENCH_r11's
+    # headline total recorded 1.34x under BURSTY steal — the pre-run
+    # steal gate and the whole-pass drift retry both missed it because
+    # the theft came and went between their checkpoints (the bench's
+    # own telemetry showed steal_gate_waits=4 and a strain row 16x
+    # slower on pass1 than pass2, while untouched queries "regressed"
+    # 1.3-1.7x). So the strain rows' bracketed-retry now applies to
+    # EVERY headline query: each query is bracketed by a lightweight
+    # all-cores probe (2 reps, ~0.1 s — chained, so one probe per
+    # query); when either side of a query's bracket reads >30% above
+    # the run's best-observed anchor, that query's window was contended
+    # — it is re-timed once and the faster number kept, with the
+    # bracket + both timings recorded per query so a kept-slow number
+    # is annotated, never silent. Threshold calibration: the 2-rep
+    # probe jitters ~16% on an idle box with a warm Spark JVM (sf0.001
+    # probe run: 19/46 spurious flags at the strain rows' 1.15x, every
+    # retry within noise of the bracketed pass), while the bursty-steal
+    # events this defends against read 1.5-3x (r9 strain: 16.7 vs
+    # 4.9 s; r11 lsh: 18.4 vs 1.1 s) — 1.30x separates the two cleanly.
+    run_anchor = calib_par_pre
+
     # Best-of-2 per query: local wall-clock has ±10% run-to-run noise
     # (GC, page cache); the minimum is the steady-state number and keeps
     # round-over-round comparisons meaningful.
-    def timing_pass() -> dict[str, float]:
+    def timing_pass() -> tuple[dict[str, float], dict[str, dict]]:
+        nonlocal run_anchor
         out: dict[str, float] = {}
+        notes: dict[str, dict] = {}
+        pre = _cpu_probe_parallel()
+        run_anchor = min(run_anchor, pre)
         for n in names:
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
                 force(harness.REGISTRY[n].spark(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
+            post = _cpu_probe_parallel()
+            run_anchor = min(run_anchor, post)
+            if max(pre, post) > 1.30 * run_anchor:
+                t0 = time.perf_counter()
+                force(harness.REGISTRY[n].spark(spark, sf_dir))
+                retry = time.perf_counter() - t0
+                notes[n] = {
+                    "bracket": [pre, post],
+                    "sec_bracketed": round(best, 4),
+                    "sec_retry": round(retry, 4),
+                    "kept": "retry" if retry < best else "bracketed",
+                }
+                best = min(best, retry)
             out[n] = round(best, 4)
-        return out
+            pre = post  # chain: this query's post is the next one's pre
+        return out, notes
 
-    timings = timing_pass()
+    timings, contention_notes = timing_pass()
     total = round(sum(timings.values()), 4)
 
     # Calibration-drift response (VERDICT r8 item 3): round 8's recorded
@@ -167,10 +206,11 @@ def main() -> None:
     )
     total_pass1, total_pass2 = total, None
     if prev_par is not None and drift_vs_prev > 0.10:
-        timings2 = timing_pass()
+        timings2, notes2 = timing_pass()
         total_pass2 = round(sum(timings2.values()), 4)
         if total_pass2 < total:
             timings, total = timings2, total_pass2
+            contention_notes = notes2
 
     # Strain section (VERDICT r7 item 1): the size dispatch means the
     # distributed strategies — the ONLY code that runs at 100 TB — no
@@ -207,7 +247,7 @@ def main() -> None:
     # strain section; folding every bracket reading into the running
     # min means later rows always compare against the best anchor seen
     # anywhere in the run.
-    run_anchor = min(calib_par_pre, calib_par_mid)
+    run_anchor = min(run_anchor, calib_par_mid)
 
     def _first_sec(row: dict) -> float | None:
         return next(
@@ -342,11 +382,15 @@ def main() -> None:
         "drift_rerun": total_pass2 is not None,
         "value_pass1": total_pass1,
         "value_pass2": total_pass2,
+        # Count of headline queries whose bracket flagged contention
+        # (full per-query brackets + both timings in the full record).
+        "contended_retries": len(contention_notes),
     }
 
     full = dict(headline)
     full.update(
         {
+            "contended_queries": contention_notes,
             "strain": strain_out,
             "cpu_calib_sec_pre": calib_pre,
             "cpu_calib_sec_post": calib_post,
@@ -421,6 +465,35 @@ def _cpu_calibration() -> float:
             h.update(block)
         h.hexdigest()
         best = min(best, _t.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _cpu_probe_parallel() -> float:
+    """Lightweight 2-rep variant of :func:`_cpu_calibration_parallel`
+    for the per-query headline brackets: one probe per query must cost
+    ~0.1 s, not the full 3-rep calibration. A noisy probe only costs a
+    spurious single re-time (annotated), never a wrong kept number —
+    the kept value is always the minimum over all observed timings."""
+    import hashlib
+    import os as _os
+    import time as _t
+    from concurrent.futures import ThreadPoolExecutor
+
+    block = bytes(range(256)) * 4096  # 1 MiB
+    ncpu = _os.cpu_count() or 1
+
+    def work(_: int) -> None:
+        h = hashlib.sha256()
+        for _i in range(64):
+            h.update(block)
+        h.hexdigest()
+
+    best = float("inf")
+    with ThreadPoolExecutor(max_workers=ncpu) as pool:
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            list(pool.map(work, range(ncpu)))
+            best = min(best, _t.perf_counter() - t0)
     return round(best, 4)
 
 
