@@ -59,6 +59,68 @@ def click_purchase_attribution(
     )
 
 
+def click_purchase_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`click_purchase_attribution`: EVERY
+    purchase emits — purchases with at least one qualifying click fan
+    out exactly like the inner join, and purchases with NO click in the
+    preceding ``window`` emit ONE row with NULL click columns.
+
+    The classic stream-stream outer-join watermark trap lives in the
+    NULL rows' timing: Spark cannot know a purchase is unmatched until
+    no future click could still qualify, so the NULL row is emitted
+    only once the watermark passes the purchase's match-eligibility
+    range — in a micro-batch AFTER the purchase's own, and exactly
+    once (the purchase's join state is dropped as the row is emitted).
+    A pipeline that treats the outer join's output as complete "as of
+    the purchase's batch" silently misses every not-yet-flushed NULL
+    row; the equality-to-batch test in tests/test_streaming.py pins
+    both the exactly-once NULL emission and its deferral until
+    watermark passage on a bounded multi-batch replay.
+
+    State bounding is the same pair as the inner join — watermarks on
+    BOTH event-time columns plus the time-range join constraint. Spark
+    additionally REQUIRES them for outer stream-stream joins (without
+    the constraint the unmatched side could never be declared final).
+    At 100 TB/day the state is O(window x arrival rate), same as the
+    inner join, plus the unmatched-purchase buffer the watermark
+    drains. Works identically on two static frames (plain left join)
+    for the batch twin.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}")
+        )
+    )
+    return p.join(c, cond, "left_outer").select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+
+
 def enrich_with_dim(
     events: DataFrame, user_dim: DataFrame, on: str = "user_id"
 ) -> DataFrame:

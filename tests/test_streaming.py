@@ -870,3 +870,121 @@ def test_stateful_cms_sketch_equals_batch_sketch(spark, events_dir):
     # one-sided error: estimate >= exact for every (user, type)
     for (uid, et), cnt in exact.items():
         assert cms_estimate(got[uid][1], str(et)) >= cnt
+
+
+def test_stream_stream_outer_join_null_rows_emit_once_after_watermark(
+    spark, events_dir, tmp_path
+):
+    """Watermarked stream-stream LEFT OUTER join (VERDICT r11 item 7):
+    (a) the multi-batch streaming result equals the batch twin exactly
+    (matched fan-out AND NULL rows for click-less purchases); (b) each
+    unmatched purchase's NULL row emits EXACTLY once; (c) the classic
+    watermark trap is pinned positively and negatively — the FIRST
+    micro-batch emits no NULL rows (watermark still at -inf: nothing is
+    provably unmatched yet) and the LAST (sentinel-driven) batch does
+    (state flushed only once the watermark passed the purchases'
+    match-eligibility range)."""
+    import os
+    from collections import Counter
+
+    from etl_tj_project_spark.streaming.stream_joins import (
+        click_purchase_attribution_outer,
+    )
+
+    ev = spark.read.parquet(events_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    bounds = [lo + span, lo + 2 * span]
+    parts = [
+        ev.filter(F.col("ts") < F.lit(bounds[0])),
+        ev.filter(
+            (F.col("ts") >= F.lit(bounds[0])) & (F.col("ts") < F.lit(bounds[1]))
+        ),
+        ev.filter(F.col("ts") >= F.lit(bounds[1])),
+    ]
+    # Sentinel: one far-future click for a user with no purchases — its
+    # only job is to advance the watermark past every real purchase so
+    # the last unmatched buffers flush. It can never join (no user -1
+    # purchases), so the batch twin is unaffected.
+    from datetime import timedelta
+
+    sentinel = spark.createDataFrame(
+        [(10**9, hi + timedelta(days=2), -1, "click", 0.0, "{}")],
+        ev.schema,
+    )
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    # One file per chunk, in time order: increasing names AND mtimes so
+    # the file source replays them as four ordered micro-batches.
+    for i, chunk in enumerate(parts + [sentinel]):
+        staged = tmp_path / f"stage{i}"
+        chunk.coalesce(1).write.parquet(str(staged))
+        src = next(
+            p for p in sorted(os.listdir(staged)) if p.endswith(".parquet")
+        )
+        dst = str(flat / f"{i:02d}.parquet")
+        os.replace(os.path.join(str(staged), src), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    joined = click_purchase_attribution_outer(
+        sdf.filter(F.col("event_type") == "click"),
+        sdf.filter(F.col("event_type") == "purchase"),
+        window="6 hours",
+        watermark="1 minute",
+    )
+    batches: dict[int, list[tuple]] = {}
+
+    def sink(df, bid):
+        rows = [tuple(r) for r in df.collect()]
+        if rows:
+            batches[int(bid)] = rows
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = sorted(r for rows in batches.values() for r in rows)
+    full = spark.read.parquet(str(flat))
+    want = sorted(
+        map(
+            tuple,
+            click_purchase_attribution_outer(
+                full.filter(F.col("event_type") == "click"),
+                full.filter(F.col("event_type") == "purchase"),
+                window="6 hours",
+            ).collect(),
+        )
+    )
+    # (a) equality to the batch twin — NULL rows included.
+    assert got == want and len(got) > 0
+
+    # (b) exactly-once NULL emission; no purchase is both NULL and matched.
+    nulls = [r for r in got if r[3] is None]
+    assert nulls, "test data produced no unmatched purchases"
+    per_purchase = Counter(r[0] for r in nulls)
+    assert all(v == 1 for v in per_purchase.values()), per_purchase
+    matched_ids = {r[0] for r in got if r[3] is not None}
+    assert not (set(per_purchase) & matched_ids)
+
+    # (c) timing: batch 0 has no NULL rows (watermark has not moved —
+    # nothing can be declared unmatched), and the final batches carry
+    # NULL rows only AFTER the sentinel pushed the watermark through.
+    first_bid = min(batches)
+    assert all(r[3] is not None for r in batches[first_bid]), (
+        "NULL rows emitted before any watermark passage"
+    )
+    last_null_bid = max(b for b, rows in batches.items() if any(r[3] is None for r in rows))
+    assert last_null_bid > first_bid
