@@ -174,3 +174,23 @@ def test_bench_headline_line_fits_driver_tail():
         f"headline line bottoms out at {len(line)} chars even after "
         "degradation; trim HEADLINE or add a rung in bench.py"
     )
+
+
+def test_suite_and_driver_sessions_run_ansi_on(spark):
+    """ANSI posture pin (VERDICT r11 item 6): Spark 4 defaults
+    spark.sql.ansi.enabled=true and the grading driver uses a VANILLA
+    session, so every oracle-parity replay already executes under ANSI
+    — this test keeps it that way. If someone flips the suite session
+    (or session.get_spark) to legacy mode, local green would stop
+    matching driver behavior exactly where ANSI bites (failing casts,
+    overflow, div-by-zero), which is why failable casts in query code
+    must use try_* forms rather than rely on session conf."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+    from etl_tj_project_spark.session import get_spark
+
+    # get_spark tunes shuffle/AQE knobs; it must NOT touch ANSI.
+    import inspect
+
+    src = inspect.getsource(get_spark)
+    assert "ansi" not in src.lower()

@@ -18,6 +18,14 @@ spark = (
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
+# ANSI posture proof (VERDICT r11 item 6): this replay runs on a vanilla
+# session, and Spark 4 defaults spark.sql.ansi.enabled=true — so every
+# oracle-parity pass in this log IS the ANSI sweep. Stamp the live value
+# so the committed log carries the evidence, and refuse to certify a
+# replay that something quietly switched to legacy mode.
+_ansi = spark.conf.get("spark.sql.ansi.enabled")
+print(f"RESULT ANSI spark.sql.ansi.enabled={_ansi}", flush=True)
+assert _ansi == "true", "replay must run under ANSI mode (Spark 4 default)"
 print("entry rows:", m.entry(spark).count(), flush=True)
 sf = "/root/testdata/sf0.01"
 con = duckdb.connect()
