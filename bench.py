@@ -92,6 +92,19 @@ HEADLINE = [
     "sorted_export_ntile_ranges",
     "quality_classifier_inference",
     "boilerplate_chunk_removal",
+    # Round-12 additions: the Spark-4 recursive CTE (UnionLoop — an
+    # iterative operator the optimizer owns, unlike the hand-unrolled
+    # khop), the declarative LATERAL top-k, the prefix-filtered
+    # containment self-join (A-prefix x B-full postings), shuffle-free
+    # overlapping chunking, the window-only CUSUM, and the Matryoshka
+    # truncation audit (two ranking windows over a broadcast query set).
+    # (Round-over-round totals: compare the shared cohort, as before.)
+    "recursive_cte_tree_depth",
+    "lateral_correlated_topk",
+    "dedup_containment_ngram",
+    "chunk_documents_overlap",
+    "cusum_changepoint_daily",
+    "embedding_matryoshka_prefix_recall",
 ]
 
 

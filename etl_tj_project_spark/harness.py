@@ -1615,6 +1615,11 @@ from etl_tj_project_spark import harness_hazards  # noqa: E402,F401
 # rebase, vocabulary Jaccard, association rules, interval proration.
 from etl_tj_project_spark import harness_stats2  # noqa: E402,F401
 
+# Round-12 pack: recursive CTE + LATERAL (Spark 4 SQL surface),
+# containment dedup, overlapping chunking, window-only CUSUM,
+# Matryoshka truncated-dim recall.
+from etl_tj_project_spark import harness_r12  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 

@@ -1,0 +1,421 @@
+"""Round-12 pack: the two SQL surfaces Spark 4 added (recursive CTEs,
+correlated LATERAL subqueries), asymmetric containment dedup, RAG-style
+overlapping chunking, a window-only CUSUM changepoint detector, and a
+Matryoshka truncated-dimension recall measurement.
+
+Why these: the recursive CTE and LATERAL entries pin genuinely new
+Spark-4 query surface the registry did not exercise (khop unrolls
+frontier joins by hand; W1 does top-k with a window — these are the
+declarative forms a user migrating real SQL will write). Containment is
+the near-dup relation Jaccard systematically misses (quote-inclusion:
+small doc inside big doc has high containment, low Jaccard) and is the
+documented RealNewsLike/C4 subset rule. Overlapping chunking is the
+retrieval-corpus preprocessing step (fixed token windows, fixed stride).
+CUSUM is the classic sequential changepoint statistic, here computed
+with PURE window functions via the identity
+``max(0, S_{t-1} + x_t) == R_t - min(0, min_{k<=t} R_k)``
+(running sum minus clipped running min) — no recursion, no UDF, two
+window passes that scale as ordinary partitioned sorts. Matryoshka
+prefix-dim recall is the measurement an embedding pipeline runs before
+committing to truncated vectors (MRL-style): how much of full-dim
+top-10 survives at 1/4 the dimensions.
+
+Cross-engine determinism rules (house conventions):
+* every rate/ratio is BIGINT `div` BIGINT (containment_milli,
+  recall_milli, cusum's mean_milli) — no float decides membership;
+* every ranking carries a unique id tie-break, NULLS LAST pinned on
+  both sides;
+* cosine arithmetic uses functions/vectors.py and its SQL twins
+  (identical left-to-right accumulation order on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_sql,
+)
+from etl_tj_project_spark.harness import register
+from etl_tj_project_spark.operators import dedup as dd
+from etl_tj_project_spark.sources.testdata import load_table
+
+# =========================================================================
+# Spark 4 SQL surface: recursive CTE + correlated LATERAL
+# =========================================================================
+
+# The supplier-key binary tree: parent(k) = k div 2, root = 1. A derived
+# hierarchy (the testdata has no explicit parent column), but the QUERY
+# under test is the real thing: a distributed recursive CTE whose
+# per-iteration work is a self-union that drains as nodes reach the
+# root. Depth is log2(N) — 14 levels at sf1.0's 10k suppliers — and
+# each level's frontier halves nothing (every key climbs until 1), so
+# total recursive rows are N * log2(N): linear-ish, never quadratic.
+_RECURSIVE_SQL = """
+    WITH RECURSIVE anc AS (
+      SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+             CAST(s_suppkey AS BIGINT) AS node,
+             CAST(0 AS BIGINT)         AS depth,
+             CAST(0 AS BIGINT)         AS anc_sum
+      FROM {supplier}
+      UNION ALL
+      SELECT s_suppkey, {half}, depth + 1, anc_sum + ({half})
+      FROM anc WHERE node > 1
+    )
+    SELECT s_suppkey,
+           CAST(max(depth) AS BIGINT)   AS depth_to_root,
+           CAST(max(anc_sum) AS BIGINT) AS anc_key_sum
+    FROM anc GROUP BY s_suppkey
+"""
+
+
+@register(
+    "recursive_cte_tree_depth",
+    _RECURSIVE_SQL.format(supplier="supplier", half="node // 2"),
+    doc="WITH RECURSIVE ancestor climb over the supplier-key binary "
+        "tree (parent = key div 2): per-node depth-to-root and "
+        "ancestor-key sum. Exercises Spark 4's recursive CTE operator "
+        "(UnionLoop) — the declarative twin of khop_reachability's "
+        "hand-unrolled frontier joins. Work is N*log2(N) recursive "
+        "rows; each iteration is one distributed self-union, "
+        "depth <= 14 at sf1.0",
+)
+def recursive_cte_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "r12_supplier"
+    )
+    return spark.sql(
+        _RECURSIVE_SQL.format(supplier="r12_supplier", half="node div 2")
+    )
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM {nation} n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM {customer} c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+"""
+
+
+@register(
+    "lateral_correlated_topk",
+    _LATERAL_SQL.format(nation="nation", customer="customer"),
+    doc="Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 "
+        "customers by account balance per nation, written the way a "
+        "migrating SQL user writes it. Catalyst rewrites the lateral "
+        "into a ranked join (DomainJoin -> window under the hood), so "
+        "the physical plan matches the w1_topk_per_group shape — the "
+        "entry pins that the DECLARATIVE form stays available and "
+        "correct. Unique-key tie-break (c_custkey) keeps the LIMIT "
+        "deterministic on both engines",
+)
+def lateral_correlated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("r12_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "r12_customer"
+    )
+    return spark.sql(
+        _LATERAL_SQL.format(nation="r12_nation", customer="r12_customer")
+    )
+
+
+# =========================================================================
+# Asymmetric containment dedup (prefix-filtered, exact)
+# =========================================================================
+
+@register(
+    "dedup_containment_ngram",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+             END AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                    i -> array_to_string(toks[i:i+2], ' ')) END)) AS term
+      FROM t
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM s a JOIN s b USING (term)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(z.sz AS BIGINT)      AS sz_a,
+           CAST(i.n_inter * 1000 // z.sz AS BIGINT) AS containment_milli
+    FROM inter i JOIN sz z ON z.doc_id = i.doc_a
+    WHERE 5 * i.n_inter >= 4 * z.sz
+    """,
+    doc="Asymmetric containment near-dup at C(a in b) >= 4/5 over "
+        "distinct word-3-gram shingles — catches quote-inclusion pairs "
+        "Jaccard misses (|A∩B|/|A| is high when A is quoted inside a "
+        "long B, while |A∩B|/|A∪B| is diluted by B's size). Spark side "
+        "is the PREFIX-FILTERED exact algorithm "
+        "(operators/dedup.py prefix_filter_containment_pairs): "
+        "rarest-first shingle order, A-prefix x B-full-postings "
+        "candidate join, exact relational verify — zero false "
+        "negatives by pigeonhole, so the all-pairs oracle restatement "
+        "here must agree exactly. Integer cross-multiplied threshold; "
+        "containment_milli is BIGINT div",
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.prefix_filter_containment_pairs(
+        docs, "doc_id", "text", ngram=3, t_num=4, t_den=5
+    )
+
+
+# =========================================================================
+# RAG-style overlapping token chunking
+# =========================================================================
+
+_CHUNK_W = 32   # tokens per chunk
+_CHUNK_S = 24   # stride (overlap = W - S = 8 tokens)
+
+
+@register(
+    "chunk_documents_overlap",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, len(toks), {_CHUNK_S})) AS start_tok
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start_tok // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT)               AS start_tok,
+           CAST(len(toks[start_tok + 1 : start_tok + {_CHUNK_W}])
+                AS BIGINT)                         AS n_tokens,
+           md5(array_to_string(
+               toks[start_tok + 1 : start_tok + {_CHUNK_W}], ' '))
+                                                   AS chunk_md5
+    FROM c
+    """,
+    doc=f"Retrieval-corpus chunking: fixed {_CHUNK_W}-token windows at "
+        f"stride {_CHUNK_S} ({_CHUNK_W - _CHUNK_S}-token overlap so no "
+        "sentence is split without context on either side), final "
+        "short chunk kept. One projection + one posexplode — "
+        "per-document work, embarrassingly parallel, no shuffle at "
+        "all at any corpus size (the md5 chunk id is what a downstream "
+        "embedding/dedup stage keys on). Case-PRESERVING tokenization "
+        "(chunks feed an embedder; lowercasing is the embedder's "
+        "choice, not the chunker's)",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.when(
+        F.trim("text") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    staged = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_S)
+    )
+    chunked = staged.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start_tok")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, _CHUNK_W)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+# =========================================================================
+# CUSUM changepoint over daily event counts (window-only)
+# =========================================================================
+
+@register(
+    "cusum_changepoint_daily",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(sum(cnt) * 1000 // count(*) AS BIGINT) AS mean_milli
+      FROM d GROUP BY 1
+    ), x AS (
+      SELECT d.event_type, d.day, d.cnt, m.mean_milli,
+             d.cnt * 1000 - m.mean_milli - (m.mean_milli // 10) AS dev
+      FROM d JOIN m USING (event_type)
+    ), r AS (
+      SELECT event_type, day, cnt, mean_milli,
+             sum(dev) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS run_sum
+      FROM x
+    )
+    SELECT event_type, day, cnt,
+           CAST(run_sum - least(
+                  min(run_sum) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING), 0)
+                AS BIGINT) AS cusum_milli,
+           CAST(CASE WHEN run_sum - least(
+                  min(run_sum) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING), 0)
+                  > mean_milli THEN 1 ELSE 0 END AS BIGINT)
+             AS changepoint_flag
+    FROM r
+    """,
+    doc="One-sided CUSUM changepoint statistic over per-type daily "
+        "event counts, slack k = mean/10, flag when the statistic "
+        "exceeds the per-type mean. The textbook recursion "
+        "S_t = max(0, S_{t-1} + x_t) looks inherently sequential, but "
+        "S_t == R_t - min(0, min_{k<=t} R_k) (R = plain running sum; "
+        "induction: max(0, R_{t-1} - m_{t-1} + x_t) = R_t - "
+        "min(m_{t-1}, R_t) = R_t - m_t), so it is TWO stacked window "
+        "functions — each a partitioned sort, fully distributed, no "
+        "UDF, no iteration. All arithmetic in exact milli-integers "
+        "(mean via BIGINT div), so both engines agree bit-for-bit",
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    m = d.groupBy("event_type").agg(
+        F.expr("sum(cnt) * 1000 div count(*)").cast("long").alias("mean_milli")
+    )
+    x = d.join(m, "event_type").withColumn(
+        "dev",
+        F.col("cnt") * 1000 - F.col("mean_milli")
+        - F.expr("mean_milli div 10"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = x.withColumn("run_sum", F.sum("dev").over(w))
+    cusum = F.col("run_sum") - F.least(F.min("run_sum").over(w), F.lit(0))
+    return r.select(
+        "event_type",
+        "day",
+        "cnt",
+        cusum.cast("long").alias("cusum_milli"),
+        F.when(cusum > F.col("mean_milli"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("changepoint_flag"),
+    )
+
+
+# =========================================================================
+# Matryoshka truncated-dimension recall
+# =========================================================================
+
+_MRL_QUERIES = 20   # vec_id < 20 are the query set
+_MRL_PREFIX = 16    # truncated dimension count (full = 64)
+_MRL_K = 10
+
+
+@register(
+    "embedding_matryoshka_prefix_recall",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {_MRL_QUERIES}
+    ), p AS (
+      SELECT q.qid, e.vec_id,
+             {cosine_similarity_sql('e.embedding', 'q.qv')} AS cf,
+             {cosine_similarity_sql(
+                 f'e.embedding[1:{_MRL_PREFIX}]', f'q.qv[1:{_MRL_PREFIX}]'
+             )} AS cp
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid
+    ), r AS (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cf DESC NULLS LAST, vec_id) AS rf,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cp DESC NULLS LAST, vec_id) AS rp
+      FROM p
+    )
+    SELECT qid AS query_id,
+           CAST(sum(CASE WHEN rf <= {_MRL_K} AND rp <= {_MRL_K}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(sum(CASE WHEN rf <= {_MRL_K} AND rp <= {_MRL_K}
+                    THEN 1 ELSE 0 END) * 1000 // {_MRL_K} AS BIGINT)
+             AS recall_milli
+    FROM r GROUP BY qid
+    """,
+    doc=f"Matryoshka (MRL) truncation audit: for {_MRL_QUERIES} query "
+        f"vectors, how much of the full-64-dim cosine top-{_MRL_K} "
+        f"survives when ranking by the first {_MRL_PREFIX} dims only — "
+        "the measurement that decides whether the ANN index can store "
+        "1/4 the floats. One broadcast of the query set against a "
+        "fully parallel scan, two row_number windows partitioned by "
+        "query (each a bounded per-query sort), one aggregate; at "
+        "100 TB the candidate scan is the only big input and it "
+        "shuffles once on qid for the window. Cosine accumulation "
+        "order identical on both engines (functions/vectors.py); "
+        "unique vec_id tie-break, NULLS LAST pinned",
+)
+def embedding_matryoshka_prefix_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _MRL_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    pairs = e.select("vec_id", "embedding").crossJoin(q).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        cosine_similarity("embedding", "qv").alias("cf"),
+        cosine_similarity(
+            F.slice("embedding", 1, _MRL_PREFIX), F.slice("qv", 1, _MRL_PREFIX)
+        ).alias("cp"),
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("cf").desc_nulls_last(), "vec_id"
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.col("cp").desc_nulls_last(), "vec_id"
+    )
+    ranked = scored.select(
+        "qid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    hit = F.when(
+        (F.col("rf") <= _MRL_K) & (F.col("rp") <= _MRL_K), F.lit(1)
+    ).otherwise(F.lit(0))
+    return ranked.groupBy(F.col("qid").alias("query_id")).agg(
+        F.sum(hit).cast("long").alias("n_overlap"),
+        F.expr(
+            f"sum(CASE WHEN rf <= {_MRL_K} AND rp <= {_MRL_K} "
+            f"THEN 1 ELSE 0 END) * 1000 div {_MRL_K}"
+        )
+        .cast("long")
+        .alias("recall_milli"),
+    )

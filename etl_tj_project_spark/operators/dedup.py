@@ -1265,6 +1265,129 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def prefix_filter_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment self-join at C(a→b) >= t_num/t_den,
+    where C(a→b) = |A∩B| / |A| over distinct word-``ngram`` shingle
+    sets — the near-dup relation Jaccard misses: a short document
+    quoted wholesale inside a long one has high containment but low
+    Jaccard (the union is dominated by the long side). Training-data
+    pipelines use this to drop subsumed fragments while keeping the
+    superset document.
+
+    Prefix filter, containment form: order shingles rarest-first
+    (global (df, term) order). If |A∩B| >= ceil(t*|A|) then B must hit
+    at least one of A's first |A| - ceil(t*|A|) + 1 shingles
+    (pigeonhole) — so candidates come from joining A's PREFIX postings
+    against B's FULL postings. Unlike the Jaccard variant there is no
+    size bound on B, hence no prefix on the B side; completeness is
+    exact, zero false negatives by construction.
+
+    All membership arithmetic is integer: required overlap is
+    ceil(t*|A|) = (t_num*|A| + t_den - 1) div t_den and the final test
+    is cross-multiplied (t_den * inter >= t_num * |A|); the reported
+    ``containment_milli`` is BIGINT `div` too.
+
+    At 100 TB: same stage shape as :func:`prefix_filter_jaccard_pairs`
+    — one shingle-distinct shuffle, one df aggregation, one per-doc
+    window for prefix ranks, one term-keyed candidate join (fan-out
+    bounded per RARE term), two id-keyed joins for exact verification.
+    Output pairs are ordered (doc_a = the contained side), both
+    directions emitted independently.
+    """
+    sh = F.array_distinct(
+        F.when(
+            F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+                        - F.lit(ngram - 1),
+                        F.lit(1),
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                        i,
+                        ngram,
+                    ),
+                    " ",
+                ),
+            )
+        )
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(sh).alias("__term")
+    )
+    sizes = toks.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    )
+    dfreq = toks.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    from pyspark.sql import Window as _W
+
+    rn = F.row_number().over(_W.partitionBy("__id").orderBy("__df", "__term"))
+    ranked = (
+        toks.join(dfreq, "__term")
+        .join(sizes, "__id")
+        .select("__id", "__term", "__sz", rn.alias("__rn"))
+    )
+    req = F.floor(
+        (F.lit(t_num) * F.col("__sz") + F.lit(t_den - 1)) / F.lit(t_den)
+    ).cast("long")
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("__sz") - req + F.lit(1)
+    ).select(F.col("__id").alias("doc_a"), "__term")
+
+    # A-prefix × B-full candidate join (a != b; both directions kept —
+    # containment is directional).
+    cand = (
+        prefix.join(
+            toks.select(F.col("__id").alias("doc_b"), "__term"), "__term"
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("__id").alias("doc_a"), F.col("__term"))
+    tb = toks.select(F.col("__id").alias("doc_b"), F.col("__term"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "__term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("doc_a"), F.col("__sz").alias("sz_a"))
+    return (
+        inter.join(sa, "doc_a")
+        .filter(F.lit(t_den) * F.col("n_inter") >= F.lit(t_num) * F.col("sz_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "sz_a",
+            (F.col("n_inter") * F.lit(1000)).cast("long").alias("__num"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "sz_a",
+            F.expr("__num div sz_a").cast("long").alias("containment_milli"),
+        )
+    )
+
+
 def narrow_persisted(
     df: DataFrame,
     key: str,
