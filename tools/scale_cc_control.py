@@ -8,21 +8,29 @@ edges grow superlinearly in copy count and CC measured 16.9× wall at
 10× data. That confounds "the graph got denser" with "the algorithm
 degrades". This control separates them with a measurement:
 
-* copies here get EVERY token suffixed with a per-copy tag (`_c<i>`),
-  so copy i of doc d shares ZERO shingles with any other copy index —
-  cross-copy edges are impossible by construction;
-* WITHIN a copy index the corpus is token-isomorphic to sf0.1 (a
-  bijective token rename never changes set equalities), so the
-  duplicate structure — families, rates, clique sizes — is exactly
-  sf0.1's, ten times over;
+* copies here get a per-copy CAESAR ROTATION of the [a-z0-9] ring
+  applied to every character (copy 0 untouched). The minhash path
+  shingles CHAR 8-grams of normalized_text (lower + strip
+  non-alphanumerics), and a character bijection preserves every
+  within-copy set relation EXACTLY while making a cross-copy 8-gram
+  match require an 8-char coincidence between one doc's text and
+  another's rotation — vanishing. (First attempt suffixed every TOKEN
+  with `_c<i>`; normalization strips the underscore and most 8-char
+  windows avoid the one digit, so copies stayed near-dups of each
+  other and edges measured 74x — a token-level rename does NOT
+  isolate a char-shingle dedup. The rename must act at the same
+  granularity the shingles do.)
+* WITHIN a copy index the corpus is character-isomorphic to sf0.1,
+  so the duplicate structure — families, rates, clique sizes — is
+  exactly sf0.1's, ten times over;
 * therefore LSH candidate edges must grow ~linearly (≈10×) and a CC
   implementation that is O(E · rounds) should show near-linear wall
   growth. If it doesn't, THAT is an algorithmic finding, not an
   inflation artifact.
 
 Caveat recorded with the result: minhash band collisions are not
-strictly rename-invariant (md5 values change), so the edge count per
-copy index can wobble a few percent around sf0.1's — the edge-count
+strictly rename-invariant (md5 values change under rotation), so the
+edge count per copy index can wobble around sf0.1's — the edge-count
 axis is REPORTED so the ratio is read against measured edges, not
 assumed ones.
 
@@ -60,23 +68,21 @@ def build_control(spark, out_dir: str) -> None:
     copies = df.select(
         F.explode(F.sequence(F.lit(0), F.lit(INFLATE - 1))).alias("__c"), "*"
     )
-    # Copy 0 byte-identical; copies i>0 rename every token with a
-    # per-copy suffix — a bijection on the token alphabet, so the
-    # within-copy duplicate structure is exactly sf0.1's while
-    # cross-copy shingle overlap is zero.
-    retag = F.array_join(
-        F.transform(
-            F.split(F.trim(F.col("text")), r"\s+"),
-            lambda t: F.concat(t, F.lit("_c"), F.col("__c").cast("string")),
-        ),
-        " ",
-    )
+    # Copy 0 byte-identical; copies i>0 get a Caesar rotation of the
+    # [a-z0-9] ring applied per CHARACTER — a bijection at exactly the
+    # granularity the minhash path shingles (char 8-grams of
+    # normalized_text), so within-copy duplicate structure is exactly
+    # sf0.1's while cross-copy 8-gram overlap is an 8-char coincidence.
+    ring = "abcdefghijklmnopqrstuvwxyz0123456789"
+    text = F.col("text")
+    for i in range(1, INFLATE):
+        rot = ring[i:] + ring[:i]
+        text = F.when(
+            F.col("__c") == i, F.translate(F.col("text"), ring, rot)
+        ).otherwise(text)
     out = (
         copies.withColumn("doc_id", F.col("doc_id") + F.col("__c") * shift)
-        .withColumn(
-            "text",
-            F.when(F.col("__c") == 0, F.col("text")).otherwise(retag),
-        )
+        .withColumn("text", text)
         .drop("__c")
     )
     out.repartition(32).write.mode("overwrite").parquet(
