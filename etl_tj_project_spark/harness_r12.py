@@ -379,22 +379,40 @@ _MRL_K = 10
 def embedding_matryoshka_prefix_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from etl_tj_project_spark.functions.vectors import dot_product, l2_norm
+
     e = load_table(spark, sf_dir, "embeddings")
+    # Norms hoisted to per-VECTOR projections (computed once per row on
+    # each side) instead of per pair inside cosine_similarity — at
+    # n_vectors x n_queries pairs that saves 2 of the 3 dot products
+    # per ranking column. The arithmetic per pair is unchanged
+    # (same doubles multiplied/divided in the same order), so the
+    # inline-norm oracle SQL stays bit-identical.
+    pre = F.slice("embedding", 1, _MRL_PREFIX)
+    cand = e.select(
+        "vec_id",
+        "embedding",
+        pre.alias("emb_p"),
+        l2_norm("embedding").alias("nf"),
+        l2_norm(pre).alias("np"),
+    )
     q = F.broadcast(
-        e.filter(F.col("vec_id") < _MRL_QUERIES).select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        cand.filter(F.col("vec_id") < _MRL_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("emb_p").alias("qv_p"),
+            F.col("nf").alias("qnf"),
+            F.col("np").alias("qnp"),
         )
     )
-    pairs = e.select("vec_id", "embedding").crossJoin(q).filter(
-        F.col("vec_id") != F.col("qid")
-    )
+    pairs = cand.crossJoin(q).filter(F.col("vec_id") != F.col("qid"))
+    den_f = F.col("nf") * F.col("qnf")
+    den_p = F.col("np") * F.col("qnp")
     scored = pairs.select(
         "qid",
         "vec_id",
-        cosine_similarity("embedding", "qv").alias("cf"),
-        cosine_similarity(
-            F.slice("embedding", 1, _MRL_PREFIX), F.slice("qv", 1, _MRL_PREFIX)
-        ).alias("cp"),
+        F.when(den_f > 0, dot_product("embedding", "qv") / den_f).alias("cf"),
+        F.when(den_p > 0, dot_product("emb_p", "qv_p") / den_p).alias("cp"),
     )
     wf = Window.partitionBy("qid").orderBy(
         F.col("cf").desc_nulls_last(), "vec_id"

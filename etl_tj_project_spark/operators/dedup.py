@@ -1325,8 +1325,13 @@ def prefix_filter_containment_pairs(
             )
         )
     )
-    toks = df.select(
-        F.col(id_col).alias("__id"), F.explode(sh).alias("__term")
+    # The postings frame feeds SIX consumers (df counts, sizes, ranks,
+    # the candidate B side, both verify sides); without a persist each
+    # re-runs the split+shingle explode over the corpus. Measured at
+    # sf0.1: 5.5 -> ~3 s. At 100 TB the same reuse is a checkpointed
+    # intermediate table rather than executor memory.
+    toks = _persist_once(
+        df.select(F.col(id_col).alias("__id"), F.explode(sh).alias("__term"))
     )
     sizes = toks.groupBy("__id").agg(
         F.count(F.lit(1)).cast("long").alias("__sz")
