@@ -431,6 +431,28 @@ def main() -> None:
     if len(line) > 1700:
         headline.pop("strain_sec", None)
         line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1700:
+        # Rung 3 (round 12, headline grew to 52 queries): the driver
+        # parses only the LAST ~2000-char line, so shed the diagnostic
+        # fields from THAT line — they are still printed just above on
+        # their own JSON line (and live in BENCH_FULL_LATEST.json); the
+        # driver-recorded object keeps the contract core (metric,
+        # value, unit, queries, sf). Worst-case core length with the
+        # current 52-name cohort is 1685 — the driver-tail guard test
+        # pins this and fails the suite before a name push overflows.
+        diags = {
+            k: headline.pop(k)
+            for k in list(headline)
+            if k not in ("metric", "value", "unit", "queries", "sf")
+        }
+        print(
+            json.dumps(
+                {"metric": "headline_diagnostics", **diags},
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
+        line = json.dumps(headline, separators=(",", ":"))
     import sys
 
     sys.stdout.flush()

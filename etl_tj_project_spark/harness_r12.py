@@ -437,3 +437,171 @@ def embedding_matryoshka_prefix_recall(
         .cast("long")
         .alias("recall_milli"),
     )
+
+
+# =========================================================================
+# Round-12 pack, wave 2: LOCF/NOCB gap fill, business-day arithmetic,
+# log2-bucket histogram
+# =========================================================================
+
+@register(
+    "locf_backfill_pack",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END
+               AS value_masked
+      FROM events
+    )
+    SELECT event_id, user_id, value_masked,
+           last_value(value_masked IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS locf_value,
+           first_value(value_masked IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS nocb_value
+    FROM base
+    """,
+    doc="LOCF / NOCB gap fill — the hypertable sensor-series repair "
+        "pair (last-observation-carried-forward and "
+        "next-observation-carried-backward). 'Missing' is a SEMANTIC "
+        "rule (error events carry no measurement), not synthesized "
+        "NULLs. Both directions are IGNORE NULLS window functions over "
+        "one (user, time) sort — Spark evaluates the two frames off "
+        "the same partitioned sort, one exchange total; "
+        "complementary to time_bucket_interpolate (which fills by "
+        "linear interpolation between neighbors, this carries "
+        "observations). Unique (ts_us, event_id) tie-break",
+)
+def locf_backfill_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_masked"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    locf = F.last("value_masked", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nocb = F.first("value_masked", ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "value_masked",
+        locf.alias("locf_value"),
+        nocb.alias("nocb_value"),
+    )
+
+
+@register(
+    "business_day_pack",
+    """
+    WITH d AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             isodow(CAST(o_orderdate AS DATE)) - 1 AS wd
+      FROM orders
+    )
+    SELECT o_orderkey, order_date,
+           order_date + CAST(CASE wd WHEN 4 THEN 3 WHEN 5 THEN 2 ELSE 1 END
+                             AS INTEGER) AS next_bday,
+           order_date + CAST((CASE wd WHEN 5 THEN 2 WHEN 6 THEN 1 ELSE 0 END)
+                             + 7 AS INTEGER) AS bday_plus5,
+           CAST(len(list_filter(range(1, 31),
+                i -> isodow(order_date + i::INTEGER) <= 5)) AS BIGINT)
+             AS bdays_next30
+    FROM d
+    """,
+    doc="Business-day arithmetic pack (weekend-skip; holiday tables "
+        "would broadcast-anti-join on top): next business day "
+        "(Fri +3 / Sat +2 / else +1), plus-5-business-days (roll a "
+        "weekend start to Monday, then one calendar week — the "
+        "standard settlement-date rule), and the business-day count in "
+        "the next 30 calendar days via an unrolled 30-element "
+        "filter(sequence) — per-row expression work, no shuffle beyond "
+        "the scan. Weekday convention pinned cross-engine: Spark "
+        "weekday() is 0=Monday, DuckDB isodow()-1 matches it exactly",
+)
+def business_day_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.expr("weekday(CAST(o_orderdate AS DATE))").alias("wd"),
+    )
+    next_off = (
+        F.when(F.col("wd") == 4, 3).when(F.col("wd") == 5, 2).otherwise(1)
+    )
+    roll_off = (
+        F.when(F.col("wd") == 5, 2).when(F.col("wd") == 6, 1).otherwise(0)
+    )
+    return d.select(
+        "o_orderkey",
+        "order_date",
+        F.expr(
+            "date_add(order_date, CASE wd WHEN 4 THEN 3 WHEN 5 THEN 2 "
+            "ELSE 1 END)"
+        ).alias("next_bday"),
+        F.expr(
+            "date_add(order_date, (CASE wd WHEN 5 THEN 2 WHEN 6 THEN 1 "
+            "ELSE 0 END) + 7)"
+        ).alias("bday_plus5"),
+        F.expr(
+            "size(filter(sequence(1, 30), "
+            "i -> weekday(date_add(order_date, i)) < 5))"
+        )
+        .cast("long")
+        .alias("bdays_next30"),
+    )
+
+
+@register(
+    "log2_bucket_histogram",
+    """
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT CAST(length(printf('%b', cents)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT)  AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM c GROUP BY 1
+    """,
+    doc="Power-of-two (log2) bucket histogram of order totals — the "
+        "long-tail profiling shape linear buckets "
+        "(histogram_fixed_buckets) can't show. floor(log2(x)) computed "
+        "EXACTLY as binary-representation length minus one (Spark "
+        "length(bin(x)), DuckDB length(printf('%b', x))) — no floating "
+        "log whose rounding could flip a value at a bucket boundary; "
+        "money through DECIMAL(18,2) cents so the sums are exact "
+        "BIGINTs. One scan, one aggregate over ~30 buckets",
+)
+def log2_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.schemas import AMOUNT
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(AMOUNT) * 100).cast("long")
+    return (
+        o.select(cents.alias("cents"))
+        .groupBy(
+            (F.length(F.bin(F.col("cents"))) - 1)
+            .cast("long")
+            .alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )

@@ -161,8 +161,10 @@ def test_bench_headline_line_fits_driver_tail():
         "value_pass2": 9999.9999,
     }
     # Replay bench.py's actual degradation ladder: full precision,
-    # then 2-decimal queries, then dropping strain_sec — the FINAL
-    # rung must fit even at worst-case numeric widths.
+    # then 2-decimal queries, then dropping strain_sec, then (round 12,
+    # 52-query cohort) shedding every diagnostic field from the
+    # driver-parsed line (they move to their own preceding JSON line) —
+    # the FINAL rung must fit even at worst-case numeric widths.
     line = json.dumps(fake, separators=(",", ":"))
     if len(line) > 1700:
         fake["queries"] = {k: round(v, 2) for k, v in fake["queries"].items()}
@@ -170,10 +172,18 @@ def test_bench_headline_line_fits_driver_tail():
     if len(line) > 1700:
         fake.pop("strain_sec", None)
         line = json.dumps(fake, separators=(",", ":"))
+    if len(line) > 1700:
+        core = ("metric", "value", "unit", "queries", "sf")
+        fake = {k: v for k, v in fake.items() if k in core}
+        line = json.dumps(fake, separators=(",", ":"))
     assert len(line) <= 1700, (
         f"headline line bottoms out at {len(line)} chars even after "
         "degradation; trim HEADLINE or add a rung in bench.py"
     )
+    # The driver contract core must SURVIVE the last rung intact.
+    parsed = json.loads(line)
+    assert set(parsed) >= {"metric", "value", "unit", "queries", "sf"}
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
 
 
 def test_suite_and_driver_sessions_run_ansi_on(spark):

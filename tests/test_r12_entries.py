@@ -218,3 +218,71 @@ def test_matryoshka_recall_bounds(spark):
     # Prefix ranking must carry SOME signal at 16/64 dims: on average
     # strictly better than the ~10/499 expected under a random ranking.
     assert sum(r.n_overlap for r in rows) / len(rows) > 1.0
+
+
+# -------------------------------------------------------------------------
+# Wave 2: LOCF/NOCB, business days, log2 buckets
+# -------------------------------------------------------------------------
+
+def test_locf_nocb_match_sequential_scan(spark):
+    ent = harness.REGISTRY["locf_backfill_pack"]
+    got = {
+        r.event_id: (r.value_masked, r.locf_value, r.nocb_value)
+        for r in ent.spark(spark, SF_SMOKE).collect()
+    }
+    from etl_tj_project_spark.sources.testdata import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+                "event_type", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        masked = None if r.event_type == "error" else r.value
+        by_user.setdefault(r.user_id, []).append((r.ts_us, r.event_id, masked))
+    expect = {}
+    for rows in by_user.values():
+        rows.sort()
+        carried = None
+        fwd = []
+        for ts, eid, v in rows:
+            carried = v if v is not None else carried
+            fwd.append(carried)
+        nxt = None
+        back = [None] * len(rows)
+        for i in range(len(rows) - 1, -1, -1):
+            nxt = rows[i][2] if rows[i][2] is not None else nxt
+            back[i] = nxt
+        for (ts, eid, v), f, b in zip(rows, fwd, back):
+            expect[eid] = (v, f, b)
+    assert got == expect
+
+
+def test_business_day_pack_invariants(spark):
+    import datetime as dt
+
+    ent = harness.REGISTRY["business_day_pack"]
+    for r in ent.spark(spark, SF_SMOKE).collect():
+        d = r.order_date
+        assert r.next_bday > d and r.next_bday.weekday() < 5
+        assert r.bday_plus5.weekday() < 5
+        # roll-to-Monday-then-a-week semantics
+        roll = {5: 2, 6: 1}.get(d.weekday(), 0)
+        assert r.bday_plus5 == d + dt.timedelta(days=roll + 7)
+        assert r.bdays_next30 == sum(
+            1 for i in range(1, 31)
+            if (d + dt.timedelta(days=i)).weekday() < 5
+        )
+
+
+def test_log2_buckets_are_bit_lengths(spark):
+    ent = harness.REGISTRY["log2_bucket_histogram"]
+    rows = ent.spark(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.log2_bucket == r.min_cents.bit_length() - 1
+        assert r.log2_bucket == r.max_cents.bit_length() - 1
+        assert 2 ** r.log2_bucket <= r.min_cents <= r.max_cents
+        assert r.max_cents < 2 ** (r.log2_bucket + 1)
