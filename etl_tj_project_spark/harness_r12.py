@@ -605,3 +605,95 @@ def log2_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("long").alias("max_cents"),
         )
     )
+
+
+# =========================================================================
+# Round-12 pack, wave 3: Spark 4 SQL pipe syntax + collation semantics
+# =========================================================================
+
+_PIPE_SQL = """
+    FROM {orders}
+    |> WHERE o_orderstatus = 'F'
+    |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DECIMAL(18,2)) AS revenue
+       GROUP BY o_orderpriority
+    |> WHERE n_orders > 100
+    |> SELECT o_orderpriority, n_orders, revenue
+"""
+
+
+@register(
+    "sql_pipe_syntax_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 100
+    """,
+    doc="Spark 4 SQL pipe syntax (|> operators): filter |> aggregate "
+        "|> post-aggregation filter |> projection, chained in reading "
+        "order the way the GoogleSQL pipe paper argues analysts think. "
+        "Parses to the IDENTICAL logical plan as the nested form (the "
+        "oracle restates it as plain ANSI WHERE/GROUP BY/HAVING), so "
+        "this pins that the surface exists and optimizes normally — "
+        "pushdown, partial aggregation, the works. Money through "
+        "DECIMAL(18,2) before summing, per house rule",
+)
+def sql_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("r12_orders")
+    return spark.sql(_PIPE_SQL.format(orders="r12_orders"))
+
+
+@register(
+    "collation_lcase_semantics",
+    """
+    WITH t AS (
+      SELECT p_type,
+             CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
+                  ELSE upper(p_type) END AS p_type_mixed
+      FROM part
+    )
+    SELECT CAST(count(DISTINCT p_type_mixed) AS BIGINT)
+             AS distinct_binary,
+           CAST(count(DISTINCT lower(p_type_mixed)) AS BIGINT)
+             AS distinct_lcase,
+           CAST(sum(CASE WHEN lower(p_type_mixed) = lower(p_type)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS eq_lcase_rows
+    FROM t
+    """,
+    doc="Spark 4 collation semantics (UTF8_LCASE): distinct-count and "
+        "equality under a case-insensitive collation vs binary "
+        "collation, over a deterministically case-mangled p_type "
+        "(even keys lowered, odd keys uppered). The Spark side uses "
+        "REAL collated expressions — collate(x, 'UTF8_LCASE') drives "
+        "the distinct-hash and the = comparison — while the oracle "
+        "restates the same semantics with lower() (exactly equivalent "
+        "on this ASCII corpus; ICU edge cases like dotted-I are the "
+        "collation's value-add and are out of testdata scope). "
+        "Scalars only — collated GROUP BY keys pick a nondeterministic "
+        "case representative, so the entry returns counts, never a "
+        "collated key column",
+)
+def collation_lcase_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.lower("p_type")
+    ).otherwise(F.upper("p_type"))
+    t = p.select("p_type", mixed.alias("p_type_mixed"))
+    lc = F.expr("collate(p_type_mixed, 'UTF8_LCASE')")
+    return t.agg(
+        F.countDistinct("p_type_mixed").cast("long").alias("distinct_binary"),
+        F.countDistinct(lc).cast("long").alias("distinct_lcase"),
+        F.sum(
+            F.when(
+                lc == F.expr("collate(p_type, 'UTF8_LCASE')"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("eq_lcase_rows"),
+    )
