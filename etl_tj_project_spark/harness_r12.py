@@ -697,3 +697,250 @@ def collation_lcase_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("eq_lcase_rows"),
     )
+
+
+# =========================================================================
+# Round-12 pack, wave 4: integration entries — tokenizer fertility,
+# dedup-cluster canonicalization, bigram continuation fluency
+# =========================================================================
+
+def _bpe_seq_fold_sql(merges) -> str:
+    """DuckDB greedy-fold expression for one word under a merge table
+    (same representation as harness_llmdata2._bpe_encode_oracle)."""
+    seq = "regexp_replace(word, '(.)', '|\\1|', 'g')"
+    for a, b in merges:
+        seq = f"replace({seq}, '|{a}||{b}|', '|{a}{b}|')"
+    return seq
+
+
+def _fertility_oracle() -> str:
+    from etl_tj_project_spark.harness_llmdata2 import BPE_FIXED_MERGES
+
+    seq = _bpe_seq_fold_sql(BPE_FIXED_MERGES)
+    return f"""
+    WITH words AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ), wl AS (
+      SELECT lang, word, count(*) AS wfreq FROM words GROUP BY 1, 2
+    ), vocab AS (SELECT DISTINCT word FROM words),
+    enc AS (
+      SELECT word,
+             len(str_split(trim({seq}, '|'), '||')) AS n_pieces
+      FROM vocab
+    )
+    SELECT lang,
+           CAST(sum(wfreq) AS BIGINT)            AS n_words,
+           CAST(sum(wfreq * n_pieces) AS BIGINT) AS n_pieces_total,
+           CAST(sum(wfreq * n_pieces) * 1000 // sum(wfreq) AS BIGINT)
+             AS fertility_milli
+    FROM wl JOIN enc USING (word) GROUP BY lang
+    """
+
+
+@register(
+    "bpe_fertility_by_lang",
+    _fertility_oracle(),
+    doc="Tokenizer FERTILITY audit (pieces per word) per language under "
+        "the fixed BPE merge table — the measurement that decides "
+        "whether a tokenizer underserves a language (high fertility = "
+        "more pieces per word = fewer effective context tokens; the "
+        "multilingual-tokenizer fairness number). Encoding runs once "
+        "over the distinct-word VOCABULARY (operators/bpe."
+        "encode_corpus_vocab — one exact-dedup shuffle, all merge "
+        "folds in one expression tree), then joins back to per-(lang, "
+        "word) counts; fertility is BIGINT-div milli. Integrates three "
+        "families: tokenizer, corpus stats, language analysis",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.harness_llmdata2 import BPE_FIXED_MERGES
+    from etl_tj_project_spark.operators import bpe as bpe_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    wl = words.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("wfreq")
+    )
+    enc = bpe_ops.encode_corpus_vocab(docs, BPE_FIXED_MERGES).select(
+        "word", F.size("symbols").alias("n_pieces")
+    )
+    return (
+        wl.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("wfreq").cast("long").alias("n_words"),
+            F.sum(F.col("wfreq") * F.col("n_pieces"))
+            .cast("long")
+            .alias("n_pieces_total"),
+            F.expr("sum(wfreq * n_pieces) * 1000 div sum(wfreq)")
+            .cast("long")
+            .alias("fertility_milli"),
+        )
+    )
+
+
+def _canonicalize_oracle() -> str:
+    bands = dd.minhash_bands_sql(
+        "documents", "doc_id", "text", num_hashes=8, bands=4
+    )
+    return f"""
+    WITH RECURSIVE b AS (SELECT * FROM ({bands}) raw_bands),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM b a JOIN b c ON a.band = c.band AND a.h = c.h
+                       AND a.doc_id < c.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS n, doc_b AS m FROM pairs
+      UNION
+      SELECT doc_b AS n, doc_a AS m FROM pairs
+    ),
+    walk(n, r) AS (
+      SELECT n, m FROM sym
+      UNION
+      SELECT w.n, s.m FROM walk w JOIN sym s ON s.n = w.r
+    ),
+    comp AS (
+      SELECT n AS node, least(n, MIN(r)) AS component_id
+      FROM walk GROUP BY n
+    ),
+    allrows AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY component_id
+                 ORDER BY n_chars DESC, doc_id) AS rn
+      FROM allrows
+    ),
+    m AS (SELECT component_id, count(*) AS n_members FROM allrows GROUP BY 1)
+    SELECT r.component_id,
+           r.doc_id AS canonical_doc_id,
+           CAST(r.n_chars AS BIGINT) AS canonical_n_chars,
+           CAST(m.n_members AS BIGINT) AS n_members
+    FROM ranked r JOIN m USING (component_id)
+    WHERE r.rn = 1
+    """
+
+
+@register(
+    "dedup_cluster_canonicalize",
+    _canonicalize_oracle(),
+    doc="The dedup DECISION end-to-end: LSH candidate graph → connected "
+        "components → pick ONE canonical survivor per near-dup cluster "
+        "(longest document, doc_id tie-break — the C4/RefinedWeb keep "
+        "rule), singletons kept as their own canonicals via the "
+        "left-join fallback. Output is the survivor manifest a rewrite "
+        "stage consumes: (component, canonical doc, size). Composes "
+        "lsh_candidate_pairs + the size-dispatched connected_components "
+        "+ one ranked window over (component, n_chars) — each stage "
+        "already individually driver-checked; this entry hash-checks "
+        "their COMPOSITION against a single recursive-CTE oracle",
+)
+def dedup_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
+    labels = dd.connected_components(pairs, "doc_a", "doc_b")
+    full = (
+        d.select("doc_id", "n_chars")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    members = full.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    canon = (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").cast("long").alias("canonical_n_chars"),
+        )
+    )
+    return canon.join(members, "component_id")
+
+
+@register(
+    "bigram_fluency_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+             END AS t
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+    ), uni AS (
+      SELECT w1 AS w, count(*) AS c1 FROM bi GROUP BY 1
+    ), big AS (
+      SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2
+    ), scored AS (
+      SELECT b.doc_id, big.c2 * 1000 // uni.c1 AS cont_milli
+      FROM bi b JOIN big USING (w1, w2) JOIN uni ON uni.w = b.w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(cont_milli) // count(*) AS BIGINT)
+             AS fluency_milli
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram continuation fluency — the KenLM-shaped quality signal "
+        "without floating logs: for each adjacent word pair, the "
+        "corpus-wide continuation probability P(w2|w1) = c(w1 w2)/c(w1) "
+        "in exact milli-integers, averaged per document. Documents "
+        "whose bigrams are corpus-typical score high; shuffled or "
+        "machine-garbled text scores low (its bigrams are rare "
+        "continuations of their heads). Two corpus-stat shuffles "
+        "(unigram heads, bigrams) + one candidate join back; the "
+        "integer mean (sum div count) keeps both engines bit-identical "
+        "where a log-space perplexity would hinge on libm rounding. "
+        "Docs with < 2 tokens have no bigrams and drop out, documented",
+)
+def bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(
+        F.trim("text") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = bi.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bi.join(big, ["w1", "w2"])
+        .join(uni, bi["w1"] == uni["w"])
+        .select("doc_id", F.expr("c2 * 1000 div c1").alias("cont_milli"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("sum(cont_milli) div count(*)")
+        .cast("long")
+        .alias("fluency_milli"),
+    )
