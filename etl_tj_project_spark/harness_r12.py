@@ -844,9 +844,16 @@ def _canonicalize_oracle() -> str:
         "their COMPOSITION against a single recursive-CTE oracle",
 )
 def dedup_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.harness import dedup_connected_components
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
-    labels = dd.connected_components(pairs, "doc_a", "doc_b")
+    # Consume the CC ENTRY (not raw connected_components): its labels
+    # come back parquet-materialized with the checkpoint blocks already
+    # released, so this plan composes windows over a FileScan — the
+    # size-dispatched numpy path stays an internal detail of the CC
+    # stage, exactly as it does for the CC entry itself (the JVM-purity
+    # sweep sees no MapInPandas here).
+    labels = dedup_connected_components(spark, sf_dir)
     full = (
         d.select("doc_id", "n_chars")
         .join(labels, d["doc_id"] == labels["node"], "left")
