@@ -2784,3 +2784,109 @@ def test_join_agg_class_is_not_vacuous(spark, li_view):
                 saw_unmatched = True
     assert saw_null_group, "no case produced a NULL group"
     assert saw_unmatched, "no LEFT JOIN case kept an unmatched left group"
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE fuzzing (round 12): Spark 4's UnionLoop vs DuckDB's
+# recursive executor on randomized linear recursions — seeds from a
+# grouped scan, a random affine step, a random bound. Probes iteration
+# count, accumulator arithmetic, and anchor-duplicate semantics, the
+# three places a recursion can silently diverge.
+# ---------------------------------------------------------------------------
+
+def _gen_recursive(n: int) -> list[tuple[int, int]]:
+    rng = random.Random(20260825)
+    return [(rng.randint(1, 7), rng.randint(10, 60)) for _ in range(n)]
+
+
+RECURSIVE_CASES = _gen_recursive(8)
+
+
+def _recursive_sql(step: int, bound: int, t: str) -> str:
+    return f"""
+    WITH RECURSIVE r(k, n, acc) AS (
+      SELECT l_linenumber, CAST(l_linenumber AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM {t} GROUP BY l_linenumber
+      UNION ALL
+      SELECT k, n + {step}, acc + n FROM r WHERE n < {bound}
+    )
+    SELECT k,
+           CAST(max(n) AS BIGINT)   AS n_final,
+           CAST(max(acc) AS BIGINT) AS acc_total,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM r GROUP BY k
+    """
+
+
+@pytest.mark.parametrize("idx", range(len(RECURSIVE_CASES)))
+def test_random_recursive_cte_matches_oracle(spark, duck, li_view, idx):
+    step, bound = RECURSIVE_CASES[idx]
+    sdf = spark.sql(_recursive_sql(step, bound, li_view))
+    compare(sdf, duck, _recursive_sql(step, bound, "lineitem"))
+
+
+def test_recursive_class_is_not_vacuous(spark, li_view):
+    """Every case must actually ITERATE (n_rows > 1 for some seed) —
+    a bound below every seed value would make the class test nothing
+    but the anchor."""
+    for step, bound in RECURSIVE_CASES:
+        rows = spark.sql(_recursive_sql(step, bound, li_view)).collect()
+        assert any(r.n_rows > 1 for r in rows), (step, bound)
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL fuzzing (round 12): randomized per-group top-k
+# through the LATERAL (ORDER BY ... LIMIT k) decorrelation — random
+# affine-mod ordering expression, direction, and k. Probes the
+# WindowGroupLimit rewrite against DuckDB's direct lateral execution.
+# ---------------------------------------------------------------------------
+
+def _gen_lateral(n: int) -> list[tuple[int, int, int, str, int]]:
+    rng = random.Random(20260826)
+    out = []
+    for _ in range(n):
+        out.append((
+            rng.randint(1, 13),        # a
+            rng.randint(0, 97),        # b
+            rng.choice([7, 11, 13, 17, 19]),  # m
+            rng.choice(["ASC", "DESC"]),
+            rng.randint(1, 4),         # k
+        ))
+    return out
+
+
+LATERAL_CASES = _gen_lateral(6)
+
+
+def _lateral_sql(a: int, b: int, m: int, d: str, k: int,
+                 nat: str, cust: str) -> str:
+    return f"""
+    SELECT n.n_nationkey, t.c_custkey
+    FROM {nat} n,
+    LATERAL (
+      SELECT c_custkey FROM {cust} c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY (c_custkey * {a} + {b}) % {m} {d}, c_custkey
+      LIMIT {k}
+    ) t
+    """
+
+
+@pytest.fixture(scope="module")
+def cust_nat_views(spark):
+    load_table(spark, SF_SMOKE, "customer").createOrReplaceTempView(
+        "fuzz_customer"
+    )
+    load_table(spark, SF_SMOKE, "nation").createOrReplaceTempView(
+        "fuzz_nation"
+    )
+    return "fuzz_nation", "fuzz_customer"
+
+
+@pytest.mark.parametrize("idx", range(len(LATERAL_CASES)))
+def test_random_lateral_topk_matches_oracle(spark, duck, cust_nat_views, idx):
+    a, b, m, d, k = LATERAL_CASES[idx]
+    nat, cust = cust_nat_views
+    sdf = spark.sql(_lateral_sql(a, b, m, d, k, nat, cust))
+    compare(sdf, duck, _lateral_sql(a, b, m, d, k, "nation", "customer"))
