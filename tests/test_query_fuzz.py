@@ -2842,7 +2842,7 @@ def test_recursive_class_is_not_vacuous(spark, li_view):
 # WindowGroupLimit rewrite against DuckDB's direct lateral execution.
 # ---------------------------------------------------------------------------
 
-def _gen_lateral(n: int) -> list[tuple[int, int, int, str, int]]:
+def _gen_lateral_topk(n: int) -> list[tuple[int, int, int, str, int]]:
     rng = random.Random(20260826)
     out = []
     for _ in range(n):
@@ -2856,11 +2856,11 @@ def _gen_lateral(n: int) -> list[tuple[int, int, int, str, int]]:
     return out
 
 
-LATERAL_CASES = _gen_lateral(6)
+LATERAL_TOPK_CASES = _gen_lateral_topk(6)
 
 
-def _lateral_sql(a: int, b: int, m: int, d: str, k: int,
-                 nat: str, cust: str) -> str:
+def _lateral_topk_sql(a: int, b: int, m: int, d: str, k: int,
+                      nat: str, cust: str) -> str:
     return f"""
     SELECT n.n_nationkey, t.c_custkey
     FROM {nat} n,
@@ -2884,9 +2884,9 @@ def cust_nat_views(spark):
     return "fuzz_nation", "fuzz_customer"
 
 
-@pytest.mark.parametrize("idx", range(len(LATERAL_CASES)))
+@pytest.mark.parametrize("idx", range(len(LATERAL_TOPK_CASES)))
 def test_random_lateral_topk_matches_oracle(spark, duck, cust_nat_views, idx):
-    a, b, m, d, k = LATERAL_CASES[idx]
+    a, b, m, d, k = LATERAL_TOPK_CASES[idx]
     nat, cust = cust_nat_views
-    sdf = spark.sql(_lateral_sql(a, b, m, d, k, nat, cust))
-    compare(sdf, duck, _lateral_sql(a, b, m, d, k, "nation", "customer"))
+    sdf = spark.sql(_lateral_topk_sql(a, b, m, d, k, nat, cust))
+    compare(sdf, duck, _lateral_topk_sql(a, b, m, d, k, "nation", "customer"))
