@@ -136,10 +136,20 @@ def main() -> None:
 
         # Warm codegen, then interleaved best-of-2 at both scales in
         # one session (house A/B rule).
-        for q in ("dedup_minhash_lsh", "dedup_connected_components"):
+        CONTROL_QUERIES = (
+            "dedup_minhash_lsh",
+            "dedup_connected_components",
+            # Round-12 additions: the two operators whose near-dup-
+            # inflation scale rows read ~30x (scale_proof_r12.json) —
+            # this control separates quadratic-in-family-size OUTPUT
+            # growth from operator scaling at constant dup rate.
+            "dedup_containment_ngram",
+            "dedup_cluster_canonicalize",
+        )
+        for q in CONTROL_QUERIES:
             force(harness.REGISTRY[q].spark(spark, "/root/testdata/sf0.001"))
         out: dict[str, dict] = {}
-        for q in ("dedup_minhash_lsh", "dedup_connected_components"):
+        for q in CONTROL_QUERIES:
             rec = {"sf0.1": float("inf"), "control": float("inf")}
             for _ in range(2):
                 for label, d in (("sf0.1", SRC), ("control", work)):

@@ -47,6 +47,15 @@ QUERIES = [
     # classifier are exactly the shapes a scale point should cover).
     "sorted_export_ntile_ranges",
     "quality_classifier_inference",
+    # Round-12 document-bound additions: the prefix-filtered containment
+    # self-join (candidate growth is THE scale question), shuffle-free
+    # chunking (should be ~IO-linear), the bigram-LM join-back, and the
+    # full dedup decision (LSH -> CC -> canonical pick). Events/
+    # embeddings tables don't inflate, so their entries stay out.
+    "dedup_containment_ngram",
+    "chunk_documents_overlap",
+    "bigram_fluency_score",
+    "dedup_cluster_canonicalize",
 ]
 
 SHIFTED = {
