@@ -951,3 +951,129 @@ def bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fluency_milli"),
     )
+
+
+# =========================================================================
+# Round-12 pack, wave 5: source-format surface — XML roundtrip (Spark 4
+# built-in XML source), parquet mergeSchema physical evolution
+# =========================================================================
+
+@register(
+    "xml_write_roundtrip",
+    """
+    SELECT doc_id,
+           concat('a<b>&amp;</b> "', source, '" &x') AS hazard,
+           CASE WHEN lang = 'en' THEN NULL ELSE lang END AS maybe_null,
+           CAST(n_chars AS DECIMAL(18,2)) AS n_chars_dec,
+           DATE '2024-01-01' + CAST(doc_id % 7 AS INT) AS shard_date
+    FROM documents WHERE doc_id < 500
+    """,
+    doc="XML export/import fidelity under the correctness gate — the "
+        "fourth leg of the format matrix (parquet/ORC/CSV/JSONL "
+        "roundtrips exist), exercising Spark 4's BUILT-IN xml source "
+        "(the spark-xml package merged into core). The staged frame "
+        "carries the XML hazard classes: markup characters < > & and "
+        "double quotes in element text (forcing the writer's entity "
+        "escaping), a nullable column (absent element must come back "
+        "NULL), and DECIMAL/DATE that must survive text serialization "
+        "under an explicit read schema with rowTag pinned on both "
+        "sides. Oracle restates the staged values closed-form, so the "
+        "hash gate proves escaping + NULL + numeric fidelity through "
+        "the writer+reader pair. Scale note: XML is a line-splittable "
+        "format only per rowTag block; at 100 TB it is an INGEST "
+        "format — the first job rewrites to parquet",
+)
+def xml_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from etl_tj_project_spark.schemas import AMOUNT
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    staged = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('a<b>&amp;</b> "'), F.col("source"), F.lit('" &x')
+        ).alias("hazard"),
+        F.nullif(F.col("lang"), F.lit("en")).alias("maybe_null"),
+        F.col("n_chars").cast(AMOUNT).alias("n_chars_dec"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("doc_id") % 7).cast("int"),
+        ).alias("shard_date"),
+    )
+    out = tempfile.mkdtemp(prefix="tj_xml_roundtrip_")
+    try:
+        staged.write.mode("overwrite").format("xml").option(
+            "rowTag", "doc"
+        ).save(out)
+        back = (
+            spark.read.schema(staged.schema)
+            .format("xml")
+            .option("rowTag", "doc")
+            .load(out)
+        )
+        # Materialize so the temp dir can be removed now (documents is
+        # the small table; same pattern as the other format roundtrips).
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "parquet_merge_schema_evolution",
+    """
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(NULL AS VARCHAR)  AS lang,
+           CAST(1 AS BIGINT)      AS batch
+    FROM documents WHERE doc_id < 250
+    UNION ALL
+    SELECT doc_id,
+           CAST(NULL AS BIGINT)   AS n_chars,
+           lang,
+           CAST(2 AS BIGINT)      AS batch
+    FROM documents WHERE doc_id >= 250 AND doc_id < 500
+    """,
+    doc="Physical schema evolution through parquet mergeSchema: batch 1 "
+        "writes (doc_id, n_chars), batch 2 writes (doc_id, lang) — "
+        "different physical schemas in one table directory, partitioned "
+        "by batch. Reading with mergeSchema=true must union the footers "
+        "(absent columns NULL per file) — the lake-format behavior "
+        "union_by_name_schema_evolution pins LOGICALLY, here pinned "
+        "through the actual parquet footer-merge machinery. At 100 TB "
+        "mergeSchema reads every footer; production tables register the "
+        "merged schema in a catalog instead — the entry documents the "
+        "cost while proving the semantics",
+)
+def parquet_merge_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") < 250).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    b2 = d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 500)).select(
+        "doc_id", "lang"
+    )
+    out = tempfile.mkdtemp(prefix="tj_mergeschema_")
+    try:
+        b1.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+        b2.write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+        back = (
+            spark.read.option("mergeSchema", True)
+            .parquet(out)
+            .select(
+                "doc_id",
+                F.col("n_chars").cast("long").alias("n_chars"),
+                F.col("lang").cast("string").alias("lang"),
+                F.col("batch").cast("long").alias("batch"),
+            )
+        )
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
