@@ -1077,3 +1077,58 @@ def parquet_merge_schema_evolution(
         return spark.createDataFrame(back.collect(), schema=back.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# =========================================================================
+# Round-12 pack, wave 6: k-anonymity audit (privacy curation)
+# =========================================================================
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_audit",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS grp_sz
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(grp_sz AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(grp_sz) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN grp_sz < {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS violates_k
+    FROM g GROUP BY grp_sz
+    """,
+    doc=f"k-anonymity audit over the quasi-identifier tuple (nation, "
+        "market segment, coarse balance band): the group-size histogram "
+        f"with a k={_KANON_K} violation flag — the release-readiness "
+        "check a privacy-preserving data publication runs AFTER "
+        "corpus_pii_redact's direct-identifier pass (quasi-identifiers "
+        "re-identify via linkage even with PII gone; groups smaller "
+        "than k must be suppressed or generalized before release). One "
+        "group-by over the quasi-identifier tuple + one histogram "
+        "aggregate — two narrow shuffles at any scale. The balance "
+        "band floor(acctbal/1000) is the generalization step itself: "
+        "raw balances are near-unique (every group violates), banded "
+        "ones form meaningful cohorts — the entry's distribution "
+        "exhibits both regimes",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_sz"))
+    return g.groupBy(F.col("grp_sz").cast("long").alias("group_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("grp_sz").cast("long").alias("n_rows"),
+        F.when(F.col("group_size") < _KANON_K, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("violates_k"),
+    )
