@@ -326,6 +326,12 @@ def main() -> None:
         # doc, exact within-family completeness asserted (C(8,2) per
         # family), ~3.8M candidate pairs at sf0.1.
         ("lsh_skew", strain_mod.run_lsh_strain),
+        # Round-12 flagship dedup op at constant dup rate: 4x Caesar-
+        # rotated corpus (SCALE.md §25 isolation), exact per-copy
+        # completeness floor (total == 4 * base pairs, zero cross-copy
+        # pairs — containment runs on true shingle strings, so the
+        # floor is deterministic, not probabilistic).
+        ("containment_rate", strain_mod.run_containment_strain),
         # Cold-storage A/B of the flagship's default vs single-scan
         # plans (VERDICT r8 item 4): two distinct inflated lineitem
         # copies + page-cache eviction so BOTH default scans pay cold
@@ -368,6 +374,7 @@ def main() -> None:
         ("daily_pipeline_e2e", "daily"),
         ("streaming_drain", "stream"),
         ("lsh_skew", "lsh"),
+        ("containment_rate", "containment"),
         ("u2_cold_io", "u2cold"),
     ):
         row = strain_out.get(key, {})

@@ -857,3 +857,68 @@ def run_u2_cold_io_strain(
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def run_containment_strain(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int = 4,
+) -> dict:
+    """Prefix-filtered containment self-join at constant duplicate rate:
+    the corpus is inflated ``replicas``x with per-copy Caesar rotations
+    of the [a-z0-9] ring (SCALE.md §25's isolation method — a character
+    bijection preserves every within-copy shingle-set relation exactly
+    while cross-copy word-3-grams share nothing). Unlike minhash rows,
+    containment computes on TRUE shingle strings (no hashing), so the
+    completeness floor is fully deterministic: each copy's internal
+    qualifying pair set is the base corpus's mapped by the id shift,
+    and cross-copy pairs cannot even become candidates. Asserted
+    exactly: total == replicas * base_pairs AND zero cross-copy pairs.
+    The measured seconds are candidate join + exact verify at
+    ``replicas``x the corpus with the dup RATE held fixed — the
+    realistic 100 TB regime (§25b: near-dup inflation instead measures
+    quadratic output density)."""
+    from etl_tj_project_spark.operators import dedup as dd_ops
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_pairs = dd_ops.prefix_filter_containment_pairs(
+        d, "doc_id", "text", ngram=3, t_num=4, t_den=5
+    ).count()
+    shift = d.agg(F.max("doc_id")).first()[0] + 1
+    ring = "abcdefghijklmnopqrstuvwxyz0123456789"
+    copies = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+    )
+    text = F.col("text")
+    for i in range(1, replicas):
+        rot = ring[i:] + ring[:i]
+        text = F.when(
+            F.col("r") == i, F.translate(F.col("text"), ring, rot)
+        ).otherwise(text)
+    fam = copies.select(
+        (F.col("doc_id") + F.col("r") * shift).alias("doc_id"),
+        text.alias("text"),
+    )
+    t0 = time.perf_counter()
+    pairs = dd_ops.prefix_filter_containment_pairs(
+        fam, "doc_id", "text", ngram=3, t_num=4, t_den=5
+    )
+    n_pairs = pairs.count()
+    sec = round(time.perf_counter() - t0, 4)
+    cross = pairs.filter(
+        F.expr(f"doc_a div {shift}") != F.expr(f"doc_b div {shift}")
+    ).count()
+    _require(cross == 0, f"cross-copy containment pairs exist: {cross}")
+    _require(
+        n_pairs == replicas * base_pairs,
+        f"per-copy completeness broken: {n_pairs} != "
+        f"{replicas} * {base_pairs}",
+    )
+    return {
+        "docs": shift * replicas,
+        "base_pairs": base_pairs,
+        "pairs": n_pairs,
+        "sec_pairs": sec,
+    }

@@ -206,3 +206,13 @@ def test_paragraph_dedup_under_replica_skew(spark):
         assert res.count() == 5 * n_docs
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_containment_strain_per_copy_completeness(spark):
+    """The runner's internal floor: rotated copies each reproduce the
+    base qualifying-pair set exactly (containment runs on true shingle
+    strings — a character bijection is invisible to it), and cross-copy
+    pairs are impossible. The runner asserts both; this drives it."""
+    row = strain.run_containment_strain(spark, SF_SMOKE, replicas=3)
+    assert row["pairs"] == 3 * row["base_pairs"]
+    assert row["docs"] > 0 and row["sec_pairs"] > 0
