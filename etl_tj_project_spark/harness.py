@@ -1620,6 +1620,11 @@ from etl_tj_project_spark import harness_stats2  # noqa: E402,F401
 # Matryoshka truncated-dim recall.
 from etl_tj_project_spark import harness_r12  # noqa: E402,F401
 
+# Round-13 pack: the containment guardrail composed end-to-end
+# (canonicalize -> containment on survivors) and the streaming
+# dropDuplicatesWithinWatermark dedup entry (bounded replay).
+from etl_tj_project_spark import harness_r13  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 
@@ -1642,69 +1647,69 @@ from etl_tj_project_spark import parity  # noqa: E402
 # recomposition pending) or that + 1 (recomposed — the steady state);
 # a missed bump fails loudly instead of silently pinning a stale
 # window (ADVICE r10/r11).
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 DRIVER_WINDOW: list[str] = [
-    # (a) §2 stability core (driver-green every round they ran, r2-r11)
+    # (b-first this round, per VERDICT r12 item 1) the 17 round-12
+    # post-window landings that have never received a driver
+    # CORRECTNESS row, in their registration order. Clearing these
+    # makes the ENTIRE 271-entry oracle-backed registry driver-attested
+    # at least once — the first full-coverage milestone.
+    "recursive_cte_tree_depth",
+    "lateral_correlated_topk",
+    "dedup_containment_ngram",
+    "chunk_documents_overlap",
+    "cusum_changepoint_daily",
+    "embedding_matryoshka_prefix_recall",
+    "locf_backfill_pack",
+    "business_day_pack",
+    "log2_bucket_histogram",
+    "sql_pipe_syntax_agg",
+    "collation_lcase_semantics",
+    "bpe_fertility_by_lang",
+    "dedup_cluster_canonicalize",
+    "bigram_fluency_score",
+    "xml_write_roundtrip",
+    "parquet_merge_schema_evolution",
+    "k_anonymity_audit",
+    # (a) §2 stability core (driver-green every round they ran, r2-r12)
     "p1_typed_projection",
     "j1_inner_join_fanout",
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
-    # (b) oracle-backed entries with no driver green yet (VERDICT r11
-    # item 1 — these lead): the two round-12 write-path roundtrips
-    # (GDPR partition-pruned delete, incremental sorted-export merge —
-    # VERDICT r11 item 3), then the five round-11 post-window landings
-    # that have never been driver-checked, in registration order
-    "gdpr_delete_roundtrip",
-    "merge_sorted_export_roundtrip",
-    "quality_ranked_quota_sample",
-    "ngram_dup_rate_curve",
-    "khop_reachability",
-    "contrastive_negative_sampling",
-    "timezone_dst_pack",
-    # (c) oldest-green rotation: the full 22-entry r6 cohort (newest
-    # green r6 — the oldest cohort left after r11 cleared r5), in its
-    # r6-window order
-    "regexp_extract_all_numbers",
-    "text_corpus_stopword_fraction",
-    "text_unigram_commonness",
-    "doc_length_percentile_band",
-    "embedding_q8_norm_profile",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "dedup_semantic_semdedup",
-    "minhash_accuracy_audit",
-    "embedding_pca_power_fixedpoint",
-    "embedding_random_projection_16",
-    "ann_projected_rerank_topk",
-    "text_bigram_coverage",
-    "ann_filtered_topk_per_label",
-    "lang_label_confusion_matrix",
-    "text_zipf_head_share",
-    "bitwise_agg_pack",
-    "median_iqr_pack",
-    "mode_top1_per_group",
-    "moving_agg_rows_frame",
-    "running_distinct_count",
-    "approx_distinct_kmv",
-    # ...then fill to 50 with the oldest of the r7 cohort (newest green
-    # r7) in its r7-window order
-    "bpe_learned_merges",
-    "full_outer_reconcile",
-    "not_in_null_semantics",
-    "variant_json_extract",
-    "try_arithmetic_pack",
-    "yoy_growth_accounts",
-    "wau_rolling_distinct",
-    "skewed_distinct_two_phase",
-    "cms_heavy_hitters",
-    "spearman_rank_corr",
-    "impute_group_mean",
-    "rebase_index_100",
-    "vocab_jaccard_sources",
-    "assoc_rules_support_lift",
-    "interval_prorate_weekly",
-    "winsorize_price_p05_p95",
-    "running_max_drawdown",
+    # (c) oldest-green rotation: the full 21-entry r7 cohort (newest
+    # green r7 — the oldest cohort left after r12 cleared r6), in its
+    # r7-window order
+    "churned_users_by_day",
+    "coverage_set_80pct",
+    "order_fill_sla",
+    "duplicate_shipment_pairs",
+    "purchase_attribution_last_touch",
+    "interarrival_histogram",
+    "supplier_concentration_hhi",
+    "time_to_convert_histogram",
+    "growth_accounting_daily",
+    "benford_first_digit",
+    "revenue_bridge_waterfall",
+    "cohort_ltv_curve",
+    "gini_coefficient_revenue",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_incremental_lsh_candidates",
+    "w2_running_sum",
+    "rollup_agg",
+    "array_agg_sorted",
+    "f_scalar_pack",
+    "tpch_q21ish_lone_late_supplier",
+    # ...then fill to 50 with the oldest of the r8 cohort (newest green
+    # r8) in its r8-window order
+    "multimodal_jpeg_roundtrip",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_brute_force_topk",
 ]
 
 

@@ -1220,9 +1220,11 @@ def prefix_filter_jaccard_pairs(
     )
     # Required overlap ceil(t*sz) and prefix length, exact integers:
     # ceil(a/b) for positive ints spelled (a + b - 1) div b.
-    req = F.floor(
-        (F.lit(t_num) * F.col("__sz") + F.lit(t_den - 1)) / F.lit(t_den)
-    ).cast("long")
+    # Integer `div` keeps ceil(t*sz) exact by construction (ADVICE
+    # r12: floor of a double quotient is only exact below 2^53).
+    req = F.expr(f"({t_num}L * __sz + {t_den - 1}L) div {t_den}L").cast(
+        "long"
+    )
     prefix = ranked.filter(
         F.col("__rn") <= F.col("__sz") - req + F.lit(1)
     ).select("__id", "__term")
@@ -1265,42 +1267,21 @@ def prefix_filter_jaccard_pairs(
     )
 
 
-def prefix_filter_containment_pairs(
+def _containment_candidate_stages(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    ngram: int = 3,
-    t_num: int = 4,
-    t_den: int = 5,
-) -> DataFrame:
-    """Exact ASYMMETRIC containment self-join at C(a→b) >= t_num/t_den,
-    where C(a→b) = |A∩B| / |A| over distinct word-``ngram`` shingle
-    sets — the near-dup relation Jaccard misses: a short document
-    quoted wholesale inside a long one has high containment but low
-    Jaccard (the union is dominated by the long side). Training-data
-    pipelines use this to drop subsumed fragments while keeping the
-    superset document.
-
-    Prefix filter, containment form: order shingles rarest-first
-    (global (df, term) order). If |A∩B| >= ceil(t*|A|) then B must hit
-    at least one of A's first |A| - ceil(t*|A|) + 1 shingles
-    (pigeonhole) — so candidates come from joining A's PREFIX postings
-    against B's FULL postings. Unlike the Jaccard variant there is no
-    size bound on B, hence no prefix on the B side; completeness is
-    exact, zero false negatives by construction.
-
-    All membership arithmetic is integer: required overlap is
-    ceil(t*|A|) = (t_num*|A| + t_den - 1) div t_den and the final test
-    is cross-multiplied (t_den * inter >= t_num * |A|); the reported
-    ``containment_milli`` is BIGINT `div` too.
-
-    At 100 TB: same stage shape as :func:`prefix_filter_jaccard_pairs`
-    — one shingle-distinct shuffle, one df aggregation, one per-doc
-    window for prefix ranks, one term-keyed candidate join (fan-out
-    bounded per RARE term), two id-keyed joins for exact verification.
-    Output pairs are ordered (doc_a = the contained side), both
-    directions emitted independently.
-    """
+    ngram: int,
+    t_num: int,
+    t_den: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared front half of the prefix-filtered containment join:
+    returns ``(toks, sizes, cand)`` — the persisted shingle postings,
+    the per-doc distinct-shingle sizes, and the (doc_a, doc_b)
+    candidate pairs from the A-prefix x B-full-postings join.
+    Split out so the guardrail strain (strain.py) can count the
+    candidate-join input the verify stage would have to pay for,
+    without duplicating the pipeline or running the verify."""
     sh = F.array_distinct(
         F.when(
             F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
@@ -1347,9 +1328,11 @@ def prefix_filter_containment_pairs(
         .join(sizes, "__id")
         .select("__id", "__term", "__sz", rn.alias("__rn"))
     )
-    req = F.floor(
-        (F.lit(t_num) * F.col("__sz") + F.lit(t_den - 1)) / F.lit(t_den)
-    ).cast("long")
+    # Integer `div` keeps ceil(t*sz) exact by construction (ADVICE
+    # r12: floor of a double quotient is only exact below 2^53).
+    req = F.expr(f"({t_num}L * __sz + {t_den - 1}L) div {t_den}L").cast(
+        "long"
+    )
     prefix = ranked.filter(
         F.col("__rn") <= F.col("__sz") - req + F.lit(1)
     ).select(F.col("__id").alias("doc_a"), "__term")
@@ -1363,6 +1346,67 @@ def prefix_filter_containment_pairs(
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+    return toks, sizes, cand
+
+
+def containment_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """The candidate-pair stage of
+    :func:`prefix_filter_containment_pairs` alone — what the exact
+    verify stage would have to process. The guardrail strain counts
+    this on raw vs canonicalized corpora to show canonicalize-first
+    shrinks the verify input, not just the final output."""
+    _, _, cand = _containment_candidate_stages(
+        df, id_col, text_col, ngram, t_num, t_den
+    )
+    return cand
+
+
+def prefix_filter_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment self-join at C(a→b) >= t_num/t_den,
+    where C(a→b) = |A∩B| / |A| over distinct word-``ngram`` shingle
+    sets — the near-dup relation Jaccard misses: a short document
+    quoted wholesale inside a long one has high containment but low
+    Jaccard (the union is dominated by the long side). Training-data
+    pipelines use this to drop subsumed fragments while keeping the
+    superset document.
+
+    Prefix filter, containment form: order shingles rarest-first
+    (global (df, term) order). If |A∩B| >= ceil(t*|A|) then B must hit
+    at least one of A's first |A| - ceil(t*|A|) + 1 shingles
+    (pigeonhole) — so candidates come from joining A's PREFIX postings
+    against B's FULL postings. Unlike the Jaccard variant there is no
+    size bound on B, hence no prefix on the B side; completeness is
+    exact, zero false negatives by construction.
+
+    All membership arithmetic is integer: required overlap is
+    ceil(t*|A|) = (t_num*|A| + t_den - 1) div t_den and the final test
+    is cross-multiplied (t_den * inter >= t_num * |A|); the reported
+    ``containment_milli`` is BIGINT `div` too.
+
+    At 100 TB: same stage shape as :func:`prefix_filter_jaccard_pairs`
+    — one shingle-distinct shuffle, one df aggregation, one per-doc
+    window for prefix ranks, one term-keyed candidate join (fan-out
+    bounded per RARE term), two id-keyed joins for exact verification.
+    Output pairs are ordered (doc_a = the contained side), both
+    directions emitted independently.
+    """
+    toks, sizes, cand = _containment_candidate_stages(
+        df, id_col, text_col, ngram, t_num, t_den
     )
     ta = toks.select(F.col("__id").alias("doc_a"), F.col("__term"))
     tb = toks.select(F.col("__id").alias("doc_b"), F.col("__term"))
@@ -1391,6 +1435,64 @@ def prefix_filter_containment_pairs(
             F.expr("__num div sz_a").cast("long").alias("containment_milli"),
         )
     )
+
+
+def canonicalize_near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rank_col: str = "n_chars",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """DataFrame-level near-dup cluster canonicalization: LSH candidate
+    graph → connected components → ONE canonical survivor per cluster
+    (largest ``rank_col``, ``id_col`` tie-break — the C4/RefinedWeb
+    keep rule), singletons surviving as their own canonicals.
+
+    Returns (component_id, canonical_doc_id, canonical_{rank_col},
+    n_members). The registry entry ``dedup_cluster_canonicalize``
+    composes the same stages through the parquet-materialized CC entry;
+    this function is the reusable building block for arbitrary frames —
+    the guardrail strain runs it over synthetically inflated corpora
+    to prove canonicalize-first collapses duplicate families BEFORE
+    the pairwise containment join has to pay for them (SCALE.md §25b).
+
+    At 100 TB: one banded self-join (LSH), the size-dispatched CC, one
+    broadcast-size label join, one window over (component, rank) — no
+    stage is all-pairs.
+    """
+    pairs = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    full = (
+        df.select(F.col(id_col), F.col(rank_col))
+        .join(labels, df[id_col] == labels["node"], "left")
+        .select(
+            F.col(id_col),
+            F.col(rank_col),
+            F.coalesce(F.col("component_id"), F.col(id_col)).alias(
+                "component_id"
+            ),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("component_id").orderBy(
+        F.col(rank_col).desc(), F.col(id_col)
+    )
+    members = full.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    canon = (
+        full.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component_id",
+            F.col(id_col).alias("canonical_doc_id"),
+            F.col(rank_col).cast("long").alias(f"canonical_{rank_col}"),
+        )
+    )
+    return canon.join(members, "component_id")
 
 
 def narrow_persisted(

@@ -891,11 +891,25 @@ def run_containment_strain(
         "text",
         F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
     )
-    text = F.col("text")
+    # Rotate LOWERCASED text (ADVICE r12): the operator lowercases
+    # before shingling, and lowercase commutes into the rotation, so
+    # rotating lower(text) makes the bijection hold for ANY input
+    # casing. Characters outside the [a-z0-9 ] ring would still pass
+    # through unrotated and could leak cross-copy shingles, so the
+    # assumption is now CHECKED, not assumed: any out-of-ring,
+    # non-space character downgrades the hard cross==0 / floor
+    # assertions to the (still-exact) >= direction.
+    ring_clean = (
+        d.filter(F.lower(F.col("text")).rlike("[^a-z0-9 ]"))
+        .limit(1)
+        .count()
+        == 0
+    )
+    text = F.lower(F.col("text"))
     for i in range(1, replicas):
         rot = ring[i:] + ring[:i]
         text = F.when(
-            F.col("r") == i, F.translate(F.col("text"), ring, rot)
+            F.col("r") == i, F.translate(F.lower(F.col("text")), ring, rot)
         ).otherwise(text)
     fam = copies.select(
         (F.col("doc_id") + F.col("r") * shift).alias("doc_id"),
@@ -905,19 +919,43 @@ def run_containment_strain(
     pairs = dd_ops.prefix_filter_containment_pairs(
         fam, "doc_id", "text", ngram=3, t_num=4, t_den=5
     )
+    # Persist before the two counts (ADVICE r12): without it the
+    # cross-copy check re-executes the whole candidate join + verify a
+    # second time outside the timed window.
+    pairs = pairs.persist()
     n_pairs = pairs.count()
     sec = round(time.perf_counter() - t0, 4)
     cross = pairs.filter(
         F.expr(f"doc_a div {shift}") != F.expr(f"doc_b div {shift}")
     ).count()
-    _require(cross == 0, f"cross-copy containment pairs exist: {cross}")
-    _require(
-        n_pairs == replicas * base_pairs,
-        f"per-copy completeness broken: {n_pairs} != "
-        f"{replicas} * {base_pairs}",
-    )
+    pairs.unpersist()
+    if ring_clean:
+        _require(
+            cross == 0, f"cross-copy containment pairs exist: {cross}"
+        )
+        _require(
+            n_pairs == replicas * base_pairs,
+            f"per-copy completeness broken: {n_pairs} != "
+            f"{replicas} * {base_pairs}",
+        )
+    else:
+        # Out-of-ring characters survive rotation unrotated, so copies
+        # may share shingles: the floor direction is still exact (every
+        # within-copy pair exists by bijection of the in-ring part
+        # being a superset relation... conservatively: completeness can
+        # only ADD candidate pairs), equality is not guaranteed.
+        _require(
+            n_pairs >= replicas * base_pairs,
+            f"completeness floor broken: {n_pairs} < "
+            f"{replicas} * {base_pairs}",
+        )
+    # "docs" is the true inflated row count (ADVICE r12: shift*replicas
+    # over-reports when the id space is sparse); id_space is the
+    # synthetic id range for reference.
     return {
-        "docs": shift * replicas,
+        "docs": d.count() * replicas,
+        "id_space": shift * replicas,
+        "ring_clean": ring_clean,
         "base_pairs": base_pairs,
         "pairs": n_pairs,
         "sec_pairs": sec,

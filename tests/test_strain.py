@@ -214,5 +214,11 @@ def test_containment_strain_per_copy_completeness(spark):
     strings — a character bijection is invisible to it), and cross-copy
     pairs are impossible. The runner asserts both; this drives it."""
     row = strain.run_containment_strain(spark, SF_SMOKE, replicas=3)
+    # The testdata corpus is confined to the [a-z0-9 ] ring (after the
+    # lowercase that the operator itself applies), so the STRICT
+    # equality branch must be the one exercised here (ADVICE r12: the
+    # alphabet assumption is now checked in code, not assumed).
+    assert row["ring_clean"] is True
     assert row["pairs"] == 3 * row["base_pairs"]
     assert row["docs"] > 0 and row["sec_pairs"] > 0
+    assert row["id_space"] >= row["docs"]
