@@ -332,6 +332,13 @@ def main() -> None:
         # pairs — containment runs on true shingle strings, so the
         # floor is deterministic, not probabilistic).
         ("containment_rate", strain_mod.run_containment_strain),
+        # The §25b guardrail made executable (VERDICT r12 item 3):
+        # 4x exact-copy corpus; canonicalize-first must cut the
+        # containment candidate-join input >= 16x (replicas^2, exact
+        # by the copy-lift argument) with the final pair set IDENTICAL
+        # to the base corpus's canonical-first run.
+        ("containment_guardrail",
+         strain_mod.run_containment_guardrail_strain),
         # Cold-storage A/B of the flagship's default vs single-scan
         # plans (VERDICT r8 item 4): two distinct inflated lineitem
         # copies + page-cache eviction so BOTH default scans pay cold

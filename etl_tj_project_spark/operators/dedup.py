@@ -317,6 +317,65 @@ def minhash_bands_sql(
     )
 
 
+def canonicalize_manifest_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rank_col: str = "n_chars",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> str:
+    """DuckDB twin of :func:`canonicalize_near_dup_clusters` (and of
+    the ``dedup_cluster_canonicalize`` registry entry): recursive-CTE
+    connected components over the restated MinHash band graph, then
+    one survivor per component (largest ``rank_col``, ``id_col``
+    tie-break), singletons kept via the left-join fallback. Lives here
+    with the other SQL twins so harness packs can compose it without
+    importing each other (the r12/r13 circular-import lesson)."""
+    bands_sql = minhash_bands_sql(
+        table, id_col, text_col, num_hashes=num_hashes, bands=bands
+    )
+    return f"""
+    WITH RECURSIVE b AS (SELECT * FROM ({bands_sql}) raw_bands),
+    pairs AS (
+      SELECT DISTINCT a.{id_col} AS doc_a, c.{id_col} AS doc_b
+      FROM b a JOIN b c ON a.band = c.band AND a.h = c.h
+                       AND a.{id_col} < c.{id_col}
+    ),
+    sym AS (
+      SELECT doc_a AS n, doc_b AS m FROM pairs
+      UNION
+      SELECT doc_b AS n, doc_a AS m FROM pairs
+    ),
+    walk(n, r) AS (
+      SELECT n, m FROM sym
+      UNION
+      SELECT w.n, s.m FROM walk w JOIN sym s ON s.n = w.r
+    ),
+    comp AS (
+      SELECT n AS node, least(n, MIN(r)) AS component_id
+      FROM walk GROUP BY n
+    ),
+    allrows AS (
+      SELECT d.{id_col}, d.{rank_col},
+             coalesce(c.component_id, d.{id_col}) AS component_id
+      FROM {table} d LEFT JOIN comp c ON c.node = d.{id_col}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY component_id
+                 ORDER BY {rank_col} DESC, {id_col}) AS rn
+      FROM allrows
+    ),
+    m AS (SELECT component_id, count(*) AS n_members FROM allrows GROUP BY 1)
+    SELECT r.component_id,
+           r.{id_col} AS canonical_doc_id,
+           CAST(r.{rank_col} AS BIGINT) AS canonical_{rank_col},
+           CAST(m.n_members AS BIGINT) AS n_members
+    FROM ranked r JOIN m USING (component_id)
+    WHERE r.rn = 1
+    """
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -960,3 +960,132 @@ def run_containment_strain(
         "pairs": n_pairs,
         "sec_pairs": sec,
     }
+
+
+def run_containment_guardrail_strain(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int = 4,
+) -> dict:
+    """The §25b guardrail proven executable (VERDICT r12 item 3):
+    canonicalize-first must shrink the containment CANDIDATE-JOIN INPUT
+    — the quantity the verify stage pays for — by >= replicas^2 on a
+    ``replicas``x exact-copy corpus, while leaving the final pair set
+    IDENTICAL to the base corpus's canonical-first run.
+
+    Corpus: every document duplicated ``replicas``x with shifted ids
+    (byte-identical text — the adversarial copy-inflation regime where
+    §25b measured direct containment at 32x). Why the assertions are
+    deterministic, not probabilistic:
+
+    * identical text -> identical MinHash signature -> every copy
+      collides with its original in ALL bands, and a copy collides
+      with a foreign doc iff its original does — so the inflated LSH
+      graph is the base graph plus copy attachments, components map
+      1:1, and the canonical survivor of each inflated component is
+      the base component's survivor (same n_chars, lowest doc_id =
+      the r=0 original). Canonical set of inflated == canonical set
+      of base, hence identical final containment pairs.
+    * every base candidate pair (a, b) lifts to replicas^2 inflated
+      candidate pairs (copies have the same shingle set, and global
+      rarest-first prefix ORDER is preserved — all document
+      frequencies scale uniformly by ``replicas``), plus each
+      multi-shingle doc family contributes replicas*(replicas-1)
+      within-family candidates — so the direct candidate count is >=
+      replicas^2 * canonical candidates (strict at any nonempty
+      corpus).
+    """
+    from etl_tj_project_spark.operators import dedup as dd_ops
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    n_docs = d.count()
+    shift = d.agg(F.max("doc_id")).first()[0] + 1
+    fam = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+    ).select(
+        (F.col("doc_id") + F.col("r") * shift).alias("doc_id"),
+        "text",
+        "n_chars",
+    )
+
+    # Direct path: what the verify stage WOULD have to process on the
+    # inflated corpus. Candidates only — the full verify is the 32x
+    # §25b row and is exactly what the guardrail exists to avoid.
+    t0 = time.perf_counter()
+    cand_direct = dd_ops.containment_candidate_pairs(
+        fam, "doc_id", "text", ngram=3, t_num=4, t_den=5
+    ).count()
+    sec_direct_cand = round(time.perf_counter() - t0, 4)
+
+    # Guardrail path: canonicalize (LSH -> CC -> longest-doc survivor)
+    # then candidates + exact verify over survivors only.
+    t0 = time.perf_counter()
+    manifest = dd_ops.canonicalize_near_dup_clusters(
+        fam, "doc_id", "text", "n_chars"
+    )
+    reps = fam.join(
+        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    ).persist()
+    n_canonical = reps.count()
+    cand_canon = dd_ops.containment_candidate_pairs(
+        reps, "doc_id", "text", ngram=3, t_num=4, t_den=5
+    ).count()
+    pairs_canon = dd_ops.prefix_filter_containment_pairs(
+        reps, "doc_id", "text", ngram=3, t_num=4, t_den=5
+    ).persist()
+    n_pairs_canon = pairs_canon.count()
+    sec_guardrail = round(time.perf_counter() - t0, 4)
+
+    # Identity: the guardrail's final pairs on the INFLATED corpus must
+    # equal the canonical-first pairs on the BASE corpus exactly (both
+    # directions of exceptAll; counts already taken double as the
+    # cardinality side).
+    base_manifest = dd_ops.canonicalize_near_dup_clusters(
+        d, "doc_id", "text", "n_chars"
+    )
+    base_reps = d.join(
+        base_manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    base_pairs = dd_ops.prefix_filter_containment_pairs(
+        base_reps, "doc_id", "text", ngram=3, t_num=4, t_den=5
+    ).persist()
+    n_base_pairs = base_pairs.count()
+    _require(
+        n_pairs_canon == n_base_pairs,
+        f"guardrail pair count diverged: {n_pairs_canon} inflated vs "
+        f"{n_base_pairs} base",
+    )
+    diff = pairs_canon.exceptAll(base_pairs).count()
+    _require(
+        diff == 0,
+        f"guardrail pairs diverge from base canonical pairs: {diff} rows",
+    )
+    floor = replicas * replicas * cand_canon
+    _require(
+        cand_direct >= floor,
+        f"candidate drop below the replicas^2 floor: {cand_direct} < "
+        f"{replicas}^2 * {cand_canon}",
+    )
+    pairs_canon.unpersist()
+    base_pairs.unpersist()
+    reps.unpersist()
+    return {
+        "docs": n_docs * replicas,
+        "replicas": replicas,
+        "n_canonical": n_canonical,
+        "cand_direct": cand_direct,
+        "cand_canonical": cand_canon,
+        "cand_drop_x": round(cand_direct / max(cand_canon, 1), 2),
+        "pairs_canonical": n_pairs_canon,
+        "sec_direct_candidates": sec_direct_cand,
+        "sec_guardrail_e2e": sec_guardrail,
+    }
