@@ -105,6 +105,20 @@ HEADLINE = [
     "chunk_documents_overlap",
     "cusum_changepoint_daily",
     "embedding_matryoshka_prefix_recall",
+    # Round-14 additions (VERDICT r12 item 4, carried): the five
+    # heaviest never-benched registry plans — 13-gram benchmark
+    # decontamination (two staged tokenizations + distinct n-gram
+    # anti-join), within-doc repeated-span compression, the
+    # prefix-filtered Jaccard self-join (PPJoin candidate pruning),
+    # the k-NN JOIN (every probe against every bucketed base — the
+    # all-rows ANN shape), and SCD2 MERGE-style change application
+    # (change-set join + validity re-windowing).
+    # (Round-over-round totals: compare the shared cohort, as before.)
+    "decontaminate_13gram",
+    "dedup_repeated_ngram_spans",
+    "dedup_prefix_filter_jaccard",
+    "ann_knn_join_topk",
+    "scd2_apply_changes",
 ]
 
 

@@ -1119,30 +1119,35 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parent (ADVICE r8): a fixed shared /tmp name let two concurrent
     # sessions — or bench + pytest on one host — overwrite each other's
     # label table mid-read, and was a symlink-squat hazard on multi-user
-    # hosts. mkdtemp is race-free-unique per CALL, so the frame returned
-    # by a previous call stays readable while this call writes; only the
-    # previous call's dir (tracked in a module-level handle, keyed by
-    # applicationId) is deleted, bounding temp accretion to one live
-    # label table per call generation.
+    # hosts. mkdtemp is race-free-unique per CALL. Cleanup is deferred
+    # to interpreter exit (one atexit rmtree of the whole parent) rather
+    # than deleting the PREVIOUS call's dir eagerly: frames returned by
+    # earlier calls stay LAZY — a composed entry (canonicalize ->
+    # containment) still reads its label FileScan long after a second
+    # CC call lands, and the eager delete broke that lineage with
+    # FAILED_READ_FILE.FILE_NOT_EXIST (VERDICT r13 item 1b). Label
+    # tables are doc-count-sized parquet (KBs at test scale), so
+    # session-lifetime accretion is bounded and harmless.
     parent = os.path.join(
         tempfile.gettempdir(),
         f"tj_cc_labels_{spark.sparkContext.applicationId}",
     )
     os.makedirs(parent, exist_ok=True)
-    prev = _CC_LABEL_DIRS.get(parent)
+    if parent not in _CC_LABEL_PARENTS:
+        import atexit
+
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        _CC_LABEL_PARENTS.add(parent)
     out = tempfile.mkdtemp(dir=parent)
     labels.write.mode("overwrite").parquet(out)
     dd.release_components(labels)
-    _CC_LABEL_DIRS[parent] = out
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
     return spark.read.parquet(out).select("node", "component_id")
 
 
-# Previous dedup_connected_components label dir per application-scoped
-# parent — lets each call clean up its predecessor without racing other
-# sessions (which write under their own applicationId parent).
-_CC_LABEL_DIRS: dict = {}
+# Application-scoped label parents already scheduled for atexit cleanup
+# (one registration per parent; other sessions write under their own
+# applicationId parent and register their own).
+_CC_LABEL_PARENTS: set = set()
 
 
 @register(
@@ -1638,8 +1643,8 @@ from etl_tj_project_spark import parity  # noqa: E402
 # COVERAGE.md per round.
 #
 # WINDOW_ROUND pins WHICH CORRECTNESS ledger this window was composed
-# against: the window below was computed from CORRECTNESS_r01..r11 and
-# is the round-12 submission. tests/test_oracle_parity.py's rotation
+# against: the window below was computed from CORRECTNESS_r01..r13 and
+# is the round-14 submission. tests/test_oracle_parity.py's rotation
 # test must ignore CORRECTNESS files >= this round — otherwise the
 # moment the driver lands the NEXT record the test demands a window
 # that can't exist yet (the r9 failure mode, VERDICT r9 item 1b) —
@@ -1647,69 +1652,70 @@ from etl_tj_project_spark import parity  # noqa: E402
 # recomposition pending) or that + 1 (recomposed — the steady state);
 # a missed bump fails loudly instead of silently pinning a stale
 # window (ADVICE r10/r11).
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 DRIVER_WINDOW: list[str] = [
-    # (b-first this round, per VERDICT r12 item 1) the 17 round-12
-    # post-window landings that have never received a driver
-    # CORRECTNESS row, in their registration order. Clearing these
-    # makes the ENTIRE 271-entry oracle-backed registry driver-attested
-    # at least once — the first full-coverage milestone.
-    "recursive_cte_tree_depth",
-    "lateral_correlated_topk",
-    "dedup_containment_ngram",
-    "chunk_documents_overlap",
-    "cusum_changepoint_daily",
-    "embedding_matryoshka_prefix_recall",
-    "locf_backfill_pack",
-    "business_day_pack",
-    "log2_bucket_histogram",
-    "sql_pipe_syntax_agg",
-    "collation_lcase_semantics",
-    "bpe_fertility_by_lang",
-    "dedup_cluster_canonicalize",
-    "bigram_fluency_score",
-    "xml_write_roundtrip",
-    "parquet_merge_schema_evolution",
-    "k_anonymity_audit",
-    # (a) §2 stability core (driver-green every round they ran, r2-r12)
+    # (b-first, per VERDICT r13 item 1c) the two round-13 additions
+    # that have never received a driver CORRECTNESS row — now
+    # non-vacuous (probe-corpus splice) and lifetime-safe (atexit CC
+    # label cleanup): driver-attesting them restores the full-registry
+    # coverage invariant (273/273 oracle-backed entries green at least
+    # once).
+    "dedup_containment_canonical",
+    "stream_dedup_watermark",
+    # (a) §2 stability core (driver-green every round they ran, r2-r13)
     "p1_typed_projection",
     "j1_inner_join_fanout",
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
-    # (c) oldest-green rotation: the full 21-entry r7 cohort (newest
-    # green r7 — the oldest cohort left after r12 cleared r6), in its
-    # r7-window order
-    "churned_users_by_day",
-    "coverage_set_80pct",
-    "order_fill_sla",
-    "duplicate_shipment_pairs",
-    "purchase_attribution_last_touch",
-    "interarrival_histogram",
-    "supplier_concentration_hhi",
-    "time_to_convert_histogram",
-    "growth_accounting_daily",
-    "benford_first_digit",
-    "revenue_bridge_waterfall",
-    "cohort_ltv_curve",
-    "gini_coefficient_revenue",
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "dedup_incremental_lsh_candidates",
-    "w2_running_sum",
-    "rollup_agg",
-    "array_agg_sorted",
-    "f_scalar_pack",
-    "tpch_q21ish_lone_late_supplier",
-    # ...then fill to 50 with the oldest of the r8 cohort (newest green
-    # r8) in its r8-window order
-    "multimodal_jpeg_roundtrip",
-    "text_token_count",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_brute_force_topk",
+    # (c) oldest-green rotation: the full 37-entry r8 cohort (newest
+    # green r8 — the oldest cohort left after r13 refreshed the r7
+    # cohort and the first 8 of r8's), in its r8-window order
+    "ann_lsh_bucketed_topk",
+    "dedup_embedding_cosine",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "sessionize",
+    "asof_join",
+    "semi_join_exists",
+    "anti_join_not_exists",
+    "percentile_by_group",
+    "count_distinct_by_group",
+    "p2_equality_filter",
+    "p3_date_partition_filter",
+    "p4_null_rejection",
+    "p5_conjunctive_predicate",
+    "ud1_norm_body",
+    "ud2_to_bool_safe",
+    "j2_left_join_code_to_name",
+    "j4_cast_key_join",
+    "u1_union_all",
+    "a2_agg_nullable_group_keys",
+    "a3_agg_by_tariff",
+    "a4_count_probe",
+    "w1_topk_per_group",
+    "sort_limit_topk",
+    "distinct_pairs",
+    "partitioned_write_roundtrip",
+    "stream_window_agg",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q5ish_regional_revenue",
+    "cube_agg",
+    "pivot_status_counts",
+    "sql_view_layer",
+    "skew_salted_join",
+    "upsert_dim_delta",
+    # ...then fill to 50 with the oldest of the r9 cohort (newest green
+    # r9) in its r9-window order
+    "dedup_connected_components",
+    "ann_ivf_topk",
+    "skewed_window_two_phase",
+    "corpus_split_assign",
+    "corpus_pack_sequences",
+    "corpus_pii_redact",
+    "corpus_top_terms",
 ]
 
 

@@ -785,48 +785,13 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _canonicalize_oracle() -> str:
-    bands = dd.minhash_bands_sql(
-        "documents", "doc_id", "text", num_hashes=8, bands=4
+    # Delegates to the shared SQL twin in operators/dedup.py (verified
+    # byte-identical modulo whitespace to the r12 inline form) so that
+    # harness_r13's composed oracle can build on the SAME text without
+    # importing this pack — the r13 circular-import lesson (ADVICE r13).
+    return dd.canonicalize_manifest_sql(
+        "documents", "doc_id", "text", "n_chars", num_hashes=8, bands=4
     )
-    return f"""
-    WITH RECURSIVE b AS (SELECT * FROM ({bands}) raw_bands),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      FROM b a JOIN b c ON a.band = c.band AND a.h = c.h
-                       AND a.doc_id < c.doc_id
-    ),
-    sym AS (
-      SELECT doc_a AS n, doc_b AS m FROM pairs
-      UNION
-      SELECT doc_b AS n, doc_a AS m FROM pairs
-    ),
-    walk(n, r) AS (
-      SELECT n, m FROM sym
-      UNION
-      SELECT w.n, s.m FROM walk w JOIN sym s ON s.n = w.r
-    ),
-    comp AS (
-      SELECT n AS node, least(n, MIN(r)) AS component_id
-      FROM walk GROUP BY n
-    ),
-    allrows AS (
-      SELECT d.doc_id, d.n_chars,
-             coalesce(c.component_id, d.doc_id) AS component_id
-      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY component_id
-                 ORDER BY n_chars DESC, doc_id) AS rn
-      FROM allrows
-    ),
-    m AS (SELECT component_id, count(*) AS n_members FROM allrows GROUP BY 1)
-    SELECT r.component_id,
-           r.doc_id AS canonical_doc_id,
-           CAST(r.n_chars AS BIGINT) AS canonical_n_chars,
-           CAST(m.n_members AS BIGINT) AS n_members
-    FROM ranked r JOIN m USING (component_id)
-    WHERE r.rn = 1
-    """
 
 
 @register(

@@ -1554,6 +1554,78 @@ def canonicalize_near_dup_clusters(
     return canon.join(members, "component_id")
 
 
+def containment_probe_corpus(
+    reps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    every: int = 10,
+    min_tokens: int = 5,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Union ``reps`` with deterministic contained-fragment PROBE docs:
+    for every ``every``-th doc (``id % every == 0``) with at least
+    ``min_tokens`` whitespace tokens, a derived doc whose text is the
+    token-prefix dropping the last two tokens, id shifted by
+    ``id_offset``. Every distinct shingle of a token-prefix is a
+    shingle of the full doc, so C(probe -> source) = 1.0 exactly — a
+    guaranteed cross-doc containment pair regardless of corpus content.
+
+    Why this exists (VERDICT r13 item 1a): at the synthetic smoke/driver
+    scales the canonical-survivor corpus happens to contain NO pair at
+    80% containment, so the canonicalize-then-containment entry returned
+    0 rows and its oracle check was vacuously green. A production corpus
+    HAS contained fragments (quotes, excerpts, boilerplate subsets) —
+    the probe set deterministically stands in for that class so the
+    entry's oracle hash compares non-empty results at every scale. The
+    derivation is pure Column algebra (same trim/lower/split the
+    containment join itself uses) with an exact DuckDB twin
+    (:func:`containment_probe_corpus_sql`).
+
+    At 100 TB: one narrow projection over the survivor frame — no
+    shuffle, no UDF; the probe rows are a fixed ~1/``every`` fraction.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    probes = (
+        reps.filter(F.col(id_col) % every == 0)
+        .select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= min_tokens)
+        .select(
+            (F.col(id_col) + F.lit(id_offset)).alias(id_col),
+            F.array_join(
+                F.slice(F.col("__t"), 1, F.size("__t") - 2), " "
+            ).alias(text_col),
+        )
+    )
+    return reps.select(id_col, text_col).unionByName(probes)
+
+
+def containment_probe_corpus_sql(
+    docs_cte: str = "docs",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    every: int = 10,
+    min_tokens: int = 5,
+    id_offset: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`containment_probe_corpus` as a SELECT over
+    an existing CTE/table named ``docs_cte`` with (id, text) columns —
+    splice into a WITH chain. Same tokenization, same prefix rule, same
+    id shift."""
+    return f"""
+      SELECT {id_col}, {text_col} FROM {docs_cte}
+      UNION ALL
+      SELECT {id_col} + {id_offset} AS {id_col},
+             array_to_string(toks[1:len(toks)-2], ' ') AS {text_col}
+      FROM (
+        SELECT {id_col},
+               regexp_split_to_array(trim(lower({text_col})), '\\s+') AS toks
+        FROM {docs_cte}
+        WHERE {id_col} % {every} = 0
+      )
+      WHERE len(toks) >= {min_tokens}
+    """
+
+
 def narrow_persisted(
     df: DataFrame,
     key: str,

@@ -986,14 +986,26 @@ def run_containment_guardrail_strain(
       the base component's survivor (same n_chars, lowest doc_id =
       the r=0 original). Canonical set of inflated == canonical set
       of base, hence identical final containment pairs.
-    * every base candidate pair (a, b) lifts to replicas^2 inflated
-      candidate pairs (copies have the same shingle set, and global
-      rarest-first prefix ORDER is preserved — all document
-      frequencies scale uniformly by ``replicas``), plus each
-      multi-shingle doc family contributes replicas*(replicas-1)
-      within-family candidates — so the direct candidate count is >=
-      replicas^2 * canonical candidates (strict at any nonempty
-      corpus).
+    * every BASE-corpus candidate pair (a, b) lifts to replicas^2
+      inflated candidate pairs (copies have the same shingle set, and
+      global rarest-first prefix ORDER is preserved — all document
+      frequencies scale uniformly by ``replicas``) — so cand_direct >=
+      replicas^2 * cand_base is a theorem on ANY corpus, and that is
+      the floor _require'd below. The drop vs the CANONICAL corpus
+      (cand_drop_x, what the guardrail buys) is reported — and on this
+      corpus also >= replicas^2, asserted by the driving test — but is
+      EMPIRICAL, not deterministic: removing non-survivors reshuffles
+      the global (df, term) prefix order, so canonical-corpus
+      candidates are not in general a subset of base-corpus candidates
+      (ADVICE r13).
+
+    Final pairs on both sides run over the survivor corpus PLUS the
+    deterministic contained-fragment probe set (the registry entry's
+    exact composition) — probes derive from survivors with the same
+    rule on both sides, and survivor sets are identical, so the
+    identity assertion compares NON-EMPTY equal sets (n_base_pairs > 0
+    is _require'd: an empty==empty identity proves nothing — VERDICT
+    r13 item 3).
     """
     from etl_tj_project_spark.operators import dedup as dd_ops
 
@@ -1022,6 +1034,12 @@ def run_containment_guardrail_strain(
     ).count()
     sec_direct_cand = round(time.perf_counter() - t0, 4)
 
+    # Theorem floor input: candidates on the UNINFLATED base corpus
+    # (every base pair lifts to replicas^2 inflated pairs).
+    cand_base = dd_ops.containment_candidate_pairs(
+        d, "doc_id", "text", ngram=3, t_num=4, t_den=5
+    ).count()
+
     # Guardrail path: canonicalize (LSH -> CC -> longest-doc survivor)
     # then candidates + exact verify over survivors only.
     t0 = time.perf_counter()
@@ -1038,7 +1056,8 @@ def run_containment_guardrail_strain(
         reps, "doc_id", "text", ngram=3, t_num=4, t_den=5
     ).count()
     pairs_canon = dd_ops.prefix_filter_containment_pairs(
-        reps, "doc_id", "text", ngram=3, t_num=4, t_den=5
+        dd_ops.containment_probe_corpus(reps, "doc_id", "text"),
+        "doc_id", "text", ngram=3, t_num=4, t_den=5,
     ).persist()
     n_pairs_canon = pairs_canon.count()
     sec_guardrail = round(time.perf_counter() - t0, 4)
@@ -1056,9 +1075,15 @@ def run_containment_guardrail_strain(
         "left_semi",
     )
     base_pairs = dd_ops.prefix_filter_containment_pairs(
-        base_reps, "doc_id", "text", ngram=3, t_num=4, t_den=5
+        dd_ops.containment_probe_corpus(base_reps, "doc_id", "text"),
+        "doc_id", "text", ngram=3, t_num=4, t_den=5,
     ).persist()
     n_base_pairs = base_pairs.count()
+    _require(
+        n_base_pairs > 0,
+        "identity check is vacuous: base canonical+probe corpus "
+        "produced 0 containment pairs",
+    )
     _require(
         n_pairs_canon == n_base_pairs,
         f"guardrail pair count diverged: {n_pairs_canon} inflated vs "
@@ -1069,11 +1094,11 @@ def run_containment_guardrail_strain(
         diff == 0,
         f"guardrail pairs diverge from base canonical pairs: {diff} rows",
     )
-    floor = replicas * replicas * cand_canon
+    floor = replicas * replicas * cand_base
     _require(
         cand_direct >= floor,
-        f"candidate drop below the replicas^2 floor: {cand_direct} < "
-        f"{replicas}^2 * {cand_canon}",
+        f"copy-lift below the replicas^2 theorem floor: {cand_direct} < "
+        f"{replicas}^2 * {cand_base} (base-corpus candidates)",
     )
     pairs_canon.unpersist()
     base_pairs.unpersist()
@@ -1083,6 +1108,7 @@ def run_containment_guardrail_strain(
         "replicas": replicas,
         "n_canonical": n_canonical,
         "cand_direct": cand_direct,
+        "cand_base": cand_base,
         "cand_canonical": cand_canon,
         "cand_drop_x": round(cand_direct / max(cand_canon, 1), 2),
         "pairs_canonical": n_pairs_canon,
