@@ -466,8 +466,11 @@ def main() -> None:
         # their own JSON line (and live in BENCH_FULL_LATEST.json); the
         # driver-recorded object keeps the contract core (metric,
         # value, unit, queries, sf). Worst-case core length with the
-        # current 52-name cohort is 1685 — the driver-tail guard test
-        # pins this and fails the suite before a name push overflows.
+        # round-14 57-name cohort is 1838 — under the 2000-char driver
+        # tail because the core line is this process's FINAL stdout
+        # write (printed after spark.stop(), so no shutdown chatter can
+        # trail it); the driver-tail guard test pins worst-case <= 1950
+        # and fails the suite before a name push overflows the tail.
         diags = {
             k: headline.pop(k)
             for k in list(headline)
@@ -484,8 +487,8 @@ def main() -> None:
     import sys
 
     sys.stdout.flush()
-    print(line, flush=True)
     spark.stop()
+    print(line, flush=True)
 
 
 def _prev_recorded_parallel_calib() -> float | None:

@@ -9,7 +9,11 @@ that guardrail as a shipped, oracle-checked OPERATOR rather than a
 docstring note. ``dedup_containment_canonical`` is that operator: the
 full dedup DECISION pipeline (LSH candidates → connected components →
 one canonical survivor per cluster) feeding the exact prefix-filtered
-containment join over ONLY the survivors. The companion strain runner
+containment join over the survivors UNIONED with a deterministic
+contained-fragment probe set (round 14: the synthetic corpus has no
+natural 80%-containment pair among survivors, so without probes the
+entry returned 0 rows and its oracle check was vacuous — VERDICT r13
+item 1a). The companion strain runner
 (strain.py run_containment_guardrail_strain) proves the point
 quantitatively: at a 4x exact-copy corpus the candidate-join input
 drops >= replicas^2 while the final pair set is IDENTICAL to the

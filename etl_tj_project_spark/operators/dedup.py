@@ -1243,23 +1243,45 @@ def prefix_filter_jaccard_pairs(
     div t_den, and the final J >= t test is cross-multiplied
     (den*inter >= num*(union)) so no float ever decides membership.
 
+    Round-14 rewrite (measured on the small-vocabulary corpus, where
+    bare prefix filtering degenerates — a 31-word vocabulary makes
+    every "rare" token's posting list corpus-sized and 24% of ALL doc
+    pairs genuinely qualify at t=4/5): the candidate join now carries
+    PPJoin's LENGTH filter (J >= t forces t*max(|A|,|B|) <=
+    min(|A|,|B|)) and POSITIONAL filter (for the globally-first shared
+    token at prefix ranks (ra, rb): overlap <= 1 + min(|A|-ra, |B|-rb),
+    which must reach ceil(t*(|A|+|B|)/(1+t)) — complete because the
+    first PREFIX-shared token of a qualifying pair is its globally
+    first shared token, so the bound is tight exactly where it must
+    pass). Verification no longer explodes candidates x tokens through
+    a shuffle aggregate: each doc's distinct-token SET is materialized
+    once as a sorted array and candidates verify with
+    size(array_intersect(...)) after two id-keyed joins — the verify
+    stage is candidate-ROW-bounded, not candidate-x-token-bounded
+    (sf0.1: 90 s -> the array form removes the ~290M-row intermediate
+    entirely). Postings and prefixes persist once; both were
+    recomputed up to 5x before.
+
     At 100 TB: one token-distinct shuffle, one df aggregation, one
     (doc)-keyed window for prefix ranks, one term-keyed candidate
-    self-join, two id-keyed joins for exact verification. The df
-    ordering is corpus-global state, recomputed per snapshot (like the
-    adaptive stopword list) — no driver-side materialization anywhere.
+    self-join (length+positional pruned), two id-keyed array joins for
+    exact verification. The df ordering is corpus-global state,
+    recomputed per snapshot (like the adaptive stopword list) — no
+    driver-side materialization anywhere.
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(
-                F.when(
-                    F.trim(F.col(text_col)) == "", F.array()
-                ).otherwise(
-                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = _persist_once(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.trim(F.col(text_col)) == "", F.array()
+                    ).otherwise(
+                        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                    )
                 )
-            )
-        ).alias("__term"),
+            ).alias("__term"),
+        )
     )
     sizes = toks.groupBy("__id").agg(
         F.count(F.lit(1)).cast("long").alias("__sz")
@@ -1284,33 +1306,76 @@ def prefix_filter_jaccard_pairs(
     req = F.expr(f"({t_num}L * __sz + {t_den - 1}L) div {t_den}L").cast(
         "long"
     )
-    prefix = ranked.filter(
-        F.col("__rn") <= F.col("__sz") - req + F.lit(1)
-    ).select("__id", "__term")
-
+    prefix = _persist_once(
+        ranked.filter(
+            F.col("__rn") <= F.col("__sz") - req + F.lit(1)
+        ).select("__id", "__term", "__rn", "__sz")
+    )
+    pa = prefix.select(
+        F.col("__id").alias("doc_a"),
+        "__term",
+        F.col("__rn").alias("__ra"),
+        F.col("__sz").alias("__sza"),
+    )
+    pb = prefix.select(
+        F.col("__id").alias("doc_b"),
+        "__term",
+        F.col("__rn").alias("__rb"),
+        F.col("__sz").alias("__szb"),
+    )
+    # Pair-level required overlap ceil(t*(sza+szb)/(1+t)), integer.
+    pair_req = F.expr(
+        f"({t_num}L * (__sza + __szb) + {t_num + t_den - 1}L)"
+        f" div {t_num + t_den}L"
+    )
     cand = (
-        prefix.select(F.col("__id").alias("doc_a"), "__term")
-        .join(
-            prefix.select(F.col("__id").alias("doc_b"), "__term"), "__term"
-        )
+        pa.join(pb, "__term")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # Length filter: J >= t forces t*max <= min.
+        .filter(
+            F.lit(t_num) * F.greatest("__sza", "__szb")
+            <= F.lit(t_den) * F.least("__sza", "__szb")
+        )
+        # Positional filter: overlap <= 1 + min(remaining suffix) must
+        # reach the pair's required overlap for SOME shared prefix
+        # token; the globally-first shared token of a qualifying pair
+        # always passes, so keeping any-pass candidates is complete.
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__sza") - F.col("__ra"),
+                F.col("__szb") - F.col("__rb"),
+            )
+            >= pair_req
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # Exact verification, fully relational: count shared tokens per
-    # candidate pair through two id-keyed joins (quadratic work bounded
-    # by |candidates|, never |docs|^2).
-    ta = toks.select(F.col("__id").alias("doc_a"), F.col("__term"))
-    tb = toks.select(F.col("__id").alias("doc_b"), F.col("__term"))
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "__term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    # Exact verification over materialized token SETS: one sorted array
+    # per doc, two id-keyed joins, intersection sized per candidate ROW
+    # (no candidate x token explode, no shuffle aggregate).
+    tok_sets = toks.groupBy("__id").agg(
+        F.sort_array(F.collect_list("__term")).alias("__set"),
+        F.count(F.lit(1)).cast("long").alias("__sz"),
     )
-    sa = sizes.select(F.col("__id").alias("doc_a"), F.col("__sz").alias("sz_a"))
-    sb = sizes.select(F.col("__id").alias("doc_b"), F.col("__sz").alias("sz_b"))
-    scored = inter.join(sa, "doc_a").join(sb, "doc_b")
+    sa = tok_sets.select(
+        F.col("__id").alias("doc_a"),
+        F.col("__set").alias("__seta"),
+        F.col("__sz").alias("sz_a"),
+    )
+    sb = tok_sets.select(
+        F.col("__id").alias("doc_b"),
+        F.col("__set").alias("__setb"),
+        F.col("__sz").alias("sz_b"),
+    )
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("__seta", "__setb")).cast("long"),
+        )
+    )
     union = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
     # Membership decided by exact cross-multiplication, never a float.
     return scored.filter(
@@ -1467,17 +1532,34 @@ def prefix_filter_containment_pairs(
     toks, sizes, cand = _containment_candidate_stages(
         df, id_col, text_col, ngram, t_num, t_den
     )
-    ta = toks.select(F.col("__id").alias("doc_a"), F.col("__term"))
-    tb = toks.select(F.col("__id").alias("doc_b"), F.col("__term"))
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "__term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    # Exact verification over materialized shingle SETS (round 14, same
+    # move as the Jaccard variant): one sorted array per doc, two
+    # id-keyed joins, intersection sized per candidate ROW with
+    # array_intersect — replaces the candidates x shingles explode
+    # through a shuffle aggregate, which dominated the wall in the
+    # copy-inflated output-bound regime (sf1.0 rung: 198 s direct).
+    shingle_sets = toks.groupBy("__id").agg(
+        F.sort_array(F.collect_list("__term")).alias("__set"),
+        F.count(F.lit(1)).cast("long").alias("__sz"),
     )
-    sa = sizes.select(F.col("__id").alias("doc_a"), F.col("__sz").alias("sz_a"))
+    sa = shingle_sets.select(
+        F.col("__id").alias("doc_a"),
+        F.col("__set").alias("__seta"),
+        F.col("__sz").alias("sz_a"),
+    )
+    sb = shingle_sets.select(
+        F.col("__id").alias("doc_b"), F.col("__set").alias("__setb")
+    )
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("__seta", "__setb")).cast("long"),
+        )
+    )
     return (
-        inter.join(sa, "doc_a")
+        inter
         .filter(F.lit(t_den) * F.col("n_inter") >= F.lit(t_num) * F.col("sz_a"))
         .select(
             "doc_a",

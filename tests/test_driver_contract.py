@@ -176,7 +176,12 @@ def test_bench_headline_line_fits_driver_tail():
         core = ("metric", "value", "unit", "queries", "sf")
         fake = {k: v for k, v in fake.items() if k in core}
         line = json.dumps(fake, separators=(",", ":"))
-    assert len(line) <= 1700, (
+    # Capacity bound: the driver parses the last ~2000 chars of stdout,
+    # and since round 14 the core line is bench.py's FINAL stdout write
+    # (printed after spark.stop(), nothing can trail it), so the only
+    # margin needed is the trailing newline — 1950 keeps 50 chars of
+    # slack. The 57-name round-14 cohort bottoms out at 1838.
+    assert len(line) <= 1950, (
         f"headline line bottoms out at {len(line)} chars even after "
         "degradation; trim HEADLINE or add a rung in bench.py"
     )
