@@ -43,6 +43,14 @@ def fingerprint(plan: str) -> list[str]:
 CACHE_SENSITIVE = {
     "dedup_minhash_lsh",
     "dedup_incremental_lsh_candidates",
+    # Round 14: the PPJoin rewrite persists postings + prefixes via
+    # _persist_once, so whether downstream joins read an
+    # InMemoryTableScan (and which side broadcasts) depends on which
+    # OTHER tests cached frames first in the shared suite session.
+    # Correctness is pinned by the brute-force completeness tests
+    # (tests/test_stats2.py) and the oracle hash; the candidate-join
+    # shape by the operator's own docstring contract.
+    "dedup_prefix_filter_jaccard",
 }
 
 
