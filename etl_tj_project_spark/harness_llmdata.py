@@ -708,9 +708,16 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"md5(concat_ws(' ', slice(toks, s + 1, {n}))) AS span_hash))"
         )
     )
-    w = t.select("doc_id", F.explode(spans_arr).alias("sp")).select(
-        "doc_id", F.col("sp.start_pos").alias("start_pos"),
-        F.col("sp.span_hash").alias("span_hash"),
+    from etl_tj_project_spark.operators.dedup import _persist_once
+
+    # The span frame feeds BOTH the repeated-fingerprint aggregate and
+    # the join-back; without a persist the tokenize+window-md5 explode
+    # runs twice over the corpus (round 14).
+    w = _persist_once(
+        t.select("doc_id", F.explode(spans_arr).alias("sp")).select(
+            "doc_id", F.col("sp.start_pos").alias("start_pos"),
+            F.col("sp.span_hash").alias("span_hash"),
+        )
     )
     rep = (
         w.groupBy("span_hash")
