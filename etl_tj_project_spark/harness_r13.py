@@ -143,6 +143,79 @@ def dedup_containment_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_canonical_oracle() -> str:
+    """Canonicalize (shared recursive-CTE CC twin), then restate the
+    EXACT all-pairs Jaccard join over the survivors. The Spark side
+    runs the lossless prefix-filtered form; the oracle may use the
+    direct all-pairs form because prefix filtering has zero false
+    negatives — same result set, oracle-scale corpus."""
+    canon = dd.canonicalize_manifest_sql(
+        "documents", "doc_id", "text", "n_chars", num_hashes=8, bands=4
+    )
+    return f"""
+    WITH canon AS ({canon}),
+    docs AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN canon c ON c.canonical_doc_id = d.doc_id
+    ), t AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END)) AS term
+      FROM docs
+    ), sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM t GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter, za.sz AS sz_a, zb.sz AS sz_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.doc_a
+    JOIN sz zb ON zb.doc_id = i.doc_b
+    WHERE 5 * i.n_inter >= 4 * (za.sz + zb.sz - i.n_inter)
+    """
+
+
+@register(
+    "dedup_jaccard_canonical",
+    _jaccard_canonical_oracle(),
+    doc="The §25b/§26 guardrail applied to the SYMMETRIC set-similarity "
+        "join (round 14): canonicalize near-dup families first (LSH -> "
+        "connected components -> longest-doc survivor), THEN run the "
+        "exact prefix-filtered Jaccard self-join at t=4/5 over only "
+        "the survivors. SCALE.md §26 measured why this exists: on the "
+        "copy-inflated corpus the direct Jaccard join is output-bound "
+        "(qualifying pairs 2.97M -> 197.6M at 10x) — collapsing "
+        "families before the pairwise stage removes the replicas^2 "
+        "pair lift at its source, the same guardrail the containment "
+        "variant ships as dedup_containment_canonical. No probe set "
+        "needed here: the symmetric join over survivors is naturally "
+        "non-vacuous on this corpus (the small vocabulary keeps "
+        "genuine >=0.8-Jaccard survivor pairs at every scale). Oracle "
+        "restates canonicalize + EXACT all-pairs Jaccard in one WITH "
+        "chain (prefix filtering is lossless, so all-pairs == the "
+        "prefix-filtered result by construction)",
+)
+def dedup_jaccard_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.harness_r12 import dedup_cluster_canonicalize
+
+    d = load_table(spark, sf_dir, "documents")
+    manifest = dedup_cluster_canonicalize(spark, sf_dir)
+    reps = d.join(
+        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    return dd.prefix_filter_jaccard_pairs(reps, "doc_id", "text", 4, 5)
+
+
 # =========================================================================
 # Streaming dedup entry: dropDuplicatesWithinWatermark, bounded replay
 # =========================================================================
