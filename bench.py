@@ -232,7 +232,22 @@ def main() -> None:
         round(abs(calib_par_mid - prev_par) / prev_par, 4) if prev_par else None
     )
     total_pass1, total_pass2 = total, None
+    # Second trigger (VERDICT r14 item 6): r14's record kept pass1
+    # despite 13 per-query contended retries, because calib drift
+    # (0.0216) sat under the 0.10 rerun threshold while SUSTAINED
+    # ambient load inflated every wall ~1.5x — the mid-run calibration
+    # just measured the same loaded host as the previous round's. A
+    # pass where more than 8 of the ~57 query brackets flagged
+    # contention is a contended pass regardless of what the anchor
+    # drift says, so it now forces the full-pass rerun too (the lower
+    # total still wins, so a pass2 under the same load can't make the
+    # record worse).
+    rerun_trigger = None
     if prev_par is not None and drift_vs_prev > 0.10:
+        rerun_trigger = "calib_drift"
+    elif len(contention_notes) > 8:
+        rerun_trigger = "contended_retries"
+    if rerun_trigger is not None:
         timings2, notes2 = timing_pass()
         total_pass2 = round(sum(timings2.values()), 4)
         if total_pass2 < total:
@@ -421,6 +436,7 @@ def main() -> None:
         "strain_sec": strain_sec,
         "calib_par_drift_vs_prev": drift_vs_prev,
         "drift_rerun": total_pass2 is not None,
+        "rerun_trigger": rerun_trigger,
         "value_pass1": total_pass1,
         "value_pass2": total_pass2,
         # Count of headline queries whose bracket flagged contention
@@ -487,8 +503,15 @@ def main() -> None:
     import sys
 
     sys.stdout.flush()
-    spark.stop()
-    print(line, flush=True)
+    # The contract line is this process's FINAL stdout write and the
+    # only thing the driver parses; printing it in a finally means a
+    # spark.stop() that raises can no longer eat the whole run's
+    # record (ADVICE r14 — the traceback goes to stderr, stdout still
+    # ends with the contract line).
+    try:
+        spark.stop()
+    finally:
+        print(line, flush=True)
 
 
 def _prev_recorded_parallel_calib() -> float | None:

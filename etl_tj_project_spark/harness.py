@@ -1630,6 +1630,10 @@ from etl_tj_project_spark import harness_r12  # noqa: E402,F401
 # dropDuplicatesWithinWatermark dedup entry (bounded replay).
 from etl_tj_project_spark import harness_r13  # noqa: E402,F401
 
+# Round-15 pack: the canonicalize-first guardrail applied to graph
+# analytics (triangle counting on survivors + analytic family cliques).
+from etl_tj_project_spark import harness_r15  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 
@@ -1652,70 +1656,70 @@ from etl_tj_project_spark import parity  # noqa: E402
 # recomposition pending) or that + 1 (recomposed — the steady state);
 # a missed bump fails loudly instead of silently pinning a stale
 # window (ADVICE r10/r11).
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 DRIVER_WINDOW: list[str] = [
-    # (b-first, per VERDICT r13 item 1c) the two round-13 additions
-    # that have never received a driver CORRECTNESS row — now
-    # non-vacuous (probe-corpus splice) and lifetime-safe (atexit CC
-    # label cleanup): driver-attesting them restores the full-registry
-    # coverage invariant (273/273 oracle-backed entries green at least
-    # once).
-    "dedup_containment_canonical",
-    "stream_dedup_watermark",
-    # (a) §2 stability core (driver-green every round they ran, r2-r13)
+    # (b-first, per VERDICT r14 item 1) the round-14 addition that was
+    # registered AFTER the r14 replay ran — the proof-chain hole two
+    # rounds running — leads the window, followed by this round's new
+    # entry so the register-after-proof slip cannot recur for it. The
+    # replay-coverage tripwire (tests/test_driver_contract.py) now
+    # makes that slip a red suite rather than a judge-catch.
+    "dedup_jaccard_canonical",
+    "graph_triangle_count_canonical",
+    # (a) §2 stability core (driver-green every round they ran, r2-r14)
     "p1_typed_projection",
     "j1_inner_join_fanout",
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
-    # (c) oldest-green rotation: the full 37-entry r8 cohort (newest
-    # green r8 — the oldest cohort left after r13 refreshed the r7
-    # cohort and the first 8 of r8's), in its r8-window order
-    "ann_lsh_bucketed_topk",
-    "dedup_embedding_cosine",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "sessionize",
-    "asof_join",
-    "semi_join_exists",
-    "anti_join_not_exists",
-    "percentile_by_group",
-    "count_distinct_by_group",
-    "p2_equality_filter",
-    "p3_date_partition_filter",
-    "p4_null_rejection",
-    "p5_conjunctive_predicate",
-    "ud1_norm_body",
-    "ud2_to_bool_safe",
-    "j2_left_join_code_to_name",
-    "j4_cast_key_join",
-    "u1_union_all",
-    "a2_agg_nullable_group_keys",
-    "a3_agg_by_tariff",
-    "a4_count_probe",
-    "w1_topk_per_group",
-    "sort_limit_topk",
-    "distinct_pairs",
-    "partitioned_write_roundtrip",
-    "stream_window_agg",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q5ish_regional_revenue",
-    "cube_agg",
-    "pivot_status_counts",
-    "sql_view_layer",
-    "skew_salted_join",
-    "upsert_dim_delta",
-    # ...then fill to 50 with the oldest of the r9 cohort (newest green
-    # r9) in its r9-window order
-    "dedup_connected_components",
-    "ann_ivf_topk",
-    "skewed_window_two_phase",
-    "corpus_split_assign",
-    "corpus_pack_sequences",
-    "corpus_pii_redact",
-    "corpus_top_terms",
+    # (c) oldest-green rotation: the full 39-entry r9 cohort (newest
+    # green r9 — the oldest cohort left after r14 refreshed r8 and the
+    # first 7 of r9's), in its r9-window order
+    "corpus_stratified_sample",
+    "corpus_contamination_check",
+    "tpch_q4ish_late_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9ish_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12ish_priority_by_returnflag",
+    "tpch_q13_order_count_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17ish_small_qty_revenue",
+    "window_lag_delta",
+    "window_ntile_quartiles",
+    "window_rank_family",
+    "window_range_frame",
+    "window_first_last",
+    "session_window_agg",
+    "sliding_window_counts",
+    "unpivot_melt",
+    "intersect_distinct",
+    "except_distinct",
+    "grouping_sets_agg",
+    "stats_agg_by_group",
+    "argmin_join_back",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q22ish_idle_customers",
+    "datetime_function_pack",
+    "string_function_pack",
+    "array_hof_pack",
+    "math_function_pack",
+    "null_semantics_pack",
+    "conditional_agg_pack",
+    "map_struct_pack",
+    "null_safe_join_agg",
+    "json_extract_typed",
+    "json_agg_by_field",
+    "scd2_validity_ranges",
+    # ...then fill to 50 with the oldest of the r10 cohort (newest
+    # green r10) in its r10-window order
+    "orc_write_roundtrip",
+    "dedup_paragraph_chunks",
+    "corpus_systematic_weighted_sample",
+    "csv_write_roundtrip",
+    "cdc_apply_latest",
 ]
 
 

@@ -392,40 +392,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition, so a 58k-row pair table at the session's full shuffle
     # width is pure scheduling overhead.
     pairs = _dd.narrow_persisted(pairs, "doc_a")
-    ends = pairs.select(F.col("doc_a").alias("n")).unionAll(
-        pairs.select(F.col("doc_b").alias("n"))
-    )
-    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
-    p = (
-        pairs.join(deg.withColumnRenamed("n", "doc_a"), "doc_a")
-        .withColumnRenamed("degree", "deg_a")
-        .join(
-            deg.withColumnRenamed("n", "doc_b").withColumnRenamed(
-                "degree", "deg_b"
-            ),
-            "doc_b",
-        )
-    )
-    low_is_a = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
-    )
-    oriented = p.select(
-        F.when(low_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
-        F.when(low_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
-    )
-    e1 = oriented.select(F.col("u"), F.col("v").alias("a"))
-    e2 = oriented.select(F.col("u"), F.col("v").alias("b"))
-    wedges = e1.join(e2, "u").filter(F.col("a") < F.col("b"))
-    closing = pairs.select(
-        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb")
-    )
-    closed = wedges.join(
-        closing,
-        (F.least("a", "b") == F.col("ca"))
-        & (F.greatest("a", "b") == F.col("cb")),
-        "left_semi",
-    )
-    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    from etl_tj_project_spark.operators.graph import triangle_count_oriented
+
+    return triangle_count_oriented(pairs)
 
 
 def _semdedup_oracle() -> str:

@@ -1,0 +1,155 @@
+"""Round-15 pack: the canonicalize-first guardrail applied to graph
+analytics.
+
+SCALE.md §26 measured `graph_triangle_count` at 342 s on the sf1.0
+copy-inflated corpus — not a plan pathology (per-wedge cost actually
+improved) but clique inflation: every k-copy family is a k-clique in
+the LSH candidate graph, so copy inflation multiplies triangles
+~combinatorially (a triangle whose 3 docs gain r copies each becomes
+r^3 triangles, and each inflated family adds C(k*r, 3) internal ones).
+VERDICT r14 item 5 asks for the same guardrail the pairwise dedup
+joins already ship (`dedup_containment_canonical`,
+`dedup_jaccard_canonical`): collapse near-dup families FIRST, run the
+combinatorial stage on survivors only, and account for the collapsed
+cliques analytically instead of enumerating them.
+
+``graph_triangle_count_canonical`` is that composition: LSH bands ->
+connected components -> one canonical survivor per family (the shared
+`dedup_cluster_canonicalize` manifest), then degree-oriented triangle
+counting on the SURVIVOR candidate graph, plus the closed-form
+within-family count sum(C(k, 3)) per k-member family — exact under
+the copy-inflation model where a family is a clique of equivalent
+documents (exact/near copies share band buckets pairwise by
+construction). Cross-family triangles among survivors are counted by
+the graph stage; triangles internal to a collapsed family by the
+formula; the mixed class (2 nodes in one family + 1 outside) is
+deliberately NOT restated — those edges are family-membership
+duplicates of the surviving doc's edges, which is exactly the
+redundancy canonicalization removes. The deliverable is the clique
+structure of the CANONICAL corpus with per-family accounting, which
+is the question a dedup pipeline actually asks ("are my residual
+near-dup groups cliquish or chains?") — asked of a graph whose size
+no longer scales with duplicate density.
+
+At 100 TB: the manifest stage is the existing checkpointed label
+propagation; the survivor graph is corpus-sized MINUS duplicate mass
+(the whole point); the analytic stage is one aggregation over the
+family-count manifest. Wall under copy inflation is measured by
+`strain.run_triangle_guardrail_strain` and recorded in SCALE.md §27.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.harness import register
+from etl_tj_project_spark.operators import dedup as dd
+from etl_tj_project_spark.operators.graph import triangle_count_oriented
+from etl_tj_project_spark.sources.testdata import load_table
+
+
+def _triangle_canonical_oracle() -> str:
+    """Restate all three stages in one WITH chain: the shared
+    recursive-CTE canonicalize twin (`dd.canonicalize_manifest_sql`,
+    byte-identical to the dedup_cluster_canonicalize oracle), the
+    survivor-only band self-join, a direct x<y<z triangle enumeration
+    (oracle-scale corpus — DuckDB needs no degree orientation), and
+    the closed-form family sum. Integer `//` division is exact:
+    k(k-1)(k-2) is always divisible by 6."""
+    canon = dd.canonicalize_manifest_sql(
+        "documents", "doc_id", "text", "n_chars", num_hashes=8, bands=4
+    )
+    bands_sql = dd.minhash_bands_sql(
+        "docs", "doc_id", "text", num_hashes=8, bands=4
+    )
+    return f"""
+    WITH canon AS ({canon}),
+    docs AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN canon c ON c.canonical_doc_id = d.doc_id
+    ),
+    sb AS (SELECT * FROM ({bands_sql}) raw_bands),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM sb a JOIN sb c ON a.band = c.band AND a.h = c.h
+                         AND a.doc_id < c.doc_id
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles_canonical
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+    ),
+    fam AS (
+      SELECT CAST(coalesce(SUM(
+               n_members * (n_members - 1) * (n_members - 2) // 6), 0)
+             AS BIGINT) AS n_triangles_within_family
+      FROM canon
+    )
+    SELECT tri.n_triangles_canonical,
+           fam.n_triangles_within_family,
+           CAST(tri.n_triangles_canonical + fam.n_triangles_within_family
+                AS BIGINT) AS n_triangles_total
+    FROM tri, fam
+    """
+
+
+@register(
+    "graph_triangle_count_canonical",
+    _triangle_canonical_oracle(),
+    doc="The §25b/§26 guardrail applied to graph analytics (VERDICT "
+        "r14 item 5): canonicalize near-dup families first (LSH -> "
+        "connected components -> longest-doc survivor), THEN run "
+        "degree-oriented triangle counting on the survivor candidate "
+        "graph only, and add the closed-form sum(C(k,3)) internal "
+        "triangles of each collapsed k-member family. SCALE.md §26 "
+        "measured why: copy inflation turns every family into a "
+        "clique factory (342 s at sf1.0 for the direct counter, "
+        "~1000x triangle growth) — collapsing families removes the "
+        "combinatorial term at its source and replaces it with one "
+        "aggregation over the family-size manifest. Output: one row "
+        "(canonical-graph triangles, analytic within-family "
+        "triangles, total). Oracle restates canonicalize + survivor "
+        "band join + direct x<y<z enumeration + the family formula "
+        "in one WITH chain",
+)
+def graph_triangle_count_canonical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_tj_project_spark.harness_r12 import dedup_cluster_canonicalize
+
+    d = load_table(spark, sf_dir, "documents")
+    manifest = dedup_cluster_canonicalize(spark, sf_dir)
+    # The manifest feeds two consumers (survivor semi-join + family
+    # aggregation); persist the id-sized frame once so the CC stage
+    # upstream runs once, not twice.
+    manifest = dd.narrow_persisted(manifest, "component_id")
+    reps = d.join(
+        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 4)
+    pairs = dd.narrow_persisted(pairs, "doc_a")
+    tri = triangle_count_oriented(pairs)
+    fam = manifest.agg(
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "n_members * (n_members - 1) * (n_members - 2) DIV 6"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_triangles_within_family")
+    )
+    return tri.crossJoin(fam).select(
+        F.col("n_triangles").alias("n_triangles_canonical"),
+        "n_triangles_within_family",
+        (F.col("n_triangles") + F.col("n_triangles_within_family"))
+        .cast("long")
+        .alias("n_triangles_total"),
+    )

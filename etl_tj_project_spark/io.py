@@ -551,10 +551,36 @@ def merge_sorted_export(
                 ]
             ),
         )
+        # LEFT join + in-plan guard, not an inner join (ADVICE r14
+        # medium): the map key is raw input_file_name() string equality
+        # against the paths collected in the range scan. If the two
+        # reads ever disagree on URI normalization/encoding (object-
+        # store schemes, special characters), an inner join would
+        # silently DROP every existing row of a touched file — its
+        # rewritten replacement would contain only delta rows. A null
+        # __file_idx now raise_error's inside the rewrite job itself
+        # (no extra action), naming the unmatched path.
         existing = (
             spark.read.parquet(*[ranges[i].f for i in touched])
             .withColumn("__f", F.input_file_name())
-            .join(F.broadcast(fmap), "__f")
+            .join(F.broadcast(fmap), "__f", "left")
+            .withColumn(
+                "__file_idx",
+                F.when(
+                    F.col("__file_idx").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "merge_sorted_export: input_file_name() "
+                                "matched no collected export path (URI "
+                                "normalization divergence would lose "
+                                "this file's rows): "
+                            ),
+                            F.col("__f"),
+                        )
+                    ).cast("long"),
+                ).otherwise(F.col("__file_idx")),
+            )
             .drop("__f")
         )
         merged = existing.unionByName(

@@ -49,7 +49,18 @@ def _persist_once(df: DataFrame) -> DataFrame:
     best-of-2 repeat of a query builder) reports the cached level and we
     skip the redundant persist — which would otherwise log
     "Asked to cache already cached data" and do nothing useful.
-    (``df.is_cached`` only reflects persist() called on THIS object.)"""
+    (``df.is_cached`` only reflects persist() called on THIS object.)
+
+    Accretion bound (ADVICE r14): operators deliberately do NOT
+    unpersist these frames — a composed downstream plan (e.g.
+    canonicalize -> containment) may still read them lazily after the
+    operator returns, which is exactly the lifetime bug the r13 CC
+    temp-dir fix was about. Each cached frame is id/pair-table-sized
+    (KB-MB at test scale, << corpus), the default MEMORY_AND_DISK level
+    is LRU-evicted under pressure, so a long session's cache footprint
+    is bounded by executor storage memory, never OOM. Long-running
+    multi-entry sessions (the full replay, bench cohorts) additionally
+    call ``spark.catalog.clearCache()`` at cohort boundaries."""
     lvl = df.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         df = df.persist()
@@ -1678,7 +1689,28 @@ def containment_probe_corpus(
             ).alias(text_col),
         )
     )
-    return reps.select(id_col, text_col).unionByName(probes)
+    # A source id >= id_offset would silently ALIAS a probe id onto a
+    # real doc, corrupting the pair set and the downstream probe
+    # detection (ADVICE r14). Guard in-plan (no extra action): every
+    # rep row flows through this projection, so one raise covers both
+    # union branches.
+    id_type = reps.schema[id_col].dataType.simpleString()
+    guarded_id = F.when(
+        F.col(id_col) >= F.lit(id_offset),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"containment_probe_corpus: source {id_col} >= "
+                    f"id_offset {id_offset} would alias probe ids onto "
+                    "real docs (raise id_offset): "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast(id_type),
+    ).otherwise(F.col(id_col))
+    return reps.select(
+        guarded_id.alias(id_col), F.col(text_col)
+    ).unionByName(probes)
 
 
 def containment_probe_corpus_sql(
@@ -1692,9 +1724,14 @@ def containment_probe_corpus_sql(
     """DuckDB twin of :func:`containment_probe_corpus` as a SELECT over
     an existing CTE/table named ``docs_cte`` with (id, text) columns —
     splice into a WITH chain. Same tokenization, same prefix rule, same
-    id shift."""
+    id shift — and the same aliasing guard (ADVICE r14): a source id
+    >= id_offset fails the query loudly in BOTH engines."""
     return f"""
-      SELECT {id_col}, {text_col} FROM {docs_cte}
+      SELECT CASE WHEN {id_col} >= {id_offset}
+                  THEN CAST(error('containment_probe_corpus: source id '
+                       || {id_col} || ' >= id_offset {id_offset}') AS BIGINT)
+                  ELSE {id_col} END AS {id_col},
+             {text_col} FROM {docs_cte}
       UNION ALL
       SELECT {id_col} + {id_offset} AS {id_col},
              array_to_string(toks[1:len(toks)-2], ' ') AS {text_col}

@@ -1115,3 +1115,268 @@ def run_containment_guardrail_strain(
         "sec_direct_candidates": sec_direct_cand,
         "sec_guardrail_e2e": sec_guardrail,
     }
+
+
+def run_jaccard_guardrail_strain(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int = 4,
+) -> dict:
+    """The §26 guardrail for the SYMMETRIC set-similarity join
+    (VERDICT r14 item 4): on a ``replicas``x exact-copy corpus,
+    ``dedup_jaccard_canonical``'s composition must produce a pair set
+    IDENTICAL to the base corpus's canonical-first run, while the
+    direct prefix-filtered Jaccard join's OUTPUT is lifted by at least
+    replicas^2 — the §26-measured quadratic term (2.97M -> 197.6M
+    pairs at 10x) removed at its source.
+
+    Determinism mirrors :func:`run_containment_guardrail_strain`:
+    byte-identical copies share every MinHash band with their
+    original, so the inflated LSH graph is the base graph clique-
+    lifted, components map 1:1, and each inflated component's
+    longest-doc/lowest-id survivor is the base component's survivor —
+    canonical sets are equal, hence identical final Jaccard pairs.
+    The replicas^2 OUTPUT floor is a theorem on any corpus: exact
+    copies have identical token sets, so every base qualifying pair
+    (a, b) lifts to replicas^2 qualifying inflated pairs (same J), and
+    every non-singleton-token doc additionally forms C(replicas, 2)
+    within-family J=1 pairs.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    n_docs = d.count()
+    shift = d.agg(F.max("doc_id")).first()[0] + 1
+    fam = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+    ).select(
+        (F.col("doc_id") + F.col("r") * shift).alias("doc_id"),
+        "text",
+        "n_chars",
+    )
+
+    # Direct path on the inflated corpus: the §26 output-bound join.
+    t0 = time.perf_counter()
+    pairs_direct = dd.prefix_filter_jaccard_pairs(
+        fam, "doc_id", "text", 4, 5
+    ).count()
+    sec_direct = round(time.perf_counter() - t0, 4)
+
+    # Base-corpus direct pairs: the replicas^2 floor input.
+    pairs_base_direct = dd.prefix_filter_jaccard_pairs(
+        d, "doc_id", "text", 4, 5
+    ).count()
+    _require(
+        pairs_direct >= replicas * replicas * pairs_base_direct,
+        f"copy-lift below the replicas^2 output floor: {pairs_direct} "
+        f"< {replicas}^2 * {pairs_base_direct}",
+    )
+
+    # Guardrail path: canonicalize the INFLATED corpus, then the exact
+    # prefix-filtered join over survivors only (the registry entry's
+    # composition).
+    t0 = time.perf_counter()
+    manifest = dd.canonicalize_near_dup_clusters(
+        fam, "doc_id", "text", "n_chars"
+    )
+    reps = fam.join(
+        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    ).persist()
+    n_canonical = reps.count()
+    pairs_canon = dd.prefix_filter_jaccard_pairs(
+        reps, "doc_id", "text", 4, 5
+    ).persist()
+    n_pairs_canon = pairs_canon.count()
+    sec_guardrail = round(time.perf_counter() - t0, 4)
+
+    # Identity vs the base corpus's canonical-first run (non-empty).
+    base_manifest = dd.canonicalize_near_dup_clusters(
+        d, "doc_id", "text", "n_chars"
+    )
+    base_reps = d.join(
+        base_manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    base_pairs = dd.prefix_filter_jaccard_pairs(
+        base_reps, "doc_id", "text", 4, 5
+    ).persist()
+    n_base_pairs = base_pairs.count()
+    _require(
+        n_base_pairs > 0,
+        "identity check is vacuous: base canonical corpus produced 0 "
+        "Jaccard pairs",
+    )
+    _require(
+        n_pairs_canon == n_base_pairs,
+        f"guardrail pair count diverged: {n_pairs_canon} inflated vs "
+        f"{n_base_pairs} base",
+    )
+    diff = pairs_canon.exceptAll(base_pairs).count()
+    _require(
+        diff == 0,
+        f"guardrail pairs diverge from base canonical pairs: {diff} rows",
+    )
+    pairs_canon.unpersist()
+    base_pairs.unpersist()
+    reps.unpersist()
+    return {
+        "docs": n_docs * replicas,
+        "replicas": replicas,
+        "n_canonical": n_canonical,
+        "pairs_direct": pairs_direct,
+        "pairs_base_direct": pairs_base_direct,
+        "pairs_canonical": n_pairs_canon,
+        "pair_cut_x": round(pairs_direct / max(n_pairs_canon, 1), 2),
+        "sec_direct": sec_direct,
+        "sec_guardrail_e2e": sec_guardrail,
+    }
+
+
+def run_triangle_guardrail_strain(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int = 4,
+) -> dict:
+    """The §26 guardrail for graph analytics (VERDICT r14 item 5): on
+    a ``replicas``x exact-copy corpus the DIRECT triangle count pays
+    the clique-factory lift — and because exact copies make the
+    inflated candidate graph the base graph's exact clique lift, the
+    lift is a closed form this runner asserts EXACTLY:
+
+        T_direct = T_base * r^3  +  E_base * 2 * r * C(r, 2)
+                   +  N_base * C(r, 3)
+
+    (three groups pairwise adjacent / two nodes in one group + one in
+    an adjacent group / three nodes in one replica group — every
+    replica group is an r-clique because byte-identical copies share
+    every band, and inter-group edges are complete bipartite iff the
+    base edge exists).
+
+    The guardrail composition (canonicalize -> survivor-graph
+    triangles + analytic per-family C(k,3)) must instead return the
+    BASE canonical graph's triangle count (survivor sets are equal),
+    with its within-family term equal to sum C(k * r, 3) over base
+    component sizes k — combinatorics moved into one aggregation over
+    the family manifest instead of an enumerated join.
+    """
+    from etl_tj_project_spark.operators.graph import triangle_count_oriented
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    n_docs = d.count()
+    shift = d.agg(F.max("doc_id")).first()[0] + 1
+    fam = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+    ).select(
+        (F.col("doc_id") + F.col("r") * shift).alias("doc_id"),
+        "text",
+        "n_chars",
+    )
+
+    # Base graph statistics for the closed-form lift.
+    base_pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", 8, 4).persist()
+    e_base = base_pairs.count()
+    t_base = triangle_count_oriented(base_pairs).first()[0]
+
+    # Direct path on the inflated corpus.
+    t0 = time.perf_counter()
+    direct_pairs = dd.lsh_candidate_pairs(fam, "doc_id", "text", 8, 4)
+    direct_pairs = dd.narrow_persisted(direct_pairs, "doc_a")
+    t_direct = triangle_count_oriented(direct_pairs).first()[0]
+    sec_direct = round(time.perf_counter() - t0, 4)
+
+    r = replicas
+    c_r2 = r * (r - 1) // 2
+    c_r3 = r * (r - 1) * (r - 2) // 6
+    expected_direct = t_base * r**3 + e_base * 2 * r * c_r2 + n_docs * c_r3
+    _require(
+        t_direct == expected_direct,
+        f"clique-lift closed form broken: direct {t_direct} != "
+        f"T*r^3 + E*2r*C(r,2) + N*C(r,3) = {expected_direct}",
+    )
+
+    # Guardrail path on the inflated corpus.
+    t0 = time.perf_counter()
+    manifest = dd.canonicalize_near_dup_clusters(
+        fam, "doc_id", "text", "n_chars"
+    ).persist()
+    reps = fam.join(
+        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    surv_pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 4)
+    surv_pairs = dd.narrow_persisted(surv_pairs, "doc_a")
+    t_canon = triangle_count_oriented(surv_pairs).first()[0]
+    fam_tri = manifest.agg(
+        F.coalesce(
+            F.sum(
+                F.expr("n_members * (n_members - 1) * (n_members - 2) DIV 6")
+            ),
+            F.lit(0),
+        ).cast("long")
+    ).first()[0]
+    sec_guardrail = round(time.perf_counter() - t0, 4)
+
+    # Survivor sets of inflated and base are equal, so the survivor
+    # graph (and its triangles) must match the BASE canonical run; the
+    # within-family term must equal sum C(k*r, 3) over base components.
+    base_manifest = dd.canonicalize_near_dup_clusters(
+        d, "doc_id", "text", "n_chars"
+    )
+    base_reps = d.join(
+        base_manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    base_surv_pairs = dd.lsh_candidate_pairs(
+        base_reps, "doc_id", "text", 8, 4
+    )
+    t_canon_base = triangle_count_oriented(base_surv_pairs).first()[0]
+    _require(
+        t_canon == t_canon_base,
+        f"survivor-graph triangles diverged: {t_canon} inflated vs "
+        f"{t_canon_base} base",
+    )
+    expected_fam = (
+        base_manifest.agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"(n_members * {r}) * (n_members * {r} - 1) "
+                        f"* (n_members * {r} - 2) DIV 6"
+                    )
+                ),
+                F.lit(0),
+            ).cast("long")
+        ).first()[0]
+    )
+    _require(
+        fam_tri == expected_fam,
+        f"within-family analytic count diverged: {fam_tri} != "
+        f"sum C(k*{r}, 3) = {expected_fam}",
+    )
+    base_pairs.unpersist()
+    manifest.unpersist()
+    return {
+        "docs": n_docs * replicas,
+        "replicas": replicas,
+        "e_base": e_base,
+        "t_base": t_base,
+        "t_direct": t_direct,
+        "t_canonical_graph": t_canon,
+        "t_within_family": fam_tri,
+        "tri_lift_x": round(t_direct / max(t_base, 1), 2),
+        "sec_direct": sec_direct,
+        "sec_guardrail_e2e": sec_guardrail,
+    }

@@ -209,3 +209,40 @@ def test_suite_and_driver_sessions_run_ansi_on(spark):
 
     src = inspect.getsource(get_spark)
     assert "ansi" not in src.lower()
+
+
+def test_replay_log_covers_registry():
+    """VERDICT r14 item 2: in BOTH r13 and r14 the final snapshot
+    commit registered a new entry AFTER the round's full replay ran,
+    leaving the newest entry with no committed proof row. This
+    tripwire closes that loophole structurally: every name in
+    ``harness.queries()`` must appear as ``RESULT OK`` in the NEWEST
+    committed ``tools/replay_r*_final.log``, and that log's SUMMARY
+    must record 0 fails. Consequence: registering an entry makes the
+    suite red until a fresh full replay log is committed — the replay
+    must be the LAST proof artifact of a round, never outrun by a
+    registration."""
+    import glob
+    import re
+
+    from etl_tj_project_spark import harness
+
+    logs = glob.glob(os.path.join(REPO, "tools", "replay_r*_final.log"))
+    assert logs, "no committed replay_r*_final.log found"
+    newest = max(
+        logs,
+        key=lambda p: int(re.search(r"replay_r(\d+)", p).group(1)),
+    )
+    text = open(newest).read()
+    ok = set(re.findall(r"^RESULT OK (\S+)$", text, re.M))
+    missing = [n for n in harness.queries() if n not in ok]
+    assert not missing, (
+        f"{os.path.basename(newest)} lacks RESULT OK rows for "
+        f"{missing} — run tools/replay_driver.py and commit the new "
+        f"replay_r*_final.log AFTER the last registry change"
+    )
+    m = re.search(r"^RESULT SUMMARY fails: (\d+)", text, re.M)
+    assert m, f"{os.path.basename(newest)} has no RESULT SUMMARY line"
+    assert int(m.group(1)) == 0, (
+        f"{os.path.basename(newest)} records {m.group(1)} replay fails"
+    )

@@ -83,6 +83,9 @@ _SINGLE_PARTITION_ALLOW = {
     # size-dispatched formula, not a fixed funnel — at scale the same
     # call yields rows/2M partitions.
     "graph_triangle_count",
+    # Same narrow_persisted size dispatch, applied to both the
+    # canonicalize manifest and the survivor pair table.
+    "graph_triangle_count_canonical",
 }
 
 

@@ -1279,6 +1279,22 @@ def test_merge_sorted_export_rewrites_only_touched_ranges(spark, tmp_path):
     )
     assert identical == stats["files_copied"], (identical, stats)
 
+    # (d) rows INSIDE every output file are sorted by the export keys,
+    # read in physical file order (pyarrow preserves it). The rewrite
+    # job relies on the parquet writer ELIDING its required partition-
+    # column sort because the child is pre-sorted by (__file_idx,
+    # *keys); if planner drift ever inserts a sort on __file_idx alone
+    # (not guaranteed stable), secondary key order inside rewritten
+    # files would break SILENTLY without this check (ADVICE r14).
+    import pyarrow.parquet as pq
+
+    for p in sorted(os.listdir(out_dir)):
+        if not p.endswith(".parquet"):
+            continue
+        cols = pq.read_table(os.path.join(out_dir, p), columns=keys)
+        rows = list(zip(*(cols.column(k).to_pylist() for k in keys)))
+        assert rows == sorted(rows), f"intra-file key order broken in {p}"
+
 
 def test_delete_where_partitioned_rewrites_only_affected_days(
     spark, tmp_path

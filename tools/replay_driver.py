@@ -36,7 +36,15 @@ from tests.oracle_compare import compare
 
 q, o = m.queries(), m.oracle_sql()
 fails = []
-for name, fn in q.items():
+for i, (name, fn) in enumerate(q.items()):
+    # Cohort-boundary cache hygiene (ADVICE r14): _persist_once-cached
+    # frames are deliberately never unpersisted by operators (composed
+    # lazy consumers may still read them), so a 280+-entry session
+    # accretes executor cache bounded only by LRU eviction. Clearing
+    # every 50 entries keeps the replay's memory profile flat without
+    # perturbing any single entry's internal cache reuse.
+    if i and i % 50 == 0:
+        spark.catalog.clearCache()
     try:
         sdf = fn(spark, sf)
         if name in o:
