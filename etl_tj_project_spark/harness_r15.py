@@ -16,20 +16,32 @@ cliques analytically instead of enumerating them.
 ``graph_triangle_count_canonical`` is that composition: LSH bands ->
 connected components -> one canonical survivor per family (the shared
 `dedup_cluster_canonicalize` manifest), then degree-oriented triangle
-counting on the SURVIVOR candidate graph, plus the closed-form
+counting on the survivor RESIDUAL graph, plus the closed-form
 within-family count sum(C(k, 3)) per k-member family — exact under
 the copy-inflation model where a family is a clique of equivalent
 documents (exact/near copies share band buckets pairwise by
-construction). Cross-family triangles among survivors are counted by
-the graph stage; triangles internal to a collapsed family by the
-formula; the mixed class (2 nodes in one family + 1 outside) is
-deliberately NOT restated — those edges are family-membership
-duplicates of the surviving doc's edges, which is exactly the
-redundancy canonicalization removes. The deliverable is the clique
-structure of the CANONICAL corpus with per-family accounting, which
-is the question a dedup pipeline actually asks ("are my residual
-near-dup groups cliquish or chains?") — asked of a graph whose size
-no longer scales with duplicate density.
+construction).
+
+The residual graph is built at a LOOSER threshold than the family
+graph (bands=8, one minhash per band, vs the family definition's
+bands=4 two-row bands) — necessarily so: with the family graph's own
+parameters the survivor graph is provably EMPTY, since any band
+collision between two docs merges their connected components and the
+survivors are one per component. (The round-15 rung measured exactly
+that: t_canonical_graph=0 at every scale before the threshold split —
+the r13 containment-vacuity lesson applied to graphs.) At the
+single-minhash threshold survivors genuinely connect — near-miss
+pairs below the family bar — and the triangle statistic answers the
+question a dedup pipeline actually asks of the residue: "are the
+remaining near-miss groups cliquish (template families the family
+threshold missed) or chains (transitive accidents)?" Triangles
+internal to a collapsed family are restated by the formula; the mixed
+class (2 nodes in one family + 1 outside) is deliberately NOT
+restated — those edges are family-membership duplicates of the
+surviving doc's edges, which is exactly the redundancy
+canonicalization removes. The deliverable is the residual clique
+structure of the CANONICAL corpus with per-family accounting, asked
+of a graph whose size no longer scales with duplicate density.
 
 At 100 TB: the manifest stage is the existing checkpointed label
 propagation; the survivor graph is corpus-sized MINUS duplicate mass
@@ -60,8 +72,15 @@ def _triangle_canonical_oracle() -> str:
     canon = dd.canonicalize_manifest_sql(
         "documents", "doc_id", "text", "n_chars", num_hashes=8, bands=4
     )
+    # Residual graph at bands=8 (rows-per-band=1), NOT the family
+    # graph's bands=4: with identical parameters the survivor graph is
+    # provably EMPTY — any band collision between two docs puts them in
+    # the same connected component, so two survivors (one per
+    # component) can never share a band. The residual analysis must
+    # therefore run at a LOOSER threshold than the family definition
+    # (single-minhash collision), which families do not collapse.
     bands_sql = dd.minhash_bands_sql(
-        "docs", "doc_id", "text", num_hashes=8, bands=4
+        "docs", "doc_id", "text", num_hashes=8, bands=8
     )
     return f"""
     WITH canon AS ({canon}),
@@ -102,18 +121,23 @@ def _triangle_canonical_oracle() -> str:
     doc="The §25b/§26 guardrail applied to graph analytics (VERDICT "
         "r14 item 5): canonicalize near-dup families first (LSH -> "
         "connected components -> longest-doc survivor), THEN run "
-        "degree-oriented triangle counting on the survivor candidate "
-        "graph only, and add the closed-form sum(C(k,3)) internal "
-        "triangles of each collapsed k-member family. SCALE.md §26 "
-        "measured why: copy inflation turns every family into a "
-        "clique factory (342 s at sf1.0 for the direct counter, "
-        "~1000x triangle growth) — collapsing families removes the "
-        "combinatorial term at its source and replaces it with one "
-        "aggregation over the family-size manifest. Output: one row "
-        "(canonical-graph triangles, analytic within-family "
-        "triangles, total). Oracle restates canonicalize + survivor "
-        "band join + direct x<y<z enumeration + the family formula "
-        "in one WITH chain",
+        "degree-oriented triangle counting on the survivor RESIDUAL "
+        "graph — built at the looser single-minhash threshold "
+        "(bands=8), because with the family graph's own bands=4 "
+        "parameters the survivor graph is provably empty (an edge "
+        "would have merged the components) — and add the closed-form "
+        "sum(C(k,3)) internal triangles of each collapsed k-member "
+        "family. SCALE.md §26 measured why the composition exists: "
+        "copy inflation turns every family into a clique factory "
+        "(342 s at sf1.0 for the direct counter, ~1000x triangle "
+        "growth) — collapsing families removes the combinatorial term "
+        "at its source and replaces it with one aggregation over the "
+        "family-size manifest. Output: one row (residual-graph "
+        "triangles, analytic within-family triangles, total; "
+        "non-vacuous at every scale — 28,152 residual triangles at "
+        "sf0.001). Oracle restates canonicalize + survivor bands=8 "
+        "join + direct x<y<z enumeration + the family formula in one "
+        "WITH chain",
 )
 def graph_triangle_count_canonical(
     spark: SparkSession, sf_dir: str
@@ -131,7 +155,17 @@ def graph_triangle_count_canonical(
         "doc_id",
         "left_semi",
     )
-    pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 4)
+    # bands=8 (one minhash per band): the survivor RESIDUAL graph must
+    # use a looser threshold than the bands=4 family graph — with the
+    # family parameters the survivor graph is empty by construction
+    # (an edge would have merged the two components), which would make
+    # the graph stage vacuous (the r13 containment lesson). At the
+    # single-minhash threshold, survivors genuinely connect (sf0.001:
+    # 5,280 edges / 28,152 triangles) and the triangle statistic
+    # answers "is the residual near-miss structure cliquish or
+    # chained?" over a graph whose size no longer scales with
+    # duplicate density.
+    pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 8)
     pairs = dd.narrow_persisted(pairs, "doc_a")
     tri = triangle_count_oriented(pairs)
     fam = manifest.agg(

@@ -1258,12 +1258,17 @@ def run_triangle_guardrail_strain(
     every band, and inter-group edges are complete bipartite iff the
     base edge exists).
 
-    The guardrail composition (canonicalize -> survivor-graph
-    triangles + analytic per-family C(k,3)) must instead return the
-    BASE canonical graph's triangle count (survivor sets are equal),
-    with its within-family term equal to sum C(k * r, 3) over base
-    component sizes k — combinatorics moved into one aggregation over
-    the family manifest instead of an enumerated join.
+    The guardrail composition (canonicalize -> RESIDUAL-graph
+    triangles at the looser bands=8 threshold + analytic per-family
+    C(k,3)) must instead return the BASE canonical corpus's residual
+    triangle count (survivor sets are equal and residual edges depend
+    only on survivor text), with its within-family term equal to
+    sum C(k * r, 3) over base component sizes k — combinatorics moved
+    into one aggregation over the family manifest instead of an
+    enumerated join. The residual graph deliberately uses bands=8:
+    at the family graph's own bands=4 the survivor graph is provably
+    empty (an edge would have merged the components), which would
+    make this identity vacuous (0 == 0).
     """
     from etl_tj_project_spark.operators.graph import triangle_count_oriented
 
@@ -1315,7 +1320,7 @@ def run_triangle_guardrail_strain(
         "doc_id",
         "left_semi",
     )
-    surv_pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 4)
+    surv_pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 8)
     surv_pairs = dd.narrow_persisted(surv_pairs, "doc_a")
     t_canon = triangle_count_oriented(surv_pairs).first()[0]
     fam_tri = manifest.agg(
@@ -1340,7 +1345,7 @@ def run_triangle_guardrail_strain(
         "left_semi",
     )
     base_surv_pairs = dd.lsh_candidate_pairs(
-        base_reps, "doc_id", "text", 8, 4
+        base_reps, "doc_id", "text", 8, 8
     )
     t_canon_base = triangle_count_oriented(base_surv_pairs).first()[0]
     _require(

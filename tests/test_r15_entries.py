@@ -63,9 +63,10 @@ def test_triangle_guardrail_strain(spark):
 
 def test_triangle_canonical_is_triangles_on_survivors_plus_families(spark):
     """The composed entry must equal triangle counting over exactly
-    the canonical-survivor candidate graph plus the closed-form family
-    term computed independently from the manifest — and the total must
-    be their sum."""
+    the canonical-survivor RESIDUAL graph (bands=8 — the loose
+    single-minhash threshold) plus the closed-form family term
+    computed independently from the manifest — and the total must be
+    their sum. BOTH terms must be non-vacuous at smoke scale."""
     out = graph_triangle_count_canonical(spark, SF_SMOKE).first()
 
     manifest = dedup_cluster_canonicalize(spark, SF_SMOKE)
@@ -75,7 +76,7 @@ def test_triangle_canonical_is_triangles_on_survivors_plus_families(spark):
         "doc_id",
         "left_semi",
     )
-    pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 4)
+    pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 8)
     want_tri = triangle_count_oriented(pairs).first()[0]
     fam_sizes = [r.n_members for r in manifest.select("n_members").collect()]
     want_fam = sum(k * (k - 1) * (k - 2) // 6 for k in fam_sizes)
@@ -86,7 +87,28 @@ def test_triangle_canonical_is_triangles_on_survivors_plus_families(spark):
         out.n_triangles_total
         == out.n_triangles_canonical + out.n_triangles_within_family
     )
-    # Non-vacuity: the smoke corpus has real near-dup families, so the
-    # family term must be positive whenever any component has >= 3
-    # members; at minimum the row itself always exists.
-    assert out.n_triangles_total >= 0
+    # Non-vacuity of the GRAPH term (the whole reason the residual
+    # graph runs at bands=8: at the family graph's bands=4 it is
+    # provably empty — an edge would have merged the components).
+    assert out.n_triangles_canonical > 0
+    # Non-vacuity of the FAMILY term: the smoke corpus has real
+    # near-dup families with >= 3 members.
+    assert out.n_triangles_within_family > 0
+
+
+def test_triangle_canonical_family_graph_residual_is_empty(spark):
+    """Pin the structural fact that forced the bands=8 choice: at the
+    family graph's OWN parameters (bands=4) the survivor graph has no
+    edges at all — two survivors sharing a band would have been one
+    component. If this ever fails, the residual-threshold rationale
+    in harness_r15 is stale."""
+    manifest = dedup_cluster_canonicalize(spark, SF_SMOKE)
+    d = load_table(spark, SF_SMOKE, "documents")
+    reps = d.join(
+        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    assert (
+        dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 4).count() == 0
+    )
