@@ -119,6 +119,14 @@ HEADLINE = [
     "dedup_prefix_filter_jaccard",
     "ann_knn_join_topk",
     "scd2_apply_changes",
+    # Round-15 additions: the two canonicalize-first guardrail
+    # compositions (SCALE.md §27) — the production answers to the §26
+    # outliers, so their constants (LSH -> CC -> survivor window ->
+    # pairwise/graph stage) must be measured every round, not just the
+    # direct joins they replace.
+    # (Round-over-round totals: compare the shared cohort, as before.)
+    "dedup_jaccard_canonical",
+    "graph_triangle_count_canonical",
 ]
 
 
