@@ -51,6 +51,17 @@ CACHE_SENSITIVE = {
     # (tests/test_stats2.py) and the oracle hash; the candidate-join
     # shape by the operator's own docstring contract.
     "dedup_prefix_filter_jaccard",
+    # Round 15: the guardrail compositions run LSH banding +
+    # connected components + narrow_persisted caches end-to-end, so
+    # their plan text depends on which band/label/pair frames earlier
+    # suite tests left in the CacheManager (the full-suite run showed
+    # graph_triangle_count_canonical's shape shifting vs a fresh
+    # session's snapshot). Correctness is pinned by the oracle hash
+    # and tests/test_r15_entries.py's structural equalities; the
+    # single-partition shapes by test_plan_lint's documented
+    # allowlist.
+    "dedup_jaccard_canonical",
+    "graph_triangle_count_canonical",
 }
 
 
