@@ -2890,3 +2890,168 @@ def test_random_lateral_topk_matches_oracle(spark, duck, cust_nat_views, idx):
     nat, cust = cust_nat_views
     sdf = spark.sql(_lateral_topk_sql(a, b, m, d, k, nat, cust))
     compare(sdf, duck, _lateral_topk_sql(a, b, m, d, k, "nation", "customer"))
+
+
+# ---------------------------------------------------------------------------
+# Set-intersection similarity fuzzing (round 15): the guardrail
+# entries' verify stage decides Jaccard/containment membership with
+# size(array_intersect(...)) over distinct token arrays and integer
+# cross-multiplication. This class probes exactly those primitives on
+# randomized (tokenizer, threshold, sample) triples: Spark's
+# array_distinct/array_intersect/size against DuckDB's
+# list_distinct/list_intersect/len must agree on every qualifying
+# pair AND on the intersection cardinalities themselves. Divergence
+# candidates: dedup behavior of intersect with pre-distinct inputs,
+# split-vs-regexp_split tokenization of repeated whitespace, and the
+# rational-threshold integer arithmetic.
+# ---------------------------------------------------------------------------
+
+def _gen_setsim(n: int) -> list[tuple[int, int, int, int]]:
+    rng = random.Random(20260901)
+    out = []
+    for _ in range(n):
+        t_den = rng.choice([3, 4, 5, 7])
+        t_num = rng.randint(1, t_den - 1)
+        out.append((
+            rng.randint(0, 6),   # sample residue: doc_id % 7 <= r
+            t_num,
+            t_den,
+            rng.choice([0, 1]),  # 0 = symmetric Jaccard, 1 = containment on a
+        ))
+    return out
+
+
+SETSIM_CASES = _gen_setsim(12)
+
+
+def _setsim_sql(r: int, t_num: int, t_den: int, contain: int,
+                t: str, duckdb: bool) -> str:
+    if duckdb:
+        toks = (
+            "list_distinct(regexp_split_to_array(trim(lower(text)), "
+            "'\\s+'))"
+        )
+        inter = "len(list_intersect(a.s, b.s))"
+        sz = "len"
+    else:
+        toks = r"array_distinct(split(trim(lower(text)), '\\s+'))"
+        inter = "size(array_intersect(a.s, b.s))"
+        sz = "size"
+    cond = (
+        f"{t_den} * n_inter >= {t_num} * sz_a"
+        if contain
+        else f"{t_den} * n_inter >= {t_num} * (sz_a + sz_b - n_inter)"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS s FROM {t}
+      WHERE trim(text) <> '' AND doc_id % 7 <= {r}
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({inter} AS BIGINT) AS n_inter,
+             CAST({sz}(a.s) AS BIGINT) AS sz_a,
+             CAST({sz}(b.s) AS BIGINT) AS sz_b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter, sz_a, sz_b
+    FROM pairs WHERE {cond}
+    """
+
+
+@pytest.fixture(scope="module")
+def docs_view(spark):
+    load_table(spark, SF_SMOKE, "documents").createOrReplaceTempView(
+        "fuzz_documents"
+    )
+    return "fuzz_documents"
+
+
+@pytest.mark.parametrize("idx", range(len(SETSIM_CASES)))
+def test_random_set_similarity_matches_oracle(spark, duck, docs_view, idx):
+    r, t_num, t_den, contain = SETSIM_CASES[idx]
+    sdf = spark.sql(_setsim_sql(r, t_num, t_den, contain, docs_view, False))
+    compare(sdf, duck, _setsim_sql(r, t_num, t_den, contain, "documents", True))
+
+
+def test_setsim_class_is_not_vacuous(spark, docs_view):
+    """(1) some case returns qualifying pairs, (2) some case EXCLUDES
+    pairs (the threshold genuinely filters — an always-true condition
+    would test the join, not the similarity arithmetic), and (3) both
+    the Jaccard and containment forms appear in the case list."""
+    kinds = {c[3] for c in SETSIM_CASES}
+    assert kinds == {0, 1}
+    saw_rows = saw_filtering = False
+    for r, t_num, t_den, contain in SETSIM_CASES:
+        kept = spark.sql(
+            _setsim_sql(r, t_num, t_den, contain, docs_view, False)
+        ).count()
+        total = spark.sql(
+            _setsim_sql(r, 0, 1, contain, docs_view, False)
+        ).count()
+        if kept > 0:
+            saw_rows = True
+        if kept < total:
+            saw_filtering = True
+    assert saw_rows, "no case produced a qualifying pair"
+    assert saw_filtering, "no case's threshold excluded anything"
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL fuzzing (round 15): both engines resolve GROUP BY ALL
+# by classifying each select-list item as key or aggregate. Randomized
+# mixes of computed keys (NULL-producing expressions included) and
+# aggregates probe that the two resolvers classify identically — a
+# misclassification yields a wrong grouping, not an error, so only a
+# differential check catches it.
+# ---------------------------------------------------------------------------
+
+def _gen_gball(n: int) -> list[tuple[str, str, str]]:
+    rng = random.Random(20260902)
+    keys = [
+        "l_returnflag",
+        "NULLIF(l_linestatus, 'O')",
+        "CAST(l_suppkey % 4 AS BIGINT)",
+        "CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END",
+    ]
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT)",
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)",
+        "MIN(CAST(l_linenumber AS BIGINT))",
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)",
+    ]
+    out = []
+    for _ in range(n):
+        k1, k2 = rng.sample(keys, 2)
+        out.append((k1, k2, rng.choice(aggs)))
+    return out
+
+
+GBALL_CASES = _gen_gball(10)
+
+
+def _gball_sql(k1: str, k2: str, agg: str, t: str) -> str:
+    return (
+        f"SELECT {k1} AS k1, {k2} AS k2, {agg} AS v "
+        f"FROM {t} GROUP BY ALL"
+    )
+
+
+@pytest.mark.parametrize("idx", range(len(GBALL_CASES)))
+def test_random_group_by_all_matches_oracle(spark, duck, li_view, idx):
+    k1, k2, agg = GBALL_CASES[idx]
+    sdf = spark.sql(_gball_sql(k1, k2, agg, li_view))
+    compare(sdf, duck, _gball_sql(k1, k2, agg, "lineitem"))
+
+
+def test_gball_class_is_not_vacuous(spark, li_view):
+    """Some case must produce a NULL key group (the classification
+    hazard GROUP BY ALL shares with explicit grouping) and more than
+    one group overall."""
+    saw_null = saw_groups = False
+    for k1, k2, agg in GBALL_CASES:
+        rows = spark.sql(_gball_sql(k1, k2, agg, li_view)).collect()
+        if len(rows) > 1:
+            saw_groups = True
+        if any(r.k1 is None or r.k2 is None for r in rows):
+            saw_null = True
+    assert saw_groups and saw_null
