@@ -1666,6 +1666,7 @@ DRIVER_WINDOW: list[str] = [
     # makes that slip a red suite rather than a judge-catch.
     "dedup_jaccard_canonical",
     "graph_triangle_count_canonical",
+    "graph_residual_clustering_coefficient",
     # (a) §2 stability core (driver-green every round they ran, r2-r14)
     "p1_typed_projection",
     "j1_inner_join_fanout",
@@ -1719,7 +1720,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_paragraph_chunks",
     "corpus_systematic_weighted_sample",
     "csv_write_roundtrip",
-    "cdc_apply_latest",
 ]
 
 

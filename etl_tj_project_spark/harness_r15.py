@@ -187,3 +187,117 @@ def graph_triangle_count_canonical(
         .cast("long")
         .alias("n_triangles_total"),
     )
+
+
+def _residual_lcc_oracle() -> str:
+    """Canonicalize twin + survivor bands=8 residual graph + direct
+    x<y<z triangle enumeration exploded to its three members + the
+    integer-exact local clustering coefficient: lcc_milli =
+    2000 * tri(v) // (deg(v) * (deg(v) - 1)). All-integer arithmetic
+    so the hash never depends on float division."""
+    canon = dd.canonicalize_manifest_sql(
+        "documents", "doc_id", "text", "n_chars", num_hashes=8, bands=4
+    )
+    bands_sql = dd.minhash_bands_sql(
+        "docs", "doc_id", "text", num_hashes=8, bands=8
+    )
+    return f"""
+    WITH canon AS ({canon}),
+    docs AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN canon c ON c.canonical_doc_id = d.doc_id
+    ),
+    sb AS (SELECT * FROM ({bands_sql}) raw_bands),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM sb a JOIN sb c ON a.band = c.band AND a.h = c.h
+                         AND a.doc_id < c.doc_id
+    ),
+    deg AS (
+      SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS n FROM pairs
+        UNION ALL
+        SELECT doc_b AS n FROM pairs
+      ) ends GROUP BY n
+    ),
+    tri AS (
+      SELECT unnest([e1.doc_a, e1.doc_b, e2.doc_b]) AS node
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+    ),
+    tpn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM tri GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.degree >= 2
+                     THEN 2000 * coalesce(t.n_triangles, 0)
+                          // (d.degree * (d.degree - 1))
+                     ELSE 0 END AS BIGINT) AS lcc_milli
+    FROM deg d LEFT JOIN tpn t ON t.node = d.node
+    """
+
+
+@register(
+    "graph_residual_clustering_coefficient",
+    _residual_lcc_oracle(),
+    doc="Per-node local clustering coefficient of the survivor "
+        "residual graph — the companion statistic to "
+        "graph_triangle_count_canonical: the triangle total says HOW "
+        "MUCH residual clique structure survives family collapse; the "
+        "LCC distribution says WHERE it sits (lcc ~ 1000: the node's "
+        "near-miss neighborhood is itself a template family the "
+        "bands=4 threshold missed — a candidate for a second, looser "
+        "dedup pass; lcc ~ 0: chain/hub structure, transitive "
+        "accidents that a dedup pass must NOT merge). Exact integer "
+        "output: lcc_milli = 2000*tri(v) div (deg(v)*(deg(v)-1)) — "
+        "no float division anywhere. Same degree-oriented wedge "
+        "machinery as the triangle entry (per-triangle explode to 3 "
+        "members), same bands=8 residual threshold (provably "
+        "necessary — see graph_triangle_count_canonical), same "
+        "at-scale bounds: O(sqrt(E)) wedge fan-out, never all-pairs",
+)
+def graph_residual_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_tj_project_spark.harness_r12 import dedup_cluster_canonicalize
+    from etl_tj_project_spark.operators.graph import triangles_per_node
+
+    d = load_table(spark, sf_dir, "documents")
+    manifest = dedup_cluster_canonicalize(spark, sf_dir)
+    reps = d.join(
+        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 8)
+    pairs = dd.narrow_persisted(pairs, "doc_a")
+    ends = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    tpn = triangles_per_node(pairs)
+    out = deg.join(tpn, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+    )
+    return out.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("2000 * n_triangles DIV (degree * (degree - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lcc_milli"),
+    )

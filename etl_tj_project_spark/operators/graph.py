@@ -75,3 +75,54 @@ def triangle_count_oriented(pairs: DataFrame) -> DataFrame:
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def triangles_per_node(pairs: DataFrame) -> DataFrame:
+    """(node, n_triangles) — how many triangles each node belongs to,
+    for every node in at least one triangle.
+
+    Same degree-oriented wedge formulation as
+    :func:`triangle_count_oriented` (same O(sqrt(|E|)) per-node wedge
+    bound); instead of counting closed wedges it explodes each closed
+    triangle {u, a, b} to its three members and aggregates per node.
+    Each triangle is formed exactly once (wedges form only at the
+    oriented-lowest vertex), so no triple is double-counted."""
+    ends = pairs.select(F.col("doc_a").alias("n")).unionAll(
+        pairs.select(F.col("doc_b").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+    p = (
+        pairs.join(deg.withColumnRenamed("n", "doc_a"), "doc_a")
+        .withColumnRenamed("degree", "deg_a")
+        .join(
+            deg.withColumnRenamed("n", "doc_b").withColumnRenamed(
+                "degree", "deg_b"
+            ),
+            "doc_b",
+        )
+    )
+    low_is_a = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = p.select(
+        F.when(low_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+        F.when(low_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("a"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("b"))
+    wedges = e1.join(e2, "u").filter(F.col("a") < F.col("b"))
+    closing = pairs.select(
+        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb")
+    )
+    closed = wedges.join(
+        closing,
+        (F.least("a", "b") == F.col("ca"))
+        & (F.greatest("a", "b") == F.col("cb")),
+        "left_semi",
+    )
+    members = closed.select(
+        F.explode(F.array("u", "a", "b")).alias("node")
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -86,6 +86,7 @@ _SINGLE_PARTITION_ALLOW = {
     # Same narrow_persisted size dispatch, applied to both the
     # canonicalize manifest and the survivor pair table.
     "graph_triangle_count_canonical",
+    "graph_residual_clustering_coefficient",
 }
 
 

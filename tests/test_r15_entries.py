@@ -112,3 +112,26 @@ def test_triangle_canonical_family_graph_residual_is_empty(spark):
     assert (
         dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 4).count() == 0
     )
+
+
+def test_residual_lcc_consistent_with_triangle_entry(spark):
+    """Conservation laws tying the two residual-graph entries
+    together: (1) each triangle is counted at exactly its 3 member
+    nodes, so sum(n_triangles) over nodes == 3 * the triangle entry's
+    residual count; (2) lcc_milli in [0, 1000] with the closed-wedge
+    bound 2*tri(v) <= deg(v)*(deg(v)-1) row-wise; (3) non-vacuous —
+    some node has a strictly positive, strictly sub-1000 coefficient
+    so the statistic genuinely discriminates."""
+    from etl_tj_project_spark.harness_r15 import (
+        graph_residual_clustering_coefficient,
+    )
+
+    lcc = graph_residual_clustering_coefficient(spark, SF_SMOKE).collect()
+    tri = graph_triangle_count_canonical(spark, SF_SMOKE).first()
+    assert sum(r.n_triangles for r in lcc) == 3 * tri.n_triangles_canonical
+    for r in lcc:
+        assert 0 <= r.lcc_milli <= 1000, r
+        assert 2 * r.n_triangles <= r.degree * (r.degree - 1) or (
+            r.degree < 2 and r.n_triangles == 0
+        ), r
+    assert any(0 < r.lcc_milli < 1000 for r in lcc)
