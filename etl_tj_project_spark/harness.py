@@ -1647,8 +1647,8 @@ from etl_tj_project_spark import parity  # noqa: E402
 # COVERAGE.md per round.
 #
 # WINDOW_ROUND pins WHICH CORRECTNESS ledger this window was composed
-# against: the window below was computed from CORRECTNESS_r01..r13 and
-# is the round-14 submission. tests/test_oracle_parity.py's rotation
+# against: the window below was computed from CORRECTNESS_r01..r14 and
+# is the round-15 submission. tests/test_oracle_parity.py's rotation
 # test must ignore CORRECTNESS files >= this round — otherwise the
 # moment the driver lands the NEXT record the test demands a window
 # that can't exist yet (the r9 failure mode, VERDICT r9 item 1b) —
