@@ -443,3 +443,37 @@ def test_partition_checksum_detects_single_row_change(spark):
         .count()
     )
     assert diff == 1
+
+
+def test_driver_window_leads_with_never_attested_entries():
+    """Rule (b) of the window policy, pinned (round 15 — the other
+    half of the r13/r14 register-after-proof slip): every oracle-backed
+    registry entry with NO driver CORRECTNESS row in any round before
+    WINDOW_ROUND must occupy a window slot, or it can never receive its
+    first attestation. The replay tripwire (test_driver_contract)
+    guards the committed replay log; this guards the window
+    composition itself."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        import re
+
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        if rnd >= harness.WINDOW_ROUND:
+            continue
+        with open(path) as fh:
+            attested.update(json.load(fh).keys())
+    never = {
+        n
+        for n, e in harness.REGISTRY.items()
+        if e.oracle is not None and n not in attested
+    }
+    missing = never - set(harness.DRIVER_WINDOW)
+    assert not missing, (
+        f"never-attested entries absent from DRIVER_WINDOW (they can "
+        f"never get their first driver row): {sorted(missing)}"
+    )
