@@ -1373,6 +1373,11 @@ def run_triangle_guardrail_strain(
     )
     base_pairs.unpersist()
     manifest.unpersist()
+    # direct_pairs is the largest frame in the run (the clique-lifted
+    # candidate table); release both narrow_persisted caches instead of
+    # leaving them to LRU eviction (ADVICE r15).
+    direct_pairs.unpersist()
+    surv_pairs.unpersist()
     return {
         "docs": n_docs * replicas,
         "replicas": replicas,

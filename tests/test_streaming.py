@@ -318,8 +318,9 @@ def test_transform_with_state_matches_legacy_and_batch(spark, events_dir):
     # covered by test_transform_with_state_requires_rocksdb_provider
     # (construction-time contract, no protobuf) and by the legacy
     # GroupState equality twin above. The moment the container gains
-    # `pip install protobuf`, this turns XPASS(strict) and forces the
-    # gate's removal.
+    # `pip install protobuf`, the import gate below becomes a no-op
+    # and the equality test simply runs for real (imperative
+    # pytest.xfail() cannot XPASS; ADVICE r15).
     try:
         import google.protobuf.descriptor  # noqa: F401
     except ImportError:

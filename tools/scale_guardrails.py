@@ -83,11 +83,15 @@ def main() -> None:
         ):
             fn = harness.REGISTRY[name].spark
             rec: dict = {}
-            # warm codegen at smoke scale
+            # warm codegen at smoke scale; a warm-up failure must be
+            # VISIBLE in the artifact (ADVICE r15) — a silently-cold
+            # first timing skews the recorded wall, and the entry's
+            # real failure should surface here, not three stages later.
             try:
                 force(fn(spark, "/root/testdata/sf0.001"))
-            except Exception:
-                pass
+            except Exception as e:  # noqa: BLE001
+                print(f"warm-up failed for {name}: {e!r}")
+                rec["warm_failed"] = repr(e)
             spark.catalog.clearCache()
             pre = bench._cpu_calibration_parallel()
             t0 = time.perf_counter()
