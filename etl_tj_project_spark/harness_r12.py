@@ -848,6 +848,81 @@ def dedup_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.join(members, "component_id")
 
 
+# ---------------------------------------------------------------------------
+# Shared family-manifest artifact (VERDICT r15 item 1): every guardrail
+# consumer (jaccard-canonical, triangle-canonical, residual-LCC, the
+# LCC second pass) needs the SAME deterministic manifest over the same
+# corpus. A production 100 TB pipeline computes the family manifest
+# ONCE per corpus snapshot, writes it as a table, and every downstream
+# job reads that table — recomputing LSH + connected components + the
+# survivor window per consumer is pure waste (SCALE.md §27 measured the
+# canonicalize stage dominating both guardrail entries). This memo is
+# the local-mode twin of that contract: first consumer computes and
+# parquet-materializes under a per-application atexit-cleaned parent
+# (same lifecycle as the CC label tables, harness.py), later consumers
+# get a FileScan. Keyed by (application, realpath, documents size+mtime
+# signature) so a rewritten corpus under a reused path — e.g. a test
+# tempdir — can never serve a stale manifest.
+_MANIFEST_MEMO: dict = {}
+_MANIFEST_PARENTS: set = set()
+
+
+def _documents_signature(sf_dir: str) -> tuple:
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(p):
+        sig = []
+        for root, _dirs, files in os.walk(p):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                sig.append((f, st.st_size, st.st_mtime_ns))
+        return tuple(sig)
+    st = os.stat(p)
+    return (st.st_size, st.st_mtime_ns)
+
+
+def shared_family_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``dedup_cluster_canonicalize`` manifest for ``sf_dir``,
+    computed once per (application, corpus snapshot) and served from a
+    parquet materialization thereafter. See the block comment above for
+    the production rationale; the registered entry itself keeps
+    computing fresh (it IS the measurement of the manifest stage)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        _documents_signature(sf_dir),
+    )
+    path = _MANIFEST_MEMO.get(key)
+    if path is not None and os.path.isdir(path):
+        return spark.read.parquet(path).select(
+            "component_id",
+            "canonical_doc_id",
+            "canonical_n_chars",
+            "n_members",
+        )
+    manifest = dedup_cluster_canonicalize(spark, sf_dir)
+    parent = os.path.join(
+        tempfile.gettempdir(),
+        f"tj_manifest_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(parent, exist_ok=True)
+    if parent not in _MANIFEST_PARENTS:
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        _MANIFEST_PARENTS.add(parent)
+    out = tempfile.mkdtemp(dir=parent)
+    manifest.write.mode("overwrite").parquet(out)
+    _MANIFEST_MEMO[key] = out
+    return spark.read.parquet(out).select(
+        "component_id", "canonical_doc_id", "canonical_n_chars", "n_members"
+    )
+
+
 @register(
     "bigram_fluency_score",
     r"""

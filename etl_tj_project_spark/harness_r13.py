@@ -126,10 +126,10 @@ def _containment_canonical_oracle() -> str:
         "(recursive-CTE CC + probe splice + all-pairs containment)",
 )
 def dedup_containment_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_tj_project_spark.harness_r12 import dedup_cluster_canonicalize
+    from etl_tj_project_spark.harness_r12 import shared_family_manifest
 
     d = load_table(spark, sf_dir, "documents")
-    manifest = dedup_cluster_canonicalize(spark, sf_dir)
+    manifest = shared_family_manifest(spark, sf_dir)
     reps = d.join(
         manifest.select(
             F.col("canonical_doc_id").alias("doc_id")
@@ -204,10 +204,10 @@ def _jaccard_canonical_oracle() -> str:
         "prefix-filtered result by construction)",
 )
 def dedup_jaccard_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_tj_project_spark.harness_r12 import dedup_cluster_canonicalize
+    from etl_tj_project_spark.harness_r12 import shared_family_manifest
 
     d = load_table(spark, sf_dir, "documents")
-    manifest = dedup_cluster_canonicalize(spark, sf_dir)
+    manifest = shared_family_manifest(spark, sf_dir)
     reps = d.join(
         manifest.select(F.col("canonical_doc_id").alias("doc_id")),
         "doc_id",

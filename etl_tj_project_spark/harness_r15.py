@@ -142,10 +142,10 @@ def _triangle_canonical_oracle() -> str:
 def graph_triangle_count_canonical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from etl_tj_project_spark.harness_r12 import dedup_cluster_canonicalize
+    from etl_tj_project_spark.harness_r12 import shared_family_manifest
 
     d = load_table(spark, sf_dir, "documents")
-    manifest = dedup_cluster_canonicalize(spark, sf_dir)
+    manifest = shared_family_manifest(spark, sf_dir)
     # The manifest feeds two consumers (survivor semi-join + family
     # aggregation); persist the id-sized frame once so the CC stage
     # upstream runs once, not twice.
@@ -263,11 +263,11 @@ def _residual_lcc_oracle() -> str:
 def graph_residual_clustering_coefficient(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from etl_tj_project_spark.harness_r12 import dedup_cluster_canonicalize
+    from etl_tj_project_spark.harness_r12 import shared_family_manifest
     from etl_tj_project_spark.operators.graph import triangles_per_node
 
     d = load_table(spark, sf_dir, "documents")
-    manifest = dedup_cluster_canonicalize(spark, sf_dir)
+    manifest = shared_family_manifest(spark, sf_dir)
     reps = d.join(
         manifest.select(F.col("canonical_doc_id").alias("doc_id")),
         "doc_id",
