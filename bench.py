@@ -127,6 +127,14 @@ HEADLINE = [
     # (Round-over-round totals: compare the shared cohort, as before.)
     "dedup_jaccard_canonical",
     "graph_triangle_count_canonical",
+    # Round-16 additions: the residual-LCC statistic (VERDICT r15 item
+    # 3 — driver-green in r15 but never benched; shares the triangle
+    # guardrail's wedge machinery plus a per-node aggregation) and the
+    # LCC-driven second dedup pass it motivates (the round's new
+    # operator — manifest + LCC + high-high-edge CC end-to-end).
+    # (Round-over-round totals: compare the shared cohort, as before.)
+    "graph_residual_clustering_coefficient",
+    "dedup_lcc_second_pass",
 ]
 
 
@@ -452,9 +460,22 @@ def main() -> None:
         "contended_retries": len(contention_notes),
     }
 
+    # Per-query figures in "calibration units" (VERDICT r15 item 6):
+    # raw wall / single-thread calibration anchor — the cross-round
+    # comparable number per query, not just in total. Two rounds of
+    # 1.6-1.8x ambient shift made raw per-query floors unusable for
+    # regression detection; these are host-speed-normalized. The map
+    # cannot ride the FINAL driver-parsed line (61 names would double
+    # it past the 2000-char tail), so it is committed in
+    # BENCH_FULL_LATEST.json and printed as its own stdout line below.
+    queries_calib_units = {
+        k: round(v / calib, 1) for k, v in timings.items()
+    }
+
     full = dict(headline)
     full.update(
         {
+            "queries_calib_units": queries_calib_units,
             "contended_queries": contention_notes,
             "strain": strain_out,
             "cpu_calib_sec_pre": calib_pre,
@@ -475,6 +496,16 @@ def main() -> None:
         pass  # a read-only checkout must not kill the stdout record
 
     print(json.dumps({"metric": "strain_detail", "strain": strain_out}))
+    print(
+        json.dumps(
+            {
+                "metric": "queries_calib_units",
+                "cpu_calib_sec": calib,
+                "queries": queries_calib_units,
+            },
+            separators=(",", ":"),
+        )
+    )
 
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1700:  # 2000-char tail minus margin for trailing noise
@@ -507,6 +538,18 @@ def main() -> None:
             ),
             flush=True,
         )
+        line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1950:
+        # Rung 4 (round 16, 61-name cohort) gates at the REAL tail
+        # budget (1950), not the earlier rungs' conservative 1700: the
+        # normal post-shedding regime is 1700-1950 chars (r15 recorded
+        # 1843) and must keep 2-decimal precision — the sf0.001 smoke
+        # proved a 1700 gate here zeroes every sub-second query.
+        # Integer seconds recover >= 2 chars/name only at worst-case
+        # numeric widths (every query ~100 s pushes the core to 1985;
+        # ints bring it to ~1863 <= 1950). Full precision always lives
+        # in BENCH_FULL_LATEST.json.
+        headline["queries"] = {k: int(round(v)) for k, v in timings.items()}
         line = json.dumps(headline, separators=(",", ":"))
     import sys
 

@@ -1634,6 +1634,10 @@ from etl_tj_project_spark import harness_r13  # noqa: E402,F401
 # analytics (triangle counting on survivors + analytic family cliques).
 from etl_tj_project_spark import harness_r15  # noqa: E402,F401
 
+# Round-16 pack: the LCC diagnostic acted on — the second, looser
+# dedup pass over the survivor residual graph (delta manifest).
+from etl_tj_project_spark import harness_r16  # noqa: E402,F401
+
 from etl_tj_project_spark import parity  # noqa: E402
 
 
@@ -1656,70 +1660,83 @@ from etl_tj_project_spark import parity  # noqa: E402
 # recomposition pending) or that + 1 (recomposed — the steady state);
 # a missed bump fails loudly instead of silently pinning a stale
 # window (ADVICE r10/r11).
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
+# Scheduled rows-only refresh (VERDICT r15 item 4): the 7 rows-only-by-
+# policy sketch/trained-ANN entries last produced driver `spark_rows >
+# 0` rows in round 7 — three driver eras ago. The round-7 precedent
+# (one scheduled confirmation window, then barred again) repeats across
+# r16-r17: these three re-attest this round, the remaining four
+# (approx_percentile_profile, hll_sketch_union_daily,
+# theta_audience_overlap, kll_quantile_merge_profile) next round, then
+# the bar returns. tests/test_oracle_parity.py pins that rows-only
+# window slots are EXACTLY this list and never more than 4.
+ROWS_ONLY_REFRESH: list[str] = [
+    "ann_ivf_trained_topk",
+    "ann_pq_trained_topk",
+    "approx_count_distinct",
+]
 DRIVER_WINDOW: list[str] = [
-    # (b-first, per VERDICT r14 item 1) the round-14 addition that was
-    # registered AFTER the r14 replay ran — the proof-chain hole two
-    # rounds running — leads the window, followed by this round's new
-    # entry so the register-after-proof slip cannot recur for it. The
-    # replay-coverage tripwire (tests/test_driver_contract.py) now
-    # makes that slip a red suite rather than a judge-catch.
-    "dedup_jaccard_canonical",
-    "graph_triangle_count_canonical",
-    "graph_residual_clustering_coefficient",
-    # (a) §2 stability core (driver-green every round they ran, r2-r14)
+    # (b-first) the round-16 addition — never attested, leads the
+    # window; registered BEFORE the round's full replay ran (the
+    # replay-coverage tripwire keeps that ordering honest).
+    "dedup_lcc_second_pass",
+    # (a) §2 stability core (driver-green every round they ran, r2-r15)
     "p1_typed_projection",
     "j1_inner_join_fanout",
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
-    # (c) oldest-green rotation: the full 39-entry r9 cohort (newest
-    # green r9 — the oldest cohort left after r14 refreshed r8 and the
-    # first 7 of r9's), in its r9-window order
-    "corpus_stratified_sample",
-    "corpus_contamination_check",
-    "tpch_q4ish_late_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9ish_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q12ish_priority_by_returnflag",
-    "tpch_q13_order_count_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17ish_small_qty_revenue",
-    "window_lag_delta",
-    "window_ntile_quartiles",
-    "window_rank_family",
-    "window_range_frame",
-    "window_first_last",
-    "session_window_agg",
-    "sliding_window_counts",
-    "unpivot_melt",
-    "intersect_distinct",
-    "except_distinct",
-    "grouping_sets_agg",
-    "stats_agg_by_group",
-    "argmin_join_back",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q22ish_idle_customers",
-    "datetime_function_pack",
-    "string_function_pack",
-    "array_hof_pack",
-    "math_function_pack",
-    "null_semantics_pack",
-    "conditional_agg_pack",
-    "map_struct_pack",
-    "null_safe_join_agg",
-    "json_extract_typed",
-    "json_agg_by_field",
-    "scd2_validity_ranges",
-    # ...then fill to 50 with the oldest of the r10 cohort (newest
-    # green r10) in its r10-window order
-    "orc_write_roundtrip",
-    "dedup_paragraph_chunks",
-    "corpus_systematic_weighted_sample",
-    "csv_write_roundtrip",
+    # Scheduled rows-only refresh slots (see ROWS_ONLY_REFRESH above):
+    # 3 this round — the window arithmetic is exact: 1 never-attested +
+    # 4 core + 42 stalest-cohort (test-mandated in full at <= 44) leave
+    # exactly 3 free slots; the other 4 rows-only entries take r17's.
+    "ann_ivf_trained_topk",
+    "ann_pq_trained_topk",
+    "approx_count_distinct",
+    # (c) oldest-green rotation: the full 42-entry r10 cohort (newest
+    # green r10 — the oldest cohort left after r15 refreshed the r9
+    # cohort and the first 4 of r10's), in its r10-window order
+    "cdc_apply_latest",
+    "groupwise_linear_fit",
+    "partition_content_checksum",
+    "shuffle_key_skew_profile",
+    "keyset_pagination_seek",
+    "bpe_encode_corpus",
+    "jsonl_write_roundtrip",
+    "ann_lsh_recall",
+    "cohort_retention",
+    "corpus_quality_filter",
+    "date_spine_gap_fill",
+    "dedup_levenshtein_pairs",
+    "dq_expectations",
+    "embedding_centroids_long",
+    "funnel_stages",
+    "profile_columns",
+    "range_band_join",
+    "reaggregate_partials",
+    "repetition_filter",
+    "source_curation_stats",
+    "tfidf_top_terms",
+    "multimodal_audio_downsample",
+    "char_trigram_lang_profile",
+    "bpe_pair_counts",
+    "graph_pagerank_fixedpoint",
+    "month_end_clamp_pack",
+    "array_setops_pack",
+    "window_nth_lead_pack",
+    "scan_lineage_per_file",
+    "share_of_parent_rollup",
+    "moment_stats_manual",
+    "rfm_customer_segments",
+    "basket_part_pairs_top50",
+    "activity_heatmap_dow_hour",
+    "pareto_revenue_concentration",
+    "rolling_zscore_anomaly",
+    "gaps_and_islands_daily",
+    "event_transition_matrix",
+    "relational_division",
+    "mad_robust_dispersion",
+    "interval_merge_overlaps",
+    "dense_grid_zero_fill",
 ]
 
 

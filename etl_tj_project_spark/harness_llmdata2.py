@@ -380,7 +380,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runnable on a graph with boilerplate hub nodes at corpus "
         "scale. Triangle density tells a dedup pipeline whether near-"
         "dup groups are cliquish (true template families) or chains "
-        "(transitive false merges)",
+        "(transitive false merges). Selection rule (direct vs canonical): COVERAGE.md round 16",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tj_project_spark.operators import dedup as _dd
@@ -903,7 +903,7 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in tests/test_stats2.py). Tokens ordered rarest-first so "
         "prefixes land on low-df tokens; candidates = prefix-token "
         "equi-join; membership decided by exact integer "
-        "cross-multiplication, the float only labels the output",
+        "cross-multiplication, the float only labels the output. Selection rule (direct vs canonical): COVERAGE.md round 16",
 )
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tj_project_spark.operators import dedup as dd

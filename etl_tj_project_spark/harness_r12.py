@@ -171,7 +171,7 @@ def lateral_correlated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate join, exact relational verify — zero false "
         "negatives by pigeonhole, so the all-pairs oracle restatement "
         "here must agree exactly. Integer cross-multiplied threshold; "
-        "containment_milli is BIGINT div",
+        "containment_milli is BIGINT div. Selection rule (direct vs canonical): COVERAGE.md round 16",
 )
 def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

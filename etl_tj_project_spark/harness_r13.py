@@ -123,7 +123,7 @@ def _containment_canonical_oracle() -> str:
         "corpus lacks, so the oracle hash compares NON-EMPTY results "
         "at every scale (VERDICT r13 item 1a: no vacuous empty==empty "
         "green). Oracle restates all three stages in one WITH chain "
-        "(recursive-CTE CC + probe splice + all-pairs containment)",
+        "(recursive-CTE CC + probe splice + all-pairs containment). Selection rule (direct vs canonical): COVERAGE.md round 16",
 )
 def dedup_containment_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tj_project_spark.harness_r12 import shared_family_manifest
@@ -201,7 +201,7 @@ def _jaccard_canonical_oracle() -> str:
         "genuine >=0.8-Jaccard survivor pairs at every scale). Oracle "
         "restates canonicalize + EXACT all-pairs Jaccard in one WITH "
         "chain (prefix filtering is lossless, so all-pairs == the "
-        "prefix-filtered result by construction)",
+        "prefix-filtered result by construction). Selection rule (direct vs canonical): COVERAGE.md round 16",
 )
 def dedup_jaccard_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_tj_project_spark.harness_r12 import shared_family_manifest

@@ -137,7 +137,7 @@ def _triangle_canonical_oracle() -> str:
         "non-vacuous at every scale — 28,152 residual triangles at "
         "sf0.001). Oracle restates canonicalize + survivor bands=8 "
         "join + direct x<y<z enumeration + the family formula in one "
-        "WITH chain",
+        "WITH chain. Selection rule (direct vs canonical): COVERAGE.md round 16",
 )
 def graph_triangle_count_canonical(
     spark: SparkSession, sf_dir: str
@@ -264,7 +264,7 @@ def graph_residual_clustering_coefficient(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from etl_tj_project_spark.harness_r12 import shared_family_manifest
-    from etl_tj_project_spark.operators.graph import triangles_per_node
+    from etl_tj_project_spark.operators.graph import local_clustering
 
     d = load_table(spark, sf_dir, "documents")
     manifest = shared_family_manifest(spark, sf_dir)
@@ -275,29 +275,6 @@ def graph_residual_clustering_coefficient(
     )
     pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 8)
     pairs = dd.narrow_persisted(pairs, "doc_a")
-    ends = pairs.select(F.col("doc_a").alias("node")).unionAll(
-        pairs.select(F.col("doc_b").alias("node"))
-    )
-    deg = ends.groupBy("node").agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
-    )
-    tpn = triangles_per_node(pairs)
-    out = deg.join(tpn, "node", "left").select(
-        "node",
-        "degree",
-        F.coalesce(F.col("n_triangles"), F.lit(0))
-        .cast("long")
-        .alias("n_triangles"),
-    )
-    return out.select(
-        "node",
-        "degree",
-        "n_triangles",
-        F.when(
-            F.col("degree") >= 2,
-            F.expr("2000 * n_triangles DIV (degree * (degree - 1))"),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("lcc_milli"),
-    )
+    # One definition of the statistic (operators/graph.local_clustering)
+    # shared with the second-pass operator that consumes it.
+    return local_clustering(pairs)

@@ -1,0 +1,181 @@
+"""Round-16 pack: the LCC diagnostic acted on — a second, looser dedup
+pass over the survivor residual graph.
+
+COVERAGE.md wave 9 motivated `graph_residual_clustering_coefficient`
+as a DIAGNOSTIC: a survivor with lcc ~ 1000 sits in a near-miss
+template family the bands=4 family threshold missed; lcc ~ 0 marks
+chain/hub structure a dedup pass must NOT merge. VERDICT r15 item 5
+asks for the loop to close: ship the pass the diagnostic recommends as
+a registered operator. ``dedup_lcc_second_pass`` is that operator
+(implementation: `operators/graph.lcc_second_pass_delta`): survivors
+with degree >= 2 and lcc_milli >= 600 in the bands=8 residual graph
+are merge candidates, residual edges whose BOTH endpoints are
+candidates are merge edges, connected components over those edges are
+the merged super-families, and the output is the DELTA manifest a
+rewrite stage applies (`operators/graph.apply_lcc_second_pass`).
+
+Threshold choice (measured, sf0.001/sf0.01): at 400 milli the
+candidate set chains into one giant component (138 of 330 survivors —
+exactly the transitive-accident merge the diagnostic warns against);
+at 800+ the pass is near-vacuous (one 2-3 node group); 600 yields 3-4
+genuine cliquish groups of 31-40 families at both scales. The pass is
+IDEMPOTENT at test scale — applying the delta and re-running yields an
+empty delta at sf0.001 AND sf0.01 (pinned in tests/test_r16_entries.py)
+— because merged cliques collapse to one survivor and merge edges
+cannot re-fire across group boundaries (an inter-group residual edge
+had a non-candidate endpoint by construction).
+
+At 100 TB: the residual graph is survivor-sized (corpus minus
+duplicate mass — the guardrail property), the LCC stage reuses the
+triangle guardrail's degree-oriented wedge machinery, the merge-edge
+subgraph is a tiny high-lcc slice, and the family manifest comes from
+the shared once-per-corpus artifact (`shared_family_manifest`), never
+recomputed per consumer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_tj_project_spark.harness import register
+from etl_tj_project_spark.operators import dedup as dd
+from etl_tj_project_spark.sources.testdata import load_table
+
+LCC_MERGE_THRESHOLD_MILLI = 600
+
+
+def _lcc_second_pass_oracle(threshold: int = LCC_MERGE_THRESHOLD_MILLI) -> str:
+    """One WITH chain restating every stage: the shared recursive-CTE
+    canonicalize twin, the survivor bands=8 residual graph, the
+    integer-exact LCC (same x<y<z triangle enumeration as the LCC
+    entry's oracle), the high-node / both-endpoints-high edge filter,
+    a SECOND recursive-CTE connected components over the merge edges,
+    and the delta-manifest assembly (longest-doc/lowest-id new
+    canonical, family count, summed doc mass)."""
+    canon = dd.canonicalize_manifest_sql(
+        "documents", "doc_id", "text", "n_chars", num_hashes=8, bands=4
+    )
+    bands_sql = dd.minhash_bands_sql(
+        "docs", "doc_id", "text", num_hashes=8, bands=8
+    )
+    return f"""
+    WITH RECURSIVE canon AS MATERIALIZED ({canon}),
+    docs AS MATERIALIZED (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN canon c ON c.canonical_doc_id = d.doc_id
+    ),
+    sb AS MATERIALIZED (SELECT * FROM ({bands_sql}) raw_bands),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM sb a JOIN sb c ON a.band = c.band AND a.h = c.h
+                         AND a.doc_id < c.doc_id
+    ),
+    deg AS MATERIALIZED (
+      SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS n FROM pairs
+        UNION ALL
+        SELECT doc_b AS n FROM pairs
+      ) ends GROUP BY n
+    ),
+    tri AS (
+      SELECT unnest([e1.doc_a, e1.doc_b, e2.doc_b]) AS node
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+    ),
+    tpn AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM tri GROUP BY node
+    ),
+    high AS MATERIALIZED (
+      SELECT d.node
+      FROM deg d LEFT JOIN tpn t ON t.node = d.node
+      WHERE d.degree >= 2
+        AND (2000 * coalesce(t.n_triangles, 0)
+             // (d.degree * (d.degree - 1))) >= {threshold}
+    ),
+    he AS MATERIALIZED (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN high a ON a.node = p.doc_a
+      JOIN high b ON b.node = p.doc_b
+    ),
+    sym2 AS MATERIALIZED (
+      SELECT doc_a AS n, doc_b AS m FROM he
+      UNION
+      SELECT doc_b AS n, doc_a AS m FROM he
+    ),
+    walk2(n, r) AS (
+      SELECT n, m FROM sym2
+      UNION
+      SELECT w.n, s.m FROM walk2 w JOIN sym2 s ON s.n = w.r
+    ),
+    comp2 AS (
+      SELECT n AS node, least(n, MIN(r)) AS merged_component_id
+      FROM walk2 GROUP BY n
+    ),
+    mem AS MATERIALIZED (
+      SELECT c2.merged_component_id, c.component_id,
+             c.canonical_doc_id, c.canonical_n_chars, c.n_members
+      FROM comp2 c2 JOIN canon c ON c.canonical_doc_id = c2.node
+    ),
+    grp AS (
+      SELECT merged_component_id,
+             CAST(COUNT(*) AS BIGINT) AS n_families,
+             CAST(SUM(n_members) AS BIGINT) AS n_docs_total
+      FROM mem GROUP BY merged_component_id
+    ),
+    newc AS (
+      SELECT merged_component_id,
+             canonical_doc_id AS new_canonical_doc_id
+      FROM (
+        SELECT merged_component_id, canonical_doc_id,
+               row_number() OVER (PARTITION BY merged_component_id
+                 ORDER BY canonical_n_chars DESC, canonical_doc_id) AS rn
+        FROM mem
+      ) ranked WHERE rn = 1
+    )
+    SELECT m.merged_component_id,
+           m.component_id,
+           m.canonical_doc_id AS survivor_doc_id,
+           n.new_canonical_doc_id,
+           g.n_families,
+           g.n_docs_total
+    FROM mem m
+    JOIN newc n USING (merged_component_id)
+    JOIN grp g USING (merged_component_id)
+    """
+
+
+@register(
+    "dedup_lcc_second_pass",
+    _lcc_second_pass_oracle(),
+    doc="The LCC diagnostic closed into an operator (VERDICT r15 item "
+        "5): survivors whose residual (bands=8) neighborhood is "
+        "cliquish (degree >= 2, lcc_milli >= 600) are near-miss "
+        "template families the bands=4 family threshold missed; merge "
+        "them — connected components over residual edges whose BOTH "
+        "endpoints clear the bar (chain/hub accidents excluded at the "
+        "edge level) — and emit the DELTA manifest a rewrite stage "
+        "applies: (merged_component_id, member family, its survivor, "
+        "the group's new longest-doc canonical, family count, summed "
+        "doc mass). Threshold 600 measured non-trivial and non-blob at "
+        "both test scales (module docstring); the pass is IDEMPOTENT — "
+        "apply_lcc_second_pass + re-run yields an empty delta, pinned "
+        "at sf0.001 and sf0.01. Composes the shared once-per-corpus "
+        "family manifest, the triangle guardrail's wedge machinery "
+        "(operators/graph.local_clustering — one definition with the "
+        "LCC entry), and the size-dispatched CC over a high-lcc edge "
+        "slice that is tiny by construction. Oracle restates all six "
+        "stages in one double-recursive WITH chain",
+)
+def dedup_lcc_second_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.harness_r12 import shared_family_manifest
+    from etl_tj_project_spark.operators.graph import lcc_second_pass_delta
+
+    d = load_table(spark, sf_dir, "documents")
+    manifest = shared_family_manifest(spark, sf_dir)
+    return lcc_second_pass_delta(
+        d, manifest, threshold_milli=LCC_MERGE_THRESHOLD_MILLI
+    )

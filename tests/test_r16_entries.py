@@ -1,0 +1,123 @@
+"""Round-16 pack invariants: the LCC-driven second dedup pass.
+
+Oracle-hash parity for `dedup_lcc_second_pass` runs in the replay /
+driver gate; these tests pin what the oracle can't express — the
+pass's IDEMPOTENCE (apply the delta, re-run, get an empty delta: the
+fixpoint the operator's contract promises), mass conservation (no
+document disappears or double-counts through a merge), and the
+structural relationship with the manifest and LCC entries it composes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etl_tj_project_spark.harness_r12 import shared_family_manifest
+from etl_tj_project_spark.harness_r16 import (
+    LCC_MERGE_THRESHOLD_MILLI,
+    dedup_lcc_second_pass,
+)
+from etl_tj_project_spark.operators.graph import (
+    apply_lcc_second_pass,
+    lcc_second_pass_delta,
+)
+from etl_tj_project_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_lcc_second_pass_structure(spark):
+    """Non-vacuous at smoke scale, and structurally a delta manifest:
+    every merged group has >= 2 member families (groups come from
+    edges), the new canonical IS one of the group's member survivors,
+    merged_component_id is the group's minimum survivor id (the CC
+    convention), and n_families counts the group's rows exactly."""
+    delta = dedup_lcc_second_pass(spark, SF_SMOKE)
+    rows = delta.collect()
+    assert rows, "second pass is vacuous at smoke scale"
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r["merged_component_id"], []).append(r)
+    for gid, members in by_group.items():
+        survivors = {m["survivor_doc_id"] for m in members}
+        assert len(members) >= 2
+        assert gid == min(survivors)
+        assert len({m["new_canonical_doc_id"] for m in members}) == 1
+        assert members[0]["new_canonical_doc_id"] in survivors
+        assert all(m["n_families"] == len(members) for m in members)
+
+
+def test_lcc_second_pass_conserves_doc_mass(spark):
+    """n_docs_total must equal the sum of the member families'
+    first-pass n_members — the delta re-labels documents, it never
+    creates or destroys them."""
+    delta = dedup_lcc_second_pass(spark, SF_SMOKE)
+    manifest = shared_family_manifest(spark, SF_SMOKE)
+    joined = (
+        delta.join(manifest.select("component_id", "n_members"), "component_id")
+        .groupBy("merged_component_id", "n_docs_total")
+        .agg(F.sum("n_members").alias("member_mass"))
+    )
+    bad = joined.filter(F.col("n_docs_total") != F.col("member_mass")).count()
+    assert bad == 0
+    # And globally: total doc count is invariant under apply.
+    merged = apply_lcc_second_pass(manifest, delta)
+    before = manifest.agg(F.sum("n_members")).first()[0]
+    after = merged.agg(F.sum("n_members")).first()[0]
+    assert before == after
+
+
+def test_lcc_second_pass_idempotent(spark):
+    """The contract the verdict asked to pin (VERDICT r15 item 5):
+    apply the delta, materialize the merged manifest (the production
+    move — see apply_lcc_second_pass's docstring), re-run the pass on
+    it, and the new delta must be EMPTY at sf0.001 AND sf0.01. Merged
+    cliques collapse to one survivor; merge edges cannot re-fire
+    across group boundaries (an inter-group residual edge had a
+    non-candidate endpoint by construction of the both-high filter)."""
+    for sf in (SF_SMOKE, SF_MID):
+        docs = load_table(spark, sf, "documents")
+        manifest = shared_family_manifest(spark, sf)
+        delta = lcc_second_pass_delta(
+            docs, manifest, threshold_milli=LCC_MERGE_THRESHOLD_MILLI
+        )
+        n_groups = delta.select("merged_component_id").distinct().count()
+        assert n_groups >= 2, f"pass vacuous at {sf}"
+        merged = apply_lcc_second_pass(manifest, delta)
+        out = tempfile.mkdtemp(
+            prefix="tj_m2_", dir=os.environ.get("TMPDIR", "/tmp")
+        )
+        merged.write.mode("overwrite").parquet(out)
+        merged = spark.read.parquet(out)
+        # Survivor count strictly shrinks by (families - groups).
+        assert (
+            merged.count()
+            == manifest.count() - delta.count() + n_groups
+        )
+        delta2 = lcc_second_pass_delta(
+            docs, merged, threshold_milli=LCC_MERGE_THRESHOLD_MILLI
+        )
+        assert delta2.count() == 0, f"second application not a no-op at {sf}"
+
+
+def test_lcc_second_pass_merges_only_high_lcc_nodes(spark):
+    """Every merged survivor must clear the entry's published bar in
+    the residual LCC entry's own output (degree >= 2, lcc_milli >=
+    600) — the pass may merge a SUBSET of high-lcc nodes (those with
+    high-high edges), never a node below the bar."""
+    from etl_tj_project_spark.harness_r15 import (
+        graph_residual_clustering_coefficient,
+    )
+
+    delta = dedup_lcc_second_pass(spark, SF_SMOKE)
+    lcc = graph_residual_clustering_coefficient(spark, SF_SMOKE)
+    below = lcc.filter(
+        (F.col("degree") < 2)
+        | (F.col("lcc_milli") < LCC_MERGE_THRESHOLD_MILLI)
+    ).select(F.col("node").alias("survivor_doc_id"))
+    offenders = delta.join(below, "survivor_doc_id", "inner").count()
+    assert offenders == 0

@@ -62,6 +62,13 @@ CACHE_SENSITIVE = {
     # allowlist.
     "dedup_jaccard_canonical",
     "graph_triangle_count_canonical",
+    # Round 16: same LSH banding / CC / narrow_persisted machinery as
+    # the two r15 guardrail entries above, plus the
+    # shared_family_manifest memo (first build computes the manifest,
+    # steady state reads its parquet materialization — the plan text
+    # depends on which consumer populated the memo first).
+    "graph_residual_clustering_coefficient",
+    "dedup_lcc_second_pass",
 }
 
 
