@@ -1103,51 +1103,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle scale, unusable at 100 TB",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     d = load_table(spark, sf_dir, "documents")
     pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4)
     labels = dd.connected_components(pairs, "doc_a", "doc_b")
-    # The result frame is backed by the final convergence checkpoint's
-    # blocks; materialize it EXECUTOR-SIDE (parquet write) so the blocks
-    # can be released before return — the exact move a production 100 TB
-    # caller makes (write the labels out, then release_components), with
-    # no driver-side collect of a corpus-sized frame anywhere (VERDICT
-    # r7 item 4). The target is a fresh mkdtemp under a per-application
-    # parent (ADVICE r8): a fixed shared /tmp name let two concurrent
-    # sessions — or bench + pytest on one host — overwrite each other's
-    # label table mid-read, and was a symlink-squat hazard on multi-user
-    # hosts. mkdtemp is race-free-unique per CALL. Cleanup is deferred
-    # to interpreter exit (one atexit rmtree of the whole parent) rather
-    # than deleting the PREVIOUS call's dir eagerly: frames returned by
-    # earlier calls stay LAZY — a composed entry (canonicalize ->
-    # containment) still reads its label FileScan long after a second
-    # CC call lands, and the eager delete broke that lineage with
-    # FAILED_READ_FILE.FILE_NOT_EXIST (VERDICT r13 item 1b). Label
-    # tables are doc-count-sized parquet (KBs at test scale), so
-    # session-lifetime accretion is bounded and harmless.
-    parent = os.path.join(
-        tempfile.gettempdir(),
-        f"tj_cc_labels_{spark.sparkContext.applicationId}",
-    )
-    os.makedirs(parent, exist_ok=True)
-    if parent not in _CC_LABEL_PARENTS:
-        import atexit
-
-        atexit.register(shutil.rmtree, parent, ignore_errors=True)
-        _CC_LABEL_PARENTS.add(parent)
-    out = tempfile.mkdtemp(dir=parent)
-    labels.write.mode("overwrite").parquet(out)
-    dd.release_components(labels)
-    return spark.read.parquet(out).select("node", "component_id")
-
-
-# Application-scoped label parents already scheduled for atexit cleanup
-# (one registration per parent; other sessions write under their own
-# applicationId parent and register their own).
-_CC_LABEL_PARENTS: set = set()
+    # Materialize EXECUTOR-SIDE (parquet write) so the convergence
+    # checkpoint's blocks are released before return — the exact move a
+    # production 100 TB caller makes (write the labels out, then
+    # release_components), with no driver-side collect of a corpus-
+    # sized frame anywhere (VERDICT r7 item 4). The mkdtemp-per-call /
+    # atexit-deferred-cleanup machinery (ADVICE r8, VERDICT r13 item
+    # 1b) now lives in dd.materialize_labels, shared with every other
+    # label-composing entry. This entry deliberately keeps the
+    # CANDIDATE-PAIR graph as CC input (its measured identity since r2);
+    # connectivity-only consumers use dd.lsh_star_edges instead
+    # (SCALE.md §28).
+    return dd.materialize_labels(labels)
 
 
 @register(

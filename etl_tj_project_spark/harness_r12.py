@@ -797,28 +797,32 @@ def _canonicalize_oracle() -> str:
 @register(
     "dedup_cluster_canonicalize",
     _canonicalize_oracle(),
-    doc="The dedup DECISION end-to-end: LSH candidate graph → connected "
-        "components → pick ONE canonical survivor per near-dup cluster "
-        "(longest document, doc_id tie-break — the C4/RefinedWeb keep "
-        "rule), singletons kept as their own canonicals via the "
-        "left-join fallback. Output is the survivor manifest a rewrite "
-        "stage consumes: (component, canonical doc, size). Composes "
-        "lsh_candidate_pairs + the size-dispatched connected_components "
-        "+ one ranked window over (component, n_chars) — each stage "
-        "already individually driver-checked; this entry hash-checks "
-        "their COMPOSITION against a single recursive-CTE oracle",
+    doc="The dedup DECISION end-to-end: LSH connectivity graph → "
+        "connected components → pick ONE canonical survivor per "
+        "near-dup cluster (longest document, doc_id tie-break — the "
+        "C4/RefinedWeb keep rule), singletons kept as their own "
+        "canonicals via the left-join fallback. Output is the survivor "
+        "manifest a rewrite stage consumes: (component, canonical doc, "
+        "size). Round 16 (SCALE.md §28): the connectivity graph is "
+        "lsh_star_edges — per-bucket stars, O(docs x bands) edges at "
+        "ANY duplicate density — not the all-pairs candidate join, "
+        "whose C(k,2)-per-family output was the only super-unit term "
+        "of the guardrail pipeline; components and manifest are "
+        "provably identical (pinned at smoke scale, and this entry's "
+        "oracle hash-checks the composition against a recursive-CTE "
+        "twin that still walks the ALL-PAIRS graph)",
 )
 def dedup_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_tj_project_spark.harness import dedup_connected_components
-
     d = load_table(spark, sf_dir, "documents")
-    # Consume the CC ENTRY (not raw connected_components): its labels
-    # come back parquet-materialized with the checkpoint blocks already
+    # Materialize the labels (not raw connected_components): they come
+    # back as a parquet FileScan with the checkpoint blocks already
     # released, so this plan composes windows over a FileScan — the
     # size-dispatched numpy path stays an internal detail of the CC
-    # stage, exactly as it does for the CC entry itself (the JVM-purity
-    # sweep sees no MapInPandas here).
-    labels = dedup_connected_components(spark, sf_dir)
+    # stage (the JVM-purity sweep sees no MapInPandas here).
+    edges = dd.lsh_star_edges(d, "doc_id", "text", num_hashes=8, bands=4)
+    labels = dd.materialize_labels(
+        dd.connected_components(edges, "doc_a", "doc_b")
+    )
     full = (
         d.select("doc_id", "n_chars")
         .join(labels, d["doc_id"] == labels["node"], "left")

@@ -239,6 +239,58 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_star_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Connectivity-equivalent LSH edge list for CONNECTED-COMPONENTS
+    consumers: per (band, h) bucket, one edge from the bucket's MINIMUM
+    doc id to every other member — O(bucket) star edges instead of the
+    C(bucket, 2) candidate pairs ``lsh_candidate_pairs`` enumerates.
+
+    Components are provably identical to the candidate-pair graph's:
+    within a bucket the star connects exactly the docs the clique
+    connects (every member reaches every other through the bucket
+    minimum), and across buckets connectivity is the union over shared
+    docs in both formulations; the same node set appears (a doc has a
+    candidate pair iff it shares a bucket with another doc iff it is a
+    star endpoint), so min-reachable-id labels — and everything built
+    on them (the canonicalize manifest) — are unchanged.
+    Equality is pinned at smoke scale (tests/test_r16_entries.py) and
+    end-to-end by the ``dedup_cluster_canonicalize`` oracle hash, whose
+    DuckDB twin still walks the all-pairs graph.
+
+    WHY (SCALE.md §28): the candidate-pair table is quadratic in
+    duplicate-family size — the round-16 decomposition measured 58k
+    pairs at sf0.1 inflating to 5.76M (99x) on the §26 10x near-dup
+    corpus, and the pair build + the CC consuming it were the ONLY
+    super-unit stages of the canonicalize pipeline (3.14x / 6.94x wall
+    for 10x data vs ~1x for every survivor-sized stage). Star edges are
+    bounded by docs x bands REGARDLESS of duplicate density — the
+    within-family quadratic term never exists. Similarity consumers
+    (Jaccard/containment verify stages, triangle counting) still need
+    real candidate pairs; this is for connectivity ONLY.
+
+    Returns (doc_a, doc_b) with doc_a < doc_b by construction (doc_a is
+    the bucket minimum). NULL band hashes (empty docs) never join, as
+    in ``lsh_candidate_pairs``. One groupBy + one join, both on the
+    (band, h) key the band table is already shuffled by.
+    """
+    b = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_k)
+    b = _persist_once(b)
+    mins = b.groupBy("band", "h").agg(F.min(id_col).alias("doc_a"))
+    return (
+        b.join(mins, ["band", "h"])
+        .filter(F.col(id_col) != F.col("doc_a"))
+        .select("doc_a", F.col(id_col).alias("doc_b"))
+        .distinct()
+    )
+
+
 def incremental_lsh_candidates(
     base_bands: DataFrame,
     delta_df: DataFrame,
@@ -659,6 +711,48 @@ def release_components(labels: DataFrame) -> None:
         import shutil
 
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def materialize_labels(labels: DataFrame) -> DataFrame:
+    """Parquet-materialize a ``connected_components`` result under a
+    per-application atexit-cleaned parent and hand back the FileScan.
+
+    The production move for labels at any scale (write them out, then
+    :func:`release_components`), and the move that keeps Python stages
+    out of DOWNSTREAM plans: the local CC strategy is a single
+    ``mapInPandas`` task, so a registered query composing raw labels
+    would carry MapInPandas in its physical plan — the JVM-purity sweep
+    (tests/test_scale_plans.py) bars that outside the explicitly
+    vectorized multimodal surface. The parent is per-application; the
+    target is a fresh ``mkdtemp`` per call (two concurrent sessions can
+    never clobber each other), and cleanup is deferred to interpreter
+    exit so frames returned by EARLIER calls stay readable — an eager
+    delete broke composed entries' lineage with FILE_NOT_EXIST
+    (VERDICT r13 item 1b). Label tables are doc-count-sized parquet
+    (KBs at test scale), so session-lifetime accretion is bounded."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    spark = labels.sparkSession
+    parent = os.path.join(
+        tempfile.gettempdir(),
+        f"tj_cc_labels_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(parent, exist_ok=True)
+    if parent not in _LABEL_PARENTS:
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        _LABEL_PARENTS.add(parent)
+    out = tempfile.mkdtemp(dir=parent)
+    labels.write.mode("overwrite").parquet(out)
+    release_components(labels)
+    return spark.read.parquet(out).select("node", "component_id")
+
+
+# Application-scoped label parents already scheduled for atexit cleanup
+# (one registration per parent per module; rmtree is idempotent).
+_LABEL_PARENTS: set = set()
 
 
 # Edge count at or below which the whole component computation runs as
@@ -1604,18 +1698,25 @@ def canonicalize_near_dup_clusters(
 
     Returns (component_id, canonical_doc_id, canonical_{rank_col},
     n_members). The registry entry ``dedup_cluster_canonicalize``
-    composes the same stages through the parquet-materialized CC entry;
-    this function is the reusable building block for arbitrary frames —
+    composes the same stages with parquet-materialized labels; this
+    function is the reusable building block for arbitrary frames —
     the guardrail strain runs it over synthetically inflated corpora
     to prove canonicalize-first collapses duplicate families BEFORE
     the pairwise containment join has to pay for them (SCALE.md §25b).
 
-    At 100 TB: one banded self-join (LSH), the size-dispatched CC, one
-    broadcast-size label join, one window over (component, rank) — no
-    stage is all-pairs.
+    Round 16 (SCALE.md §28): the connectivity graph is built with
+    :func:`lsh_star_edges`, not the all-pairs candidate join — the
+    pair table is quadratic in family size (the ONLY super-unit term
+    of the whole guardrail pipeline under duplicate inflation) while
+    star edges are bounded by docs x bands at ANY duplicate density;
+    components, and therefore the manifest, are provably identical.
+
+    At 100 TB: one banded group+join (star edges), the size-dispatched
+    CC, one broadcast-size label join, one window over
+    (component, rank) — no stage is all-pairs OR all-family-pairs.
     """
-    pairs = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
-    labels = connected_components(pairs, "doc_a", "doc_b")
+    edges = lsh_star_edges(df, id_col, text_col, num_hashes, bands)
+    labels = connected_components(edges, "doc_a", "doc_b")
     full = (
         df.select(F.col(id_col), F.col(rank_col))
         .join(labels, df[id_col] == labels["node"], "left")

@@ -219,7 +219,13 @@ def lcc_second_pass_delta(
     # df["col"] references across the re-join trip Spark's ambiguous
     # self-join detection; renamed key columns keep every attribute
     # unique instead.
-    labels = dd.connected_components(he, "doc_a", "doc_b").select(
+    # Materialized labels (FileScan), not raw connected_components:
+    # keeps the size-dispatched numpy CC an internal detail so the
+    # registered entry's plan carries no Python stage (the JVM-purity
+    # sweep), and releases the CC cache/checkpoint state eagerly.
+    labels = dd.materialize_labels(
+        dd.connected_components(he, "doc_a", "doc_b")
+    ).select(
         F.col("node").alias("survivor_doc_id"),
         F.col("component_id").alias("merged_component_id"),
     )

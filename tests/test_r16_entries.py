@@ -104,6 +104,54 @@ def test_lcc_second_pass_idempotent(spark):
         assert delta2.count() == 0, f"second application not a no-op at {sf}"
 
 
+def test_star_edges_give_identical_components(spark):
+    """SCALE.md §28's lever, pinned: connected components over the
+    per-bucket STAR edges (O(docs x bands)) must equal components over
+    the all-pairs candidate graph (quadratic in family size) — same
+    node set, same min-reachable-id label for every node — at BOTH test
+    scales (sf0.01 has bucket shapes sf0.001 lacks)."""
+    from etl_tj_project_spark.operators import dedup as dd
+
+    for sf in (SF_SMOKE, SF_MID):
+        d = load_table(spark, sf, "documents")
+        pairs = dd.lsh_candidate_pairs(d, "doc_id", "text", 8, 4)
+        stars = dd.lsh_star_edges(d, "doc_id", "text", 8, 4)
+        lp = dd.materialize_labels(
+            dd.connected_components(pairs, "doc_a", "doc_b")
+        )
+        ls = dd.materialize_labels(
+            dd.connected_components(stars, "doc_a", "doc_b")
+        )
+        assert lp.count() == ls.count(), sf
+        diff = lp.exceptAll(ls).count() + ls.exceptAll(lp).count()
+        assert diff == 0, f"star-edge labels diverge at {sf}: {diff} rows"
+
+
+def test_star_edges_are_linear_in_bucket_size(spark):
+    """The point of the lever: on a copy-inflated corpus the star edge
+    count must grow ~linearly (<= docs x bands) while the candidate
+    pair table grows quadratically in family size."""
+    from pyspark.sql import functions as F
+
+    from etl_tj_project_spark.operators import dedup as dd
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    shift = d.agg(F.max("doc_id")).first()[0] + 1
+    fam = d.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"),
+    ).select((F.col("doc_id") + F.col("r") * shift).alias("doc_id"), "text")
+    n_docs = fam.count()
+    n_pairs = dd.lsh_candidate_pairs(fam, "doc_id", "text", 8, 4).count()
+    n_stars = dd.lsh_star_edges(fam, "doc_id", "text", 8, 4).count()
+    assert n_stars <= n_docs * 4, (n_stars, n_docs)
+    # Exact 4x copies: every base doc's replica group is a 4-clique in
+    # the pair graph (>= C(4,2)=6 pairs per doc) but only 3 star edges.
+    assert n_pairs > 2 * n_stars, (n_pairs, n_stars)
+
+
 def test_lcc_second_pass_merges_only_high_lcc_nodes(spark):
     """Every merged survivor must clear the entry's published bar in
     the residual LCC entry's own output (degree >= 2, lcc_milli >=

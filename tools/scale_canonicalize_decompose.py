@@ -84,6 +84,18 @@ def main() -> None:
         rec["lsh4_sec"], _ = timed(pairs4.count)
         rec["lsh4_pairs"] = pairs4.count()
 
+        # Stage 1b (round-16 lever): star edges for the SAME graph —
+        # O(docs x bands) regardless of duplicate density.
+        stars = dd.lsh_star_edges(d, "doc_id", "text", 8, 4)
+        stars = dd._persist_once(stars)
+        rec["star_sec"], _ = timed(stars.count)
+        rec["star_edges"] = stars.count()
+        t0 = time.perf_counter()
+        star_labels = dd.connected_components(stars, "doc_a", "doc_b")
+        star_labels = dd._persist_once(star_labels)
+        rec["cc_star_nodes"] = star_labels.count()
+        rec["cc_star_sec"] = round(time.perf_counter() - t0, 2)
+
         # Stage 2: connected components over the family pairs.
         sym_edges = 2 * rec["lsh4_pairs"]
         rec["cc_strategy"] = (
@@ -156,9 +168,11 @@ def main() -> None:
             lambda: triangle_count_oriented(pairs8).first()[0]
         )
 
-        for fr in (pairs4, labels, manifest, reps, pairs8):
+        for fr in (pairs4, stars, star_labels, labels, manifest, reps,
+                   pairs8):
             fr.unpersist()
         dd.release_components(labels)
+        dd.release_components(star_labels)
         spark.catalog.clearCache()
         return rec
 
@@ -198,8 +212,8 @@ def main() -> None:
 
     # Stage ratios (sf1/sf01) for the report.
     ratios = {}
-    for k in ("lsh4_sec", "cc_sec", "manifest_sec", "lsh8_sec",
-              "jaccard_sec", "triangle_sec"):
+    for k in ("lsh4_sec", "star_sec", "cc_sec", "cc_star_sec",
+              "manifest_sec", "lsh8_sec", "jaccard_sec", "triangle_sec"):
         a, b = out["sf01"].get(k), out["sf1"].get(k)
         if a and b:
             ratios[k] = round(b / max(a, 1e-9), 2)
