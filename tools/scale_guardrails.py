@@ -80,6 +80,12 @@ def main() -> None:
         for name in (
             "dedup_jaccard_canonical",
             "graph_triangle_count_canonical",
+            # Round 16: the two LCC entries join the rung (VERDICT r15
+            # item 3). Order matters and is the production order: the
+            # FIRST entry pays the shared family-manifest compute +
+            # memo write, the rest read the artifact.
+            "graph_residual_clustering_coefficient",
+            "dedup_lcc_second_pass",
         ):
             fn = harness.REGISTRY[name].spark
             rec: dict = {}
@@ -115,7 +121,7 @@ def main() -> None:
 
     out["calib_par_post"] = bench._cpu_calibration_parallel()
     dst = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "scale_guardrails_r15.json"
+        os.path.dirname(os.path.abspath(__file__)), "scale_guardrails_r16.json"
     )
     with open(dst, "w") as fh:
         json.dump(out, fh, indent=1)
