@@ -1390,3 +1390,112 @@ def run_triangle_guardrail_strain(
         "sec_direct": sec_direct,
         "sec_guardrail_e2e": sec_guardrail,
     }
+
+
+def run_lcc_second_pass_strain(
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int = 4,
+    threshold_milli: int = 600,
+) -> dict:
+    """Exact-copy strain theorem for the round-16 second-pass operator
+    (the same regime as the jaccard/triangle guardrail runners): on a
+    ``replicas``x byte-identical-copy corpus, the LCC-driven second
+    pass must emit a delta manifest IDENTICAL to the base corpus's.
+
+    Why it is a theorem on this corpus: byte-identical copies share
+    every MinHash band with their original, so pass one's bands=4 CC
+    merges each copy group into its original's family; copies have the
+    SAME n_chars and strictly larger doc ids (the key-shift
+    construction), so the longest-doc/lowest-id survivor of every
+    inflated family is the base family's survivor — the survivor SET
+    equals the base corpus's. The bands=8 residual graph, the LCC
+    statistic, the high-node set, the merge edges, the merged
+    components (min survivor ids), the new canonicals, and n_families
+    are all functions of the survivor set and text alone. The ONE
+    column duplicate mass can touch is n_docs_total (summed pass-one
+    n_members): each member family's count lifts exactly replicas-x,
+    so the inflated delta equals the base delta with n_docs_total
+    scaled by ``replicas`` — asserted row-for-row via exceptAll both
+    ways on the rescaled frame, plus base-delta non-vacuity (no 0==0
+    green) and the survivor-set equality itself.
+    """
+    from etl_tj_project_spark.operators.graph import lcc_second_pass_delta
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    n_docs = d.count()
+    shift = d.agg(F.max("doc_id")).first()[0] + 1
+    fam = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
+    ).select(
+        (F.col("doc_id") + F.col("r") * shift).alias("doc_id"),
+        "text",
+        "n_chars",
+    )
+
+    base_manifest = dd.canonicalize_near_dup_clusters(
+        d, "doc_id", "text", "n_chars"
+    ).persist()
+    t0 = time.perf_counter()
+    infl_manifest = dd.canonicalize_near_dup_clusters(
+        fam, "doc_id", "text", "n_chars"
+    ).persist()
+    n_surv_infl = infl_manifest.count()
+    sec_canonicalize_infl = round(time.perf_counter() - t0, 4)
+
+    # Survivor-set equality: the copy groups must vanish into their
+    # originals' families, leaving exactly the base survivors.
+    surv_base = base_manifest.select("canonical_doc_id")
+    surv_infl = infl_manifest.select("canonical_doc_id")
+    _require(
+        surv_base.exceptAll(surv_infl).count() == 0
+        and surv_infl.exceptAll(surv_base).count() == 0,
+        "inflated survivor set diverged from base",
+    )
+
+    delta_base = lcc_second_pass_delta(
+        d, base_manifest, threshold_milli=threshold_milli
+    ).persist()
+    n_base = delta_base.count()
+    _require(
+        n_base > 0,
+        "strain is vacuous: base corpus produced an empty second-pass "
+        "delta",
+    )
+    t0 = time.perf_counter()
+    delta_infl = lcc_second_pass_delta(
+        fam, infl_manifest, threshold_milli=threshold_milli
+    ).persist()
+    n_infl = delta_infl.count()
+    sec_second_pass_infl = round(time.perf_counter() - t0, 4)
+
+    # Row-for-row identity after rescaling the one mass column.
+    rescaled = delta_infl.withColumn(
+        "n_docs_total",
+        (F.col("n_docs_total") / replicas).cast("long"),
+    )
+    diff = (
+        delta_base.exceptAll(rescaled).count()
+        + rescaled.exceptAll(delta_base).count()
+    )
+    _require(
+        diff == 0,
+        f"second-pass delta diverged from base after /{replicas} "
+        f"n_docs_total rescale: {diff} rows",
+    )
+    for fr in (base_manifest, infl_manifest, delta_base, delta_infl):
+        fr.unpersist()
+    return {
+        "docs": n_docs * replicas,
+        "replicas": replicas,
+        "n_survivors": n_surv_infl,
+        "delta_rows": n_infl,
+        "delta_rows_base": n_base,
+        "sec_canonicalize_infl": sec_canonicalize_infl,
+        "sec_second_pass_infl": sec_second_pass_infl,
+    }

@@ -169,3 +169,45 @@ def test_lcc_second_pass_merges_only_high_lcc_nodes(spark):
     ).select(F.col("node").alias("survivor_doc_id"))
     offenders = delta.join(below, "survivor_doc_id", "inner").count()
     assert offenders == 0
+
+
+def test_second_pass_exact_copy_strain(spark):
+    """Exact-copy strain theorem (the guardrail runners' regime,
+    extended to the round-16 operator): on a 3x byte-identical-copy
+    corpus the second pass's delta manifest must be row-for-row
+    identical to the base corpus's after rescaling n_docs_total by 3 —
+    copies vanish into their originals' families in pass one, the
+    survivor set is unchanged, and every later stage is a function of
+    survivor text alone (all asserted inside the runner, including
+    base-delta non-vacuity)."""
+    from etl_tj_project_spark import strain
+
+    row = strain.run_lcc_second_pass_strain(spark, SF_SMOKE, replicas=3)
+    assert row["replicas"] == 3
+    assert row["delta_rows"] == row["delta_rows_base"] > 0
+    assert 0 < row["n_survivors"] <= row["docs"] // 3
+
+
+def test_second_pass_threshold_boundaries(spark):
+    """Pin the measured threshold landscape the entry's 600-milli
+    choice rests on (module docstring of harness_r16): at 1000 the
+    merge-edge graph is EMPTY at smoke scale (a vacuity boundary — a
+    pass registered there would be hash-green on 0 == 0), and at 400
+    the candidates chain into ONE giant component swallowing 100+
+    families (the transitive-accident blob the LCC diagnostic exists
+    to exclude). 600 must stay strictly between: multiple groups, none
+    giant."""
+    from etl_tj_project_spark.operators.graph import lcc_second_pass_delta
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    manifest = shared_family_manifest(spark, SF_SMOKE)
+    assert lcc_second_pass_delta(docs, manifest, 1000).count() == 0
+    blob = lcc_second_pass_delta(docs, manifest, 400)
+    assert blob.select("merged_component_id").distinct().count() == 1
+    assert blob.count() >= 100
+    chosen = lcc_second_pass_delta(docs, manifest, 600)
+    groups = (
+        chosen.groupBy("merged_component_id").count().collect()
+    )
+    assert len(groups) >= 2
+    assert max(r["count"] for r in groups) < 100
