@@ -927,6 +927,55 @@ def shared_family_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_residual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor RESIDUAL candidate-pair table (bands=8 over the
+    canonical corpus) for ``sf_dir``, computed once per (application,
+    corpus snapshot) and served from parquet thereafter — the second
+    shared artifact of the guardrail pipeline (same contract and
+    lifecycle as :func:`shared_family_manifest`): the triangle entry,
+    the residual-LCC entry, and the LCC second pass all consume
+    EXACTLY this table, and a production pipeline writes it once. The
+    table is survivor-sized (corpus minus duplicate mass — §27's
+    guardrail property), so the artifact cannot inflate with duplicate
+    density."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from etl_tj_project_spark.operators import dedup as dd_ops
+
+    key = (
+        "residual_pairs",
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        _documents_signature(sf_dir),
+    )
+    path = _MANIFEST_MEMO.get(key)
+    if path is not None and os.path.isdir(path):
+        return spark.read.parquet(path).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    manifest = shared_family_manifest(spark, sf_dir)
+    reps = d.join(
+        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = dd_ops.lsh_candidate_pairs(reps, "doc_id", "text", 8, 8)
+    parent = os.path.join(
+        tempfile.gettempdir(),
+        f"tj_manifest_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(parent, exist_ok=True)
+    if parent not in _MANIFEST_PARENTS:
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        _MANIFEST_PARENTS.add(parent)
+    out = tempfile.mkdtemp(dir=parent)
+    pairs.write.mode("overwrite").parquet(out)
+    _MANIFEST_MEMO[key] = out
+    return spark.read.parquet(out).select("doc_a", "doc_b")
+
+
 @register(
     "bigram_fluency_score",
     r"""

@@ -58,7 +58,6 @@ from pyspark.sql import functions as F
 from etl_tj_project_spark.harness import register
 from etl_tj_project_spark.operators import dedup as dd
 from etl_tj_project_spark.operators.graph import triangle_count_oriented
-from etl_tj_project_spark.sources.testdata import load_table
 
 
 def _triangle_canonical_oracle() -> str:
@@ -142,19 +141,13 @@ def _triangle_canonical_oracle() -> str:
 def graph_triangle_count_canonical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from etl_tj_project_spark.harness_r12 import shared_family_manifest
-
-    d = load_table(spark, sf_dir, "documents")
-    manifest = shared_family_manifest(spark, sf_dir)
-    # The manifest feeds two consumers (survivor semi-join + family
-    # aggregation); persist the id-sized frame once so the CC stage
-    # upstream runs once, not twice.
-    manifest = dd.narrow_persisted(manifest, "component_id")
-    reps = d.join(
-        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
-        "doc_id",
-        "left_semi",
+    from etl_tj_project_spark.harness_r12 import (
+        shared_family_manifest,
+        shared_residual_pairs,
     )
+
+    manifest = shared_family_manifest(spark, sf_dir)
+    manifest = dd.narrow_persisted(manifest, "component_id")
     # bands=8 (one minhash per band): the survivor RESIDUAL graph must
     # use a looser threshold than the bands=4 family graph — with the
     # family parameters the survivor graph is empty by construction
@@ -165,7 +158,10 @@ def graph_triangle_count_canonical(
     # answers "is the residual near-miss structure cliquish or
     # chained?" over a graph whose size no longer scales with
     # duplicate density.
-    pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 8)
+    # The residual pair table is the SECOND shared artifact (round-16
+    # wave 3): computed once per corpus snapshot, read by this entry,
+    # the LCC entry, and the second pass.
+    pairs = shared_residual_pairs(spark, sf_dir)
     pairs = dd.narrow_persisted(pairs, "doc_a")
     tri = triangle_count_oriented(pairs)
     fam = manifest.agg(
@@ -263,17 +259,10 @@ def _residual_lcc_oracle() -> str:
 def graph_residual_clustering_coefficient(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from etl_tj_project_spark.harness_r12 import shared_family_manifest
+    from etl_tj_project_spark.harness_r12 import shared_residual_pairs
     from etl_tj_project_spark.operators.graph import local_clustering
 
-    d = load_table(spark, sf_dir, "documents")
-    manifest = shared_family_manifest(spark, sf_dir)
-    reps = d.join(
-        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
-        "doc_id",
-        "left_semi",
-    )
-    pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", 8, 8)
+    pairs = shared_residual_pairs(spark, sf_dir)
     pairs = dd.narrow_persisted(pairs, "doc_a")
     # One definition of the statistic (operators/graph.local_clustering)
     # shared with the second-pass operator that consumes it.

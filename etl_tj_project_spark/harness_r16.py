@@ -171,11 +171,17 @@ def _lcc_second_pass_oracle(threshold: int = LCC_MERGE_THRESHOLD_MILLI) -> str:
         "stages in one double-recursive WITH chain",
 )
 def dedup_lcc_second_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_tj_project_spark.harness_r12 import shared_family_manifest
+    from etl_tj_project_spark.harness_r12 import (
+        shared_family_manifest,
+        shared_residual_pairs,
+    )
     from etl_tj_project_spark.operators.graph import lcc_second_pass_delta
 
     d = load_table(spark, sf_dir, "documents")
     manifest = shared_family_manifest(spark, sf_dir)
     return lcc_second_pass_delta(
-        d, manifest, threshold_milli=LCC_MERGE_THRESHOLD_MILLI
+        d,
+        manifest,
+        threshold_milli=LCC_MERGE_THRESHOLD_MILLI,
+        pairs=shared_residual_pairs(spark, sf_dir),
     )

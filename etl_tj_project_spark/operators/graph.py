@@ -138,6 +138,7 @@ def lcc_second_pass_delta(
     threshold_milli: int = 600,
     num_hashes: int = 8,
     bands: int = 8,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The LCC diagnostic acted on (VERDICT r15 item 5): a second,
     looser dedup pass over the survivor residual graph, merging the
@@ -165,7 +166,12 @@ def lcc_second_pass_delta(
     n_families counts the member families and n_docs_total sums their
     first-pass n_members — the delta carries everything a rewrite
     stage needs to re-label without touching untouched families.
-    Empty when no residual structure clears the threshold.
+    Empty when no residual structure clears the threshold. Pass
+    ``pairs`` to reuse a precomputed survivor residual candidate table
+    (the registered entry feeds the shared once-per-corpus artifact,
+    harness_r12.shared_residual_pairs); left None, the table is built
+    from ``docs``/``manifest`` — the path arbitrary-frame callers (the
+    strain runner, the idempotency test) use.
 
     At 100 TB: the residual graph is survivor-sized (corpus minus
     duplicate mass), the LCC stage is the triangle guardrail's wedge
@@ -180,12 +186,15 @@ def lcc_second_pass_delta(
 
     from etl_tj_project_spark.operators import dedup as dd
 
-    reps = docs.join(
-        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
-        "doc_id",
-        "left_semi",
-    )
-    pairs = dd.lsh_candidate_pairs(reps, "doc_id", "text", num_hashes, bands)
+    if pairs is None:
+        reps = docs.join(
+            manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        pairs = dd.lsh_candidate_pairs(
+            reps, "doc_id", "text", num_hashes, bands
+        )
     pairs = dd.narrow_persisted(pairs, "doc_a")
     lcc = local_clustering(pairs)
     high = lcc.filter(
