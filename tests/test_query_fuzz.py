@@ -3055,3 +3055,126 @@ def test_gball_class_is_not_vacuous(spark, li_view):
         if any(r.k1 is None or r.k2 is None for r in rows):
             saw_null = True
     assert saw_groups and saw_null
+
+
+# ---------------------------------------------------------------------------
+# Connected-components fuzzing (round 16): the recursive-CTE min-label
+# walk is the oracle primitive the canonicalize manifest leans on — and
+# round 16's second-pass oracle runs it TWICE in one WITH chain. The
+# registry proves it on the LSH graphs the corpus happens to produce;
+# this class probes randomized graph topologies (chains, cliques,
+# stars, disjoint unions, dense multi-component tangles) where Spark's
+# size-dispatched connected_components operator and DuckDB's recursive
+# walk must assign identical min-reachable-id labels to every node.
+# ---------------------------------------------------------------------------
+
+def _gen_cc_graphs(n: int) -> list[list[tuple[int, int]]]:
+    rng = random.Random(20260816)
+    graphs = []
+    for _ in range(n):
+        nodes = rng.randint(4, 24)
+        style = rng.random()
+        edges: set = set()
+        if style < 0.3:
+            # chain fragments: adversarial depth for label propagation
+            ids = list(range(1, nodes + 1))
+            rng.shuffle(ids)
+            for a, b in zip(ids, ids[1:]):
+                if rng.random() < 0.8:
+                    edges.add((min(a, b), max(a, b)))
+        elif style < 0.55:
+            # k cliques (the duplicate-family shape)
+            ids = list(range(1, nodes + 1))
+            rng.shuffle(ids)
+            k = rng.randint(2, 4)
+            for i in range(0, nodes, k):
+                grp = ids[i:i + k]
+                for x in grp:
+                    for y in grp:
+                        if x < y:
+                            edges.add((x, y))
+        else:
+            # random sparse tangle
+            for _e in range(rng.randint(1, 2 * nodes)):
+                a, b = rng.randint(1, nodes), rng.randint(1, nodes)
+                if a != b:
+                    edges.add((min(a, b), max(a, b)))
+        if not edges:
+            edges.add((1, 2))
+        graphs.append(sorted(edges))
+    return graphs
+
+
+CC_GRAPHS = _gen_cc_graphs(12)
+
+
+def _cc_oracle_sql(edges: list[tuple[int, int]]) -> str:
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    return f"""
+    WITH RECURSIVE e(doc_a, doc_b) AS (VALUES {vals}),
+    sym AS (
+      SELECT doc_a AS n, doc_b AS m FROM e
+      UNION
+      SELECT doc_b AS n, doc_a AS m FROM e
+    ),
+    walk(n, r) AS (
+      SELECT n, m FROM sym
+      UNION
+      SELECT w.n, s.m FROM walk w JOIN sym s ON s.n = w.r
+    )
+    SELECT CAST(n AS BIGINT) AS node,
+           CAST(least(n, MIN(r)) AS BIGINT) AS component_id
+    FROM walk GROUP BY n
+    """
+
+
+@pytest.mark.parametrize("idx", range(len(CC_GRAPHS)))
+def test_random_graph_components_match_oracle(spark, duck, idx):
+    from etl_tj_project_spark.operators import dedup as dd
+
+    edges = CC_GRAPHS[idx]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels = dd.materialize_labels(
+        dd.connected_components(df, "doc_a", "doc_b")
+    ).select("node", "component_id")
+    compare(labels, duck, _cc_oracle_sql(edges))
+
+
+def test_cc_graph_class_is_not_vacuous(spark):
+    """The generated topologies must include a multi-component graph,
+    a chain of depth >= 4 (so min-label genuinely propagates), and a
+    clique — otherwise the class is probing trivial shapes."""
+    from etl_tj_project_spark.operators import dedup as dd
+
+    saw_multi = saw_deep = saw_clique = False
+    for edges in CC_GRAPHS:
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        comps = []
+        seen: set = set()
+        for start in adj:
+            if start in seen:
+                continue
+            stack, comp = [start], set()
+            while stack:
+                x = stack.pop()
+                if x in comp:
+                    continue
+                comp.add(x)
+                stack.extend(adj[x] - comp)
+            seen |= comp
+            comps.append(comp)
+        if len(comps) >= 2:
+            saw_multi = True
+        if any(len(c) >= 5 and all(len(adj[v]) <= 2 for v in c)
+               for c in comps):
+            saw_deep = True
+        if any(
+            len(c) >= 3
+            and all(len(adj[v] & c) == len(c) - 1 for v in c)
+            for c in comps
+        ):
+            saw_clique = True
+    assert saw_multi and saw_deep and saw_clique
