@@ -211,3 +211,40 @@ def test_second_pass_threshold_boundaries(spark):
     )
     assert len(groups) >= 2
     assert max(r["count"] for r in groups) < 100
+
+
+def test_shared_artifacts_never_serve_stale_data(spark, tmp_path):
+    """The memo-key claim pinned: shared_family_manifest and
+    shared_residual_pairs key on (application, realpath, documents
+    size+mtime signature), so REWRITING a corpus under the same path —
+    the test-tempdir reuse shape — must recompute, never serve the
+    previous corpus's artifact."""
+    import shutil
+
+    from etl_tj_project_spark.harness_r12 import (
+        shared_family_manifest,
+        shared_residual_pairs,
+    )
+
+    sf = str(tmp_path / "corpus")
+    docs_a = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3, 100)
+         for i in range(6)],
+        "doc_id long, text string, n_chars long",
+    )
+    docs_a.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    m1 = shared_family_manifest(spark, sf)
+    # six identical docs -> one family
+    assert m1.count() == 1
+    p1 = shared_residual_pairs(spark, sf).count()
+    assert p1 == 0  # one survivor: no residual pairs
+
+    shutil.rmtree(f"{sf}/documents.parquet")
+    words = ["aardvark", "borough", "crystal", "dungeon"]
+    docs_b = spark.createDataFrame(
+        [(i, (words[i] + str(i) + " ") * 8, 50) for i in range(4)],
+        "doc_id long, text string, n_chars long",
+    )
+    docs_b.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    m2 = shared_family_manifest(spark, sf)
+    assert m2.count() == 4, "stale manifest served after corpus rewrite"
