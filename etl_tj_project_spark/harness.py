@@ -1621,8 +1621,8 @@ from etl_tj_project_spark import parity  # noqa: E402
 # COVERAGE.md per round.
 #
 # WINDOW_ROUND pins WHICH CORRECTNESS ledger this window was composed
-# against: the window below was computed from CORRECTNESS_r01..r14 and
-# is the round-15 submission. tests/test_oracle_parity.py's rotation
+# against: the window below was computed from CORRECTNESS_r01..r16 and
+# is the round-17 submission. tests/test_oracle_parity.py's rotation
 # test must ignore CORRECTNESS files >= this round — otherwise the
 # moment the driver lands the NEXT record the test demands a window
 # that can't exist yet (the r9 failure mode, VERDICT r9 item 1b) —
@@ -1630,83 +1630,89 @@ from etl_tj_project_spark import parity  # noqa: E402
 # recomposition pending) or that + 1 (recomposed — the steady state);
 # a missed bump fails loudly instead of silently pinning a stale
 # window (ADVICE r10/r11).
-WINDOW_ROUND = 16
-# Scheduled rows-only refresh (VERDICT r15 item 4): the 7 rows-only-by-
-# policy sketch/trained-ANN entries last produced driver `spark_rows >
-# 0` rows in round 7 — three driver eras ago. The round-7 precedent
-# (one scheduled confirmation window, then barred again) repeats across
-# r16-r17: these three re-attest this round, the remaining four
-# (approx_percentile_profile, hll_sketch_union_daily,
-# theta_audience_overlap, kll_quantile_merge_profile) next round, then
-# the bar returns. tests/test_oracle_parity.py pins that rows-only
-# window slots are EXACTLY this list and never more than 4.
+WINDOW_ROUND = 17
+# Scheduled rows-only refresh, second installment (VERDICT r15 item 4,
+# continued per VERDICT r16 item 2): of the four remaining r7-era
+# rows-only entries, the r17 window has exactly TWO free slots — not
+# the four VERDICT r16 assumed. The arithmetic: the r11 staleness
+# cohort is 46 entries (not 42 like r16's r10 cohort), the rotation
+# test mandates >= 44 of an over-capacity cohort in the window, and
+# the 4-entry stability core is standing, so 50 - 4 - 44 = 2.
+# `approx_percentile_profile` and `hll_sketch_union_daily` (first two
+# in VERDICT r16's listed order) take them; `theta_audience_overlap`
+# and `kll_quantile_merge_profile` take r18's slots together with the
+# two deferred cohort entries, then the rows-only bar returns.
+# tests/test_oracle_parity.py pins that rows-only window slots are
+# EXACTLY this list and never more than 4.
 ROWS_ONLY_REFRESH: list[str] = [
-    "ann_ivf_trained_topk",
-    "ann_pq_trained_topk",
-    "approx_count_distinct",
+    "approx_percentile_profile",
+    "hll_sketch_union_daily",
 ]
 DRIVER_WINDOW: list[str] = [
-    # (b-first) the round-16 addition — never attested, leads the
-    # window; registered BEFORE the round's full replay ran (the
-    # replay-coverage tripwire keeps that ordering honest).
-    "dedup_lcc_second_pass",
-    # (a) §2 stability core (driver-green every round they ran, r2-r15)
+    # (b) never-attested: NONE — round 17 is a consolidation round
+    # (pipeline wiring, manifest promotion, proofs) and deliberately
+    # registers no new oracle-backed entries: the never-attested rule
+    # would demand window slots the 46-entry stalest cohort already
+    # consumes.
+    # (a) §2 stability core (driver-green every round they ran, r2-r16)
     "p1_typed_projection",
     "j1_inner_join_fanout",
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
     # Scheduled rows-only refresh slots (see ROWS_ONLY_REFRESH above):
-    # 3 this round — the window arithmetic is exact: 1 never-attested +
-    # 4 core + 42 stalest-cohort (test-mandated in full at <= 44) leave
-    # exactly 3 free slots; the other 4 rows-only entries take r17's.
-    "ann_ivf_trained_topk",
-    "ann_pq_trained_topk",
-    "approx_count_distinct",
-    # (c) oldest-green rotation: the full 42-entry r10 cohort (newest
-    # green r10 — the oldest cohort left after r15 refreshed the r9
-    # cohort and the first 4 of r10's), in its r10-window order
-    "cdc_apply_latest",
-    "groupwise_linear_fit",
-    "partition_content_checksum",
-    "shuffle_key_skew_profile",
-    "keyset_pagination_seek",
-    "bpe_encode_corpus",
-    "jsonl_write_roundtrip",
-    "ann_lsh_recall",
-    "cohort_retention",
-    "corpus_quality_filter",
-    "date_spine_gap_fill",
-    "dedup_levenshtein_pairs",
-    "dq_expectations",
-    "embedding_centroids_long",
-    "funnel_stages",
-    "profile_columns",
-    "range_band_join",
-    "reaggregate_partials",
-    "repetition_filter",
-    "source_curation_stats",
-    "tfidf_top_terms",
-    "multimodal_audio_downsample",
-    "char_trigram_lang_profile",
-    "bpe_pair_counts",
-    "graph_pagerank_fixedpoint",
-    "month_end_clamp_pack",
-    "array_setops_pack",
-    "window_nth_lead_pack",
-    "scan_lineage_per_file",
-    "share_of_parent_rollup",
-    "moment_stats_manual",
-    "rfm_customer_segments",
-    "basket_part_pairs_top50",
-    "activity_heatmap_dow_hour",
-    "pareto_revenue_concentration",
-    "rolling_zscore_anomaly",
-    "gaps_and_islands_daily",
-    "event_transition_matrix",
-    "relational_division",
-    "mad_robust_dispersion",
-    "interval_merge_overlaps",
-    "dense_grid_zero_fill",
+    # the 2 free slots after 4 core + 44 mandated stalest-cohort.
+    "approx_percentile_profile",
+    "hll_sketch_union_daily",
+    # (c) oldest-green rotation: 44 of the 46-entry r11 cohort (newest
+    # green r11 — the oldest cohort after r16 refreshed r10's), in its
+    # r11-window order; the cohort exceeds the 44-slot capacity floor,
+    # so its LAST TWO r11-window entries (corpus_mixture_plan,
+    # posexplode_tokens) are deferred to r18, where as the then-stalest
+    # pair they are window-mandated in full.
+    "sorted_export_ntile_ranges",
+    "quality_classifier_inference",
+    "boilerplate_chunk_removal",
+    "corpus_epoch_allocation",
+    "topk_with_ties",
+    "iso_week_rollup",
+    "union_by_name_schema_evolution",
+    "bloom_filter_membership",
+    "time_bucket_interpolate",
+    "running_sum_reset_on_marker",
+    "rolling_cov_manual",
+    "inverted_index_postings",
+    "phrase_search_positional",
+    "pareto_frontier_2d",
+    "gini_impurity_by_group",
+    "window_null_ordering_pack",
+    "regex_backreference_pack",
+    "explode_outer_empty_preserved",
+    "dedup_prefix_filter_jaccard",
+    "ann_knn_join_topk",
+    "corpus_ngram_novelty",
+    "multimodal_image_histogram",
+    "incremental_join_maintenance",
+    "incremental_agg_retractions",
+    "chisq_lang_source_cells",
+    "weighted_median_price",
+    "manifest_snapshot_roundtrip",
+    "multimodal_audio_features",
+    "embedding_int8_quantize",
+    "tpch_q2ish_min_cost_supplier",
+    "tpch_q11ish_value_concentration",
+    "tpch_q16ish_supplier_cnt_by_part",
+    "tpch_q20ish_excess_stock_suppliers",
+    "dedup_rate_by_source",
+    "uniform_sample_k_per_group",
+    "truncate_head_tail_budget",
+    "decontaminate_13gram",
+    "interval_containment_join",
+    "asof_join_tolerance",
+    "scd2_apply_changes",
+    "zorder_key_2d",
+    "bigram_top50",
+    "histogram_fixed_buckets",
+    "dedup_repeated_ngram_spans",
 ]
 
 

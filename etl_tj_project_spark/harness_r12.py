@@ -853,22 +853,35 @@ def dedup_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Shared family-manifest artifact (VERDICT r15 item 1): every guardrail
-# consumer (jaccard-canonical, triangle-canonical, residual-LCC, the
-# LCC second pass) needs the SAME deterministic manifest over the same
-# corpus. A production 100 TB pipeline computes the family manifest
-# ONCE per corpus snapshot, writes it as a table, and every downstream
-# job reads that table — recomputing LSH + connected components + the
-# survivor window per consumer is pure waste (SCALE.md §27 measured the
-# canonicalize stage dominating both guardrail entries). This memo is
-# the local-mode twin of that contract: first consumer computes and
-# parquet-materializes under a per-application atexit-cleaned parent
-# (same lifecycle as the CC label tables, harness.py), later consumers
-# get a FileScan. Keyed by (application, realpath, documents size+mtime
-# signature) so a rewritten corpus under a reused path — e.g. a test
-# tempdir — can never serve a stale manifest.
-_MANIFEST_MEMO: dict = {}
-_MANIFEST_PARENTS: set = set()
+# Shared guardrail artifacts as SNAPSHOT TABLES (VERDICT r15 item 1,
+# promoted per VERDICT r16 item 5): every guardrail consumer
+# (jaccard-canonical, triangle-canonical, residual-LCC, the LCC second
+# pass) needs the SAME deterministic family manifest / residual-pair
+# table over the same corpus. A production 100 TB pipeline computes
+# each ONCE per corpus snapshot, PUBLISHES it as a table, and every
+# downstream job reads that table — recomputing LSH + connected
+# components + the survivor window per consumer is pure waste
+# (SCALE.md §27 measured the canonicalize stage dominating both
+# guardrail entries). Round 17 replaces the per-application tempdir
+# memo with the repo's own snapshot-table machinery (manifest.py): the
+# artifacts live under a per-corpus manifest root keyed by the
+# documents CONTENT signature, are committed atomically through the
+# manifest pointer, and therefore survive across SparkSessions and
+# processes — exactly the contract a real pipeline's artifact store
+# has. A rewritten corpus under a reused path (the test-tempdir shape)
+# changes the signature, which changes the root: a stale artifact is
+# unreachable by construction. Corpora that themselves live under the
+# system tempdir are ephemeral test fixtures; their artifact roots are
+# atexit-cleaned so test runs do not accrete /tmp garbage.
+ARTIFACT_EVENTS: list = []  # (artifact_name, "miss" | "hit")
+# Observability (ADVICE r16): the first consumer of each shared
+# artifact pays its compute, later consumers read a parquet FileScan —
+# per-query bench timings of the guardrail family are order-dependent
+# and cross-round comparisons need to know WHO paid. Every hit/miss is
+# appended above; bench.py snapshots the list around each timed query
+# and records a cold/warm flag per guardrail entry in
+# BENCH_FULL_LATEST.json.
+_EPHEMERAL_ARTIFACT_ROOTS: set = set()
 
 
 def _documents_signature(sf_dir: str) -> tuple:
@@ -876,104 +889,131 @@ def _documents_signature(sf_dir: str) -> tuple:
 
     p = os.path.join(sf_dir, "documents.parquet")
     if os.path.isdir(p):
+        # Keyed by sorted RELATIVE path (ADVICE r16): bare basenames
+        # under os.walk's unspecified subdirectory order made identical
+        # partitioned corpora order-sensitive (spurious memo miss) and
+        # two same-named files in different subdirectories
+        # indistinguishable (theoretical stale serve).
         sig = []
         for root, _dirs, files in os.walk(p):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                sig.append((f, st.st_size, st.st_mtime_ns))
-        return tuple(sig)
+            for f in files:
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                sig.append(
+                    (os.path.relpath(full, p), st.st_size, st.st_mtime_ns)
+                )
+        return tuple(sorted(sig))
     st = os.stat(p)
     return (st.st_size, st.st_mtime_ns)
 
 
-def shared_family_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``dedup_cluster_canonicalize`` manifest for ``sf_dir``,
-    computed once per (application, corpus snapshot) and served from a
-    parquet materialization thereafter. See the block comment above for
-    the production rationale; the registered entry itself keeps
-    computing fresh (it IS the measurement of the manifest stage)."""
+def shared_artifact_root(sf_dir: str) -> str:
+    """The manifest.py snapshot root holding ``sf_dir``'s shared
+    guardrail artifacts. Deterministic in (realpath, documents content
+    signature): same corpus → same root across sessions and processes;
+    any content change → a different root, so staleness cannot occur.
+    Override the parent store with ``$TJ_SHARED_ARTIFACTS_DIR``."""
     import atexit
+    import hashlib
     import os
     import shutil
     import tempfile
 
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.realpath(sf_dir),
-        _documents_signature(sf_dir),
+    base = os.environ.get("TJ_SHARED_ARTIFACTS_DIR") or os.path.join(
+        tempfile.gettempdir(), "tj_shared_artifacts"
     )
-    path = _MANIFEST_MEMO.get(key)
-    if path is not None and os.path.isdir(path):
-        return spark.read.parquet(path).select(
-            "component_id",
-            "canonical_doc_id",
-            "canonical_n_chars",
-            "n_members",
-        )
-    manifest = dedup_cluster_canonicalize(spark, sf_dir)
-    parent = os.path.join(
-        tempfile.gettempdir(),
-        f"tj_manifest_{spark.sparkContext.applicationId}",
-    )
-    os.makedirs(parent, exist_ok=True)
-    if parent not in _MANIFEST_PARENTS:
-        atexit.register(shutil.rmtree, parent, ignore_errors=True)
-        _MANIFEST_PARENTS.add(parent)
-    out = tempfile.mkdtemp(dir=parent)
-    manifest.write.mode("overwrite").parquet(out)
-    _MANIFEST_MEMO[key] = out
-    return spark.read.parquet(out).select(
-        "component_id", "canonical_doc_id", "canonical_n_chars", "n_members"
+    real = os.path.realpath(sf_dir)
+    key = repr((real, _documents_signature(sf_dir)))
+    digest = hashlib.sha256(key.encode()).hexdigest()[:20]
+    root = os.path.join(base, digest)
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.realpath(tempfile.gettempdir())
+    if real.startswith(tmp + os.sep) and root not in _EPHEMERAL_ARTIFACT_ROOTS:
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _EPHEMERAL_ARTIFACT_ROOTS.add(root)
+    return root
+
+
+def _shared_artifact(spark, sf_dir, table, cols, build):
+    """Read ``table`` from the corpus's artifact snapshot, publishing
+    it first if this is the corpus's first consumer. Publication goes
+    through manifest.commit — atomic pointer swap, optimistic
+    concurrency — so a parallel first consumer in ANOTHER process
+    either wins the version claim or reads the winner's table (the
+    artifact is deterministic; both outcomes are the same data)."""
+    from etl_tj_project_spark import manifest as mf
+
+    root = shared_artifact_root(sf_dir)
+    m = mf.current_manifest(root)
+    if m is not None and table in m.get("tables", {}):
+        ARTIFACT_EVENTS.append((table, "hit"))
+        return mf.read_table(spark, root, table).select(*cols)
+    ARTIFACT_EVENTS.append((table, "miss"))
+    df = build()
+    try:
+        mf.commit(root, {table: df})
+    except FileExistsError:
+        # Lost the optimistic version claim. Either a concurrent
+        # publisher is mid-commit (their pointer lands shortly) or a
+        # crashed commit orphaned the claim (pointer never advances).
+        import time
+
+        for _ in range(20):
+            m = mf.current_manifest(root)
+            if m is not None and table in m.get("tables", {}):
+                return mf.read_table(spark, root, table).select(*cols)
+            time.sleep(0.5)
+        # Orphaned claim (vacuum() is the recovery path): serve the
+        # computed lineage rather than failing the consumer.
+        return df.select(*cols)
+    return mf.read_table(spark, root, table).select(*cols)
+
+
+def shared_family_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``dedup_cluster_canonicalize`` manifest for ``sf_dir``,
+    published once per corpus snapshot as the ``family_manifest``
+    table of the corpus's artifact store and served from that snapshot
+    thereafter — across consumers, SparkSessions, and processes. See
+    the block comment above for the production rationale; the
+    registered entry itself keeps computing fresh (it IS the
+    measurement of the manifest stage)."""
+    return _shared_artifact(
+        spark,
+        sf_dir,
+        "family_manifest",
+        ["component_id", "canonical_doc_id", "canonical_n_chars",
+         "n_members"],
+        lambda: dedup_cluster_canonicalize(spark, sf_dir),
     )
 
 
 def shared_residual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The survivor RESIDUAL candidate-pair table (bands=8 over the
-    canonical corpus) for ``sf_dir``, computed once per (application,
-    corpus snapshot) and served from parquet thereafter — the second
-    shared artifact of the guardrail pipeline (same contract and
-    lifecycle as :func:`shared_family_manifest`): the triangle entry,
-    the residual-LCC entry, and the LCC second pass all consume
-    EXACTLY this table, and a production pipeline writes it once. The
-    table is survivor-sized (corpus minus duplicate mass — §27's
-    guardrail property), so the artifact cannot inflate with duplicate
+    canonical corpus) for ``sf_dir``, published once per corpus
+    snapshot as the ``residual_pairs`` table of the same artifact
+    store (a later manifest version of the same root: family_manifest
+    is carried forward by reference, never rewritten) — the second
+    shared artifact of the guardrail pipeline: the triangle entry, the
+    residual-LCC entry, and the LCC second pass all consume EXACTLY
+    this table, and a production pipeline writes it once. The table is
+    survivor-sized (corpus minus duplicate mass — §27's guardrail
+    property), so the artifact cannot inflate with duplicate
     density."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from etl_tj_project_spark.operators import dedup as dd_ops
 
-    key = (
-        "residual_pairs",
-        spark.sparkContext.applicationId,
-        os.path.realpath(sf_dir),
-        _documents_signature(sf_dir),
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        manifest = shared_family_manifest(spark, sf_dir)
+        reps = d.join(
+            manifest.select(F.col("canonical_doc_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        return dd_ops.lsh_candidate_pairs(reps, "doc_id", "text", 8, 8)
+
+    return _shared_artifact(
+        spark, sf_dir, "residual_pairs", ["doc_a", "doc_b"], build
     )
-    path = _MANIFEST_MEMO.get(key)
-    if path is not None and os.path.isdir(path):
-        return spark.read.parquet(path).select("doc_a", "doc_b")
-    d = load_table(spark, sf_dir, "documents")
-    manifest = shared_family_manifest(spark, sf_dir)
-    reps = d.join(
-        manifest.select(F.col("canonical_doc_id").alias("doc_id")),
-        "doc_id",
-        "left_semi",
-    )
-    pairs = dd_ops.lsh_candidate_pairs(reps, "doc_id", "text", 8, 8)
-    parent = os.path.join(
-        tempfile.gettempdir(),
-        f"tj_manifest_{spark.sparkContext.applicationId}",
-    )
-    os.makedirs(parent, exist_ok=True)
-    if parent not in _MANIFEST_PARENTS:
-        atexit.register(shutil.rmtree, parent, ignore_errors=True)
-        _MANIFEST_PARENTS.add(parent)
-    out = tempfile.mkdtemp(dir=parent)
-    pairs.write.mode("overwrite").parquet(out)
-    _MANIFEST_MEMO[key] = out
-    return spark.read.parquet(out).select("doc_a", "doc_b")
 
 
 @register(

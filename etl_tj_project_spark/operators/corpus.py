@@ -83,6 +83,80 @@ def prepare_corpus(
     )
 
 
+def prepare_corpus_canonical(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    th: QualityThresholds | None = None,
+    languages: tuple[str, ...] = ("en",),
+    lcc_merge_threshold_milli: int | None = None,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """quality → language → exact dedup → CANONICAL near dedup: the
+    family-manifest variant of :func:`prepare_corpus`, per COVERAGE.md's
+    decision rule ("default for a training-data pipeline: canonical" —
+    family output is survivor-sized and cannot inflate with duplicate
+    density, and the pipeline needs the manifest anyway: it IS the
+    dedup decision).
+
+    Near-dup families come from
+    ``dedup.canonicalize_near_dup_clusters`` (LSH star edges → CC →
+    longest-doc/lowest-id keep rule). With ``lcc_merge_threshold_milli``
+    set, the LCC-driven SECOND pass (``graph.lcc_second_pass_delta`` →
+    ``graph.apply_lcc_second_pass``) then merges near-miss template
+    super-families the first-pass band threshold missed — the
+    diagnostic-to-action path VERDICT r15 item 5 shipped, now reachable
+    from the production pipeline surface.
+
+    Returns ``(survivors, manifest)``: the surviving documents (one
+    canonical per family) and the published-shape family manifest
+    ``(component_id, canonical_doc_id, canonical_n_chars, n_members)``
+    AFTER any second pass. ``n_chars`` is recomputed from the CURRENT
+    text (upstream stages — boilerplate removal — may have rewritten
+    it), so the keep rule ranks what will actually be published.
+
+    At 100 TB: stages 1-2 are scan-local; exact dedup is one
+    fingerprint shuffle; the family stage is one banded group+join
+    (star edges, O(docs x bands)) + size-dispatched CC (labels
+    parquet-materialized inside, so re-executing the lineage per
+    published table re-reads a FileScan, never re-runs CC); the second
+    pass runs on the survivor residual slice (hundreds of edges per
+    million survivors).
+    """
+    from etl_tj_project_spark.operators.dedup import (
+        canonicalize_near_dup_clusters,
+    )
+    from etl_tj_project_spark.operators.graph import (
+        apply_lcc_second_pass,
+        lcc_second_pass_delta,
+    )
+
+    base = quality_filter(df, text_col, th)
+    base = language_filter(base, text_col, languages)
+    base = drop_exact_duplicates(base, text_col, id_col)
+    base = base.withColumn("n_chars", F.length(text_col).cast("long"))
+    manifest = canonicalize_near_dup_clusters(
+        base, id_col, text_col, "n_chars", num_hashes, bands
+    )
+    if lcc_merge_threshold_milli is not None:
+        # lcc_second_pass_delta speaks the standard (doc_id, text)
+        # column names; present the corpus in that shape.
+        docs_std = base.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        delta = lcc_second_pass_delta(
+            docs_std, manifest, threshold_milli=lcc_merge_threshold_milli
+        )
+        manifest = apply_lcc_second_pass(manifest, delta)
+    survivors = base.join(
+        manifest.select(F.col("canonical_doc_id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    return survivors, manifest
+
+
 def boilerplate_chunk_stats(
     df: DataFrame,
     id_col: str = "doc_id",

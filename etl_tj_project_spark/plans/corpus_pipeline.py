@@ -41,6 +41,7 @@ def build_training_corpus(
     val_hi_hex: str = "e6",  # cc..e5 val, e6..ff test (~80/10/10)
     boilerplate_min_docs: int | None = None,
     classifier_weights: list[tuple[str, int]] | None = None,
+    lcc_merge_threshold_milli: int | None = None,
 ) -> dict:
     """Build and PUBLISH a training corpus snapshot; returns stage
     counts (small driver-side dict).
@@ -48,6 +49,20 @@ def build_training_corpus(
     ``docs`` is a documents-shaped DataFrame, or a path to JSONL shards
     (loaded via sources/jsonl.read_documents_jsonl — malformed lines
     land in the published quarantine table instead of dying).
+
+    ``lcc_merge_threshold_milli`` (opt-in, round 17 — VERDICT r16 item
+    1) switches the near-dedup stage to the CANONICAL family-manifest
+    variant (COVERAGE.md's decision rule for training pipelines) and
+    runs the LCC-driven second pass at that threshold: survivors whose
+    residual neighborhoods are cliquish at lcc >= threshold merge into
+    super-families, so near-miss template families the first-pass band
+    threshold missed collapse to ONE published canonical. The merged
+    family manifest is published as a fourth snapshot table
+    (``dedup_manifest``) — it IS the dedup decision, and downstream
+    jobs read it instead of recomputing LSH + CC (the
+    shared-artifact contract, harness_r12). Left ``None`` (default),
+    near dedup stays the greedy Jaccard-verified drop and no manifest
+    table is published.
     """
     from pyspark.sql import Observation
 
@@ -68,7 +83,11 @@ def build_training_corpus(
     # sides of an unpersisted self-join fails metric collection. There
     # the count is one explicit narrow scan (the documented cost of the
     # opt-in stages; at 100 TB observe on the pipeline spine instead).
-    use_observe = boilerplate_min_docs is None and classifier_weights is None
+    use_observe = (
+        boilerplate_min_docs is None
+        and classifier_weights is None
+        and lcc_merge_threshold_milli is None
+    )
     obs_in = Observation("corpus_input") if use_observe else None
     if use_observe:
         clean = clean.observe(obs_in, F.count(F.lit(1)).alias("n"))
@@ -91,12 +110,25 @@ def build_training_corpus(
             .join(stats.select("doc_id", "kept_text"), "doc_id")
             .withColumnRenamed("kept_text", "text")
         )
-    curated = prepare_corpus(
-        clean,
-        th=thresholds,
-        languages=languages,
-        near_dup_threshold=near_dup_threshold,
-    )
+    dedup_manifest = None
+    if lcc_merge_threshold_milli is not None:
+        from etl_tj_project_spark.operators.corpus import (
+            prepare_corpus_canonical,
+        )
+
+        curated, dedup_manifest = prepare_corpus_canonical(
+            clean,
+            th=thresholds,
+            languages=languages,
+            lcc_merge_threshold_milli=lcc_merge_threshold_milli,
+        )
+    else:
+        curated = prepare_corpus(
+            clean,
+            th=thresholds,
+            languages=languages,
+            near_dup_threshold=near_dup_threshold,
+        )
     # Optional model-based filter AFTER the rule-based one and after
     # dedup (the two-stage curation: cheap rules first, model second;
     # post-dedup so the model scores each surviving doc exactly once).
@@ -129,6 +161,8 @@ def build_training_corpus(
     tables = {"corpus": final, "split_stats": stats}
     if quarantine is not None:
         tables["quarantine"] = quarantine
+    if dedup_manifest is not None:
+        tables["dedup_manifest"] = dedup_manifest
     version = manifest.commit(out_root, tables)
 
     published = manifest.read_table(spark, out_root, "corpus")

@@ -1475,9 +1475,23 @@ def run_lcc_second_pass_strain(
     sec_second_pass_infl = round(time.perf_counter() - t0, 4)
 
     # Row-for-row identity after rescaling the one mass column.
+    # Divisibility is itself part of the theorem (ADVICE r16): float
+    # division + cast('long') TRUNCATES, so an inflated n_docs_total
+    # wrong by a non-multiple (10 instead of 9 at replicas=3) would
+    # rescale to the base value and the exceptAll identity would pass
+    # on exactly the divergence this strain exists to catch. Assert
+    # exact divisibility first, then rescale with integer DIV.
+    n_indivisible = delta_infl.filter(
+        F.col("n_docs_total") % replicas != 0
+    ).count()
+    _require(
+        n_indivisible == 0,
+        f"inflated n_docs_total not divisible by replicas={replicas} "
+        f"on {n_indivisible} delta rows — mass did not scale linearly",
+    )
     rescaled = delta_infl.withColumn(
         "n_docs_total",
-        (F.col("n_docs_total") / replicas).cast("long"),
+        F.expr(f"n_docs_total DIV {int(replicas)}"),
     )
     diff = (
         delta_base.exceptAll(rescaled).count()
