@@ -3178,3 +3178,174 @@ def test_cc_graph_class_is_not_vacuous(spark):
         ):
             saw_clique = True
     assert saw_multi and saw_deep and saw_clique
+
+
+# ---------------------------------------------------------------------------
+# Delta-apply fuzzing (round 17, VERDICT r16 item 7): the LCC second
+# pass has three stages — delta computation (oracle-hash-checked by the
+# driver), CC over merge edges (the round-16 CC class above), and the
+# APPLY step (graph.apply_lcc_second_pass) that folds the delta into
+# the first-pass manifest. Apply was the one stage only example-based
+# pytest covered. This class generates randomized (manifest, delta)
+# pairs obeying the delta contract — merged_component_id = min member
+# SURVIVOR id (a canonical-id-space value, deliberately disjoint from
+# the component-id space so a column mix-up cannot cancel out),
+# new_canonical = longest-doc/lowest-id member, n_docs_total = summed
+# member mass — and pins apply(manifest, delta) against a one-shot
+# merged-manifest oracle, including the empty-delta (identity) and
+# single-giant-group (total collapse) boundaries.
+# ---------------------------------------------------------------------------
+
+def _gen_apply_cases(
+    n: int,
+) -> list[tuple[list[tuple], list[tuple]]]:
+    rng = random.Random(20260817)
+    cases = []
+    for ci in range(n):
+        k = rng.randint(3, 12)
+        comp_ids = sorted(rng.sample(range(1, 400), k))
+        manifest = []
+        for cid in comp_ids:
+            # Canonical ids live in a DISJOINT value space (>= 1000)
+            # from component ids: the real manifest's component_id is
+            # a min member DOC id while canonical is the longest doc,
+            # and apply must never conflate the two columns.
+            manifest.append(
+                (cid, 1000 + cid * 3, rng.randint(10, 500),
+                 rng.randint(1, 9))
+            )
+        man_by_id = {m[0]: m for m in manifest}
+        fam = comp_ids[:]
+        rng.shuffle(fam)
+        groups: list[list[int]] = []
+        if ci == 0:
+            pass  # boundary: empty delta — apply is the identity
+        elif ci == 1:
+            groups = [fam]  # boundary: ALL families, one giant group
+        else:
+            i = 0
+            while i + 1 < len(fam):
+                if rng.random() < 0.6:
+                    size = min(rng.randint(2, 4), len(fam) - i)
+                    groups.append(fam[i:i + size])
+                    i += size
+                else:
+                    i += 1
+        delta = []
+        for grp in groups:
+            survivors = {c: man_by_id[c][1] for c in grp}
+            merged_id = min(survivors.values())
+            newc = sorted(
+                grp, key=lambda c: (-man_by_id[c][2], man_by_id[c][1])
+            )[0]
+            nd = sum(man_by_id[c][3] for c in grp)
+            for c in grp:
+                delta.append(
+                    (merged_id, c, survivors[c], man_by_id[newc][1],
+                     len(grp), nd)
+                )
+        cases.append((manifest, delta))
+    return cases
+
+
+APPLY_CASES = _gen_apply_cases(12)
+
+_MANIFEST_SCHEMA = (
+    "component_id long, canonical_doc_id long, canonical_n_chars long, "
+    "n_members long"
+)
+_DELTA_SCHEMA = (
+    "merged_component_id long, component_id long, survivor_doc_id long, "
+    "new_canonical_doc_id long, n_families long, n_docs_total long"
+)
+
+
+def _apply_oracle_sql(
+    manifest: list[tuple], delta: list[tuple]
+) -> str:
+    mvals = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in manifest)
+    base = (
+        "SELECT CAST(component_id AS BIGINT) AS component_id, "
+        "CAST(canonical_doc_id AS BIGINT) AS canonical_doc_id, "
+        "CAST(canonical_n_chars AS BIGINT) AS canonical_n_chars, "
+        "CAST(n_members AS BIGINT) AS n_members"
+    )
+    if not delta:
+        return (
+            f"WITH manifest(component_id, canonical_doc_id, "
+            f"canonical_n_chars, n_members) AS (VALUES {mvals}) "
+            f"{base} FROM manifest"
+        )
+    dvals = ", ".join(
+        f"({a}, {b}, {c}, {d}, {e}, {f})" for a, b, c, d, e, f in delta
+    )
+    return f"""
+    WITH manifest(component_id, canonical_doc_id, canonical_n_chars,
+                  n_members) AS (VALUES {mvals}),
+    delta(merged_component_id, component_id, survivor_doc_id,
+          new_canonical_doc_id, n_families, n_docs_total)
+      AS (VALUES {dvals}),
+    merged AS (
+      SELECT DISTINCT d.merged_component_id AS component_id,
+             d.new_canonical_doc_id AS canonical_doc_id,
+             m.canonical_n_chars,
+             d.n_docs_total AS n_members
+      FROM delta d
+      JOIN manifest m ON m.canonical_doc_id = d.new_canonical_doc_id
+    ),
+    untouched AS (
+      SELECT component_id, canonical_doc_id, canonical_n_chars,
+             n_members
+      FROM manifest
+      WHERE component_id NOT IN (SELECT component_id FROM delta)
+    ),
+    unioned AS (
+      SELECT * FROM untouched UNION ALL SELECT * FROM merged
+    )
+    {base} FROM unioned
+    """
+
+
+@pytest.mark.parametrize("idx", range(len(APPLY_CASES)))
+def test_random_delta_apply_matches_oracle(spark, duck, idx):
+    from etl_tj_project_spark.operators.graph import apply_lcc_second_pass
+
+    manifest, delta = APPLY_CASES[idx]
+    mdf = spark.createDataFrame(manifest, _MANIFEST_SCHEMA)
+    ddf = spark.createDataFrame(delta, _DELTA_SCHEMA)
+    out = apply_lcc_second_pass(mdf, ddf)
+    compare(out, duck, _apply_oracle_sql(manifest, delta))
+
+
+def test_delta_apply_class_is_not_vacuous(spark):
+    """The generated cases must include the empty delta (identity), a
+    single group swallowing EVERY family (untouched branch empty), and
+    at least three cases with >= 2 merge groups AND >= 1 untouched
+    family (both branches populated) — plus at least one group whose
+    new canonical is NOT its merged_component_id's survivor (the keep
+    rule and the CC label genuinely disagree somewhere)."""
+    saw_empty = saw_total = 0
+    saw_mixed = 0
+    saw_split_roles = 0
+    for manifest, delta in APPLY_CASES:
+        comp_ids = {m[0] for m in manifest}
+        touched = {d[1] for d in delta}
+        groups = {}
+        for d in delta:
+            groups.setdefault(d[0], []).append(d)
+        if not delta:
+            saw_empty += 1
+        elif touched == comp_ids and len(groups) == 1:
+            saw_total += 1
+        if len(groups) >= 2 and touched < comp_ids:
+            saw_mixed += 1
+        for rows in groups.values():
+            merged_id = rows[0][0]
+            newc = rows[0][3]
+            if newc != merged_id:
+                saw_split_roles += 1
+                break
+    assert saw_empty >= 1
+    assert saw_total >= 1
+    assert saw_mixed >= 3, saw_mixed
+    assert saw_split_roles >= 1
