@@ -83,15 +83,33 @@ def main() -> None:
         run_anchor = min(calib_pre, bench._cpu_probe_parallel())
         contended = 0
 
+        # Shared-artifact cold/warm accounting (ADVICE r16, mirrored
+        # from bench.py): the guardrail family's snapshot artifacts
+        # make per-query timings order-dependent — only the first
+        # consumer at each scale dir pays the artifact compute. Flag
+        # each timing cold (paid a miss) / warm (FileScan only) so the
+        # SCALE.md decomposition can condition on who paid.
+        from etl_tj_project_spark import harness_r12 as _hr12
+
+        artifact_flags: dict[str, str] = {}
+
         def bracketed(n: str, d: str, pre: float) -> tuple[float, float]:
             """Best-of-2 wall for query n at dir d, with the chained
             contention bracket; returns (sec, post_probe)."""
             nonlocal run_anchor, contended
             best = float("inf")
+            ev0 = len(_hr12.ARTIFACT_EVENTS)
             for _ in range(2):
                 t0 = time.perf_counter()
                 force(harness.REGISTRY[n].spark(spark, d))
                 best = min(best, time.perf_counter() - t0)
+            events = _hr12.ARTIFACT_EVENTS[ev0:]
+            if events:
+                artifact_flags[f"{n}@{d}"] = (
+                    "cold"
+                    if any(kind == "miss" for _, kind in events)
+                    else "warm"
+                )
             post = bench._cpu_probe_parallel()
             run_anchor = min(run_anchor, post)
             if max(pre, post) > 1.30 * run_anchor:
@@ -115,6 +133,13 @@ def main() -> None:
                 "ratio": round(s10 / max(s01, 1e-9), 2),
                 "inflated_input": inflated,
             }
+            f01 = artifact_flags.get(f"{n}@{SRC}")
+            f10 = artifact_flags.get(f"{n}@{work}")
+            if f01 or f10:
+                out[n]["artifact_flags"] = {
+                    "sf0.1": f01,
+                    "sf1.0": f10,
+                }
             print(
                 f"RESULT {n} sf0.1={out[n]['sf0.1']} sf1.0={out[n]['sf1.0']}"
                 f" ratio={out[n]['ratio']} inflated={inflated}",
