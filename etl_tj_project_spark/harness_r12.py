@@ -866,9 +866,14 @@ def dedup_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # memo with the repo's own snapshot-table machinery (manifest.py): the
 # artifacts live under a per-corpus manifest root keyed by the
 # documents CONTENT signature, are committed atomically through the
-# manifest pointer, and therefore survive across SparkSessions and
-# processes — exactly the contract a real pipeline's artifact store
-# has. A rewritten corpus under a reused path (the test-tempdir shape)
+# manifest pointer, and survive across SparkSessions — exactly the
+# contract a real pipeline's artifact store has. Cross-PROCESS
+# persistence is an explicit opt-in ($TJ_SHARED_ARTIFACTS_DIR, see
+# shared_artifact_root): by default the store base is per-process and
+# exit-cleaned so a recorded bench/verify run always computes from the
+# parquet inputs (round-17 optimization-round integrity rule — no
+# intermediates persisted across runs).
+# A rewritten corpus under a reused path (the test-tempdir shape)
 # changes the signature, which changes the root: a stale artifact is
 # unreachable by construction. Corpora that themselves live under the
 # system tempdir are ephemeral test fixtures; their artifact roots are
@@ -882,6 +887,7 @@ ARTIFACT_EVENTS: list = []  # (artifact_name, "miss" | "hit")
 # and records a cold/warm flag per guardrail entry in
 # BENCH_FULL_LATEST.json.
 _EPHEMERAL_ARTIFACT_ROOTS: set = set()
+_PROCESS_STORE: list = []  # lazy per-process default store base
 
 
 def _documents_signature(sf_dir: str) -> tuple:
@@ -910,18 +916,34 @@ def _documents_signature(sf_dir: str) -> tuple:
 def shared_artifact_root(sf_dir: str) -> str:
     """The manifest.py snapshot root holding ``sf_dir``'s shared
     guardrail artifacts. Deterministic in (realpath, documents content
-    signature): same corpus → same root across sessions and processes;
-    any content change → a different root, so staleness cannot occur.
-    Override the parent store with ``$TJ_SHARED_ARTIFACTS_DIR``."""
+    signature): same corpus → same root; any content change → a
+    different root, so staleness cannot occur.
+
+    Store scope (round 17 optimization-round integrity rule): the
+    DEFAULT parent store is a per-process tempdir removed at exit, so
+    every bench/verify invocation computes the artifacts fresh from
+    the parquet inputs — within one invocation the first consumer
+    pays and later consumers read the committed snapshot table (the
+    once-per-corpus production contract, exercised end to end), but
+    nothing persists ACROSS invocations: a recorded run can never be
+    served a previous run's intermediates. The cross-process
+    production store is an explicit opt-in via
+    ``$TJ_SHARED_ARTIFACTS_DIR`` — a real pipeline points that at its
+    warehouse; the snapshot-table machinery is identical either way.
+    """
     import atexit
     import hashlib
     import os
     import shutil
     import tempfile
 
-    base = os.environ.get("TJ_SHARED_ARTIFACTS_DIR") or os.path.join(
-        tempfile.gettempdir(), "tj_shared_artifacts"
-    )
+    base = os.environ.get("TJ_SHARED_ARTIFACTS_DIR")
+    if not base:
+        if not _PROCESS_STORE:
+            b = tempfile.mkdtemp(prefix="tj_shared_artifacts_")
+            atexit.register(shutil.rmtree, b, ignore_errors=True)
+            _PROCESS_STORE.append(b)
+        base = _PROCESS_STORE[0]
     real = os.path.realpath(sf_dir)
     key = repr((real, _documents_signature(sf_dir)))
     digest = hashlib.sha256(key.encode()).hexdigest()[:20]
@@ -973,7 +995,8 @@ def shared_family_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``dedup_cluster_canonicalize`` manifest for ``sf_dir``,
     published once per corpus snapshot as the ``family_manifest``
     table of the corpus's artifact store and served from that snapshot
-    thereafter — across consumers, SparkSessions, and processes. See
+    thereafter — across consumers and SparkSessions (across processes
+    only under the opt-in production store, see shared_artifact_root). See
     the block comment above for the production rationale; the
     registered entry itself keeps computing fresh (it IS the
     measurement of the manifest stage)."""
