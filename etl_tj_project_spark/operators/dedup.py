@@ -1459,9 +1459,17 @@ def prefix_filter_jaccard_pairs(
     # Exact verification over materialized token SETS: one sorted array
     # per doc, two id-keyed joins, intersection sized per candidate ROW
     # (no candidate x token explode, no shuffle aggregate).
-    tok_sets = toks.groupBy("__id").agg(
-        F.sort_array(F.collect_list("__term")).alias("__set"),
-        F.count(F.lit(1)).cast("long").alias("__sz"),
+    # Persisted ONCE (r17 optimization, guide §2.4): collect_list has no
+    # map-side reduction, so without the persist BOTH verify sides (sa
+    # and sb) re-shuffle the full token payload and re-sort every array
+    # — the plan showed two ObjectHashAggregate+Exchange subtrees over
+    # identical input. One aggregate now serves both joins (plan:
+    # 2 ObjectHashAggregate → 1; sf0.1 A/B in plans/r17/).
+    tok_sets = _persist_once(
+        toks.groupBy("__id").agg(
+            F.sort_array(F.collect_list("__term")).alias("__set"),
+            F.count(F.lit(1)).cast("long").alias("__sz"),
+        )
     )
     sa = tok_sets.select(
         F.col("__id").alias("doc_a"),
@@ -1643,9 +1651,15 @@ def prefix_filter_containment_pairs(
     # array_intersect — replaces the candidates x shingles explode
     # through a shuffle aggregate, which dominated the wall in the
     # copy-inflated output-bound regime (sf1.0 rung: 198 s direct).
-    shingle_sets = toks.groupBy("__id").agg(
-        F.sort_array(F.collect_list("__term")).alias("__set"),
-        F.count(F.lit(1)).cast("long").alias("__sz"),
+    # Persisted ONCE (r17 optimization, guide §2.4): collect_list has no
+    # map-side reduction, so without the persist both verify sides
+    # re-shuffle the full shingle payload and re-sort every array
+    # (2 ObjectHashAggregate subtrees → 1; sf0.1 A/B in plans/r17/).
+    shingle_sets = _persist_once(
+        toks.groupBy("__id").agg(
+            F.sort_array(F.collect_list("__term")).alias("__set"),
+            F.count(F.lit(1)).cast("long").alias("__sz"),
+        )
     )
     sa = shingle_sets.select(
         F.col("__id").alias("doc_a"),

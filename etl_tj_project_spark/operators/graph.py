@@ -197,9 +197,17 @@ def lcc_second_pass_delta(
         )
     pairs = dd.narrow_persisted(pairs, "doc_a")
     lcc = local_clustering(pairs)
-    high = lcc.filter(
-        (F.col("degree") >= 2) & (F.col("lcc_milli") >= threshold_milli)
-    ).select("node")
+    # Persisted ONCE (r17 optimization, guide §2.4): ``high`` feeds BOTH
+    # endpoint joins of the merge-edge filter below; un-persisted, the
+    # entire LCC subtree (degree profile + degree-oriented wedge joins)
+    # executes twice inside ``he`` — the two renamed copies are not
+    # exchange-reusable. The cached set is merge-candidate-sized (tiny
+    # by construction: the high-lcc slice of the survivor graph).
+    high = dd._persist_once(
+        lcc.filter(
+            (F.col("degree") >= 2) & (F.col("lcc_milli") >= threshold_milli)
+        ).select("node")
+    )
     # Persisted ONCE: the emptiness probe below and the CC both read
     # this cache, so the two candidate-edge joins compute exactly one
     # time (VERDICT r16 noted the earlier limit(1) probe paid an extra
