@@ -395,10 +395,18 @@ def truncate_head_tail_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100 TB it broadcasts and the train side is one scan",
 )
 def decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_tj_project_spark.operators.dedup import _ensure_parallelism
+
     d = load_table(spark, sf_dir, "documents")
     toks = tx.tokens(F.lower("text"))
+    # Spread the 13-gram shingle explode (r17 optimization, guide §2.5):
+    # a single-file corpus scans as ONE split and this Generate is the
+    # query's dominant stage — measured 2.91 s single-task vs 0.65 s
+    # spread at sf0.1; no-op on well-split inputs. The train-id
+    # projection below stays on the raw scan (trivial work).
+    dh = _ensure_parallelism(d)
     sh = (
-        d.filter(F.size(toks) >= 13)
+        dh.filter(F.size(toks) >= 13)
         .select(
             "doc_id",
             F.explode(
@@ -491,6 +499,11 @@ def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(ws) / F.lit(12.0)).cast("int")
+    # (r17 A/B: spread/persist variants LOST here — plain 1.08 s vs
+    # spread 1.79 s vs spread+persist 1.86 s interleaved at sf0.1: the
+    # 12-word chunk slicing is cheap relative to a keyless repartition
+    # of the text. Left as-is deliberately; see boilerplate_chunk_stats
+    # for the same finding.)
     chunks = (
         d.select(
             "doc_id",

@@ -109,7 +109,15 @@ def score_documents(
     Documents with no features (blank text) carry n_feats = 0,
     score_sum = 0, quality = false — kept, not dropped, so the filter's
     row count is the corpus row count."""
-    staged = docs.select(id_col, tokens(text_col).alias("__toks"))
+    from etl_tj_project_spark.operators.dedup import _ensure_parallelism
+
+    # Spread the feature explode (r17 optimization, guide §2.5): on a
+    # single-file corpus the tokenize + unigram/bigram Generate — the
+    # inference hot path — otherwise runs as ONE scan task; no-op on
+    # well-split inputs.
+    staged = _ensure_parallelism(docs).select(
+        id_col, tokens(text_col).alias("__toks")
+    )
     feats = staged.select(
         id_col, F.explode_outer(ngram_features("__toks")).alias("feat")
     )

@@ -174,6 +174,12 @@ def boilerplate_chunk_stats(
     pipeline's optional boilerplate stage)."""
     ws = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(ws) / F.lit(float(chunk_words))).cast("int")
+    # (r17 A/B: spread/persist variants of this chunk explode LOST at
+    # sf0.1 — plain 1.08 s vs spread 1.79 s vs spread+persist 1.86 s on
+    # the paragraph twin: 12-word slicing is cheap relative to the
+    # keyless repartition's text shipping + sort-before-repartition,
+    # and re-running the explode per consumer beats materializing the
+    # chunk payload. Left as-is deliberately.)
     chunks = df.select(
         id_col,
         F.posexplode(

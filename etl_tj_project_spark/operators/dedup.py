@@ -1374,8 +1374,13 @@ def prefix_filter_jaccard_pairs(
     recomputed per snapshot (like the adaptive stopword list) — no
     driver-side materialization anywhere.
     """
+    # _ensure_parallelism (r17 optimization, guide §2.5 input skew): a
+    # single-file corpus scans as ONE split, so the tokenize+explode
+    # that populates the persisted postings ran as one task (measured
+    # 4.5x slower than spread on the 13-gram twin); no-op when the
+    # input is already well-split.
     toks = _persist_once(
-        df.select(
+        _ensure_parallelism(df).select(
             F.col(id_col).alias("__id"),
             F.explode(
                 F.array_distinct(
@@ -1548,6 +1553,12 @@ def _containment_candidate_stages(
     # re-runs the split+shingle explode over the corpus. Measured at
     # sf0.1: 5.5 -> ~3 s. At 100 TB the same reuse is a checkpointed
     # intermediate table rather than executor memory.
+    # (r17 A/B: _ensure_parallelism on this explode LOST at sf0.1 —
+    # 1.92 -> 2.53 s: the keyless repartition's text shipping + its
+    # sort-before-repartition cost more than the single-task 3-gram
+    # explode it parallelizes. The Jaccard twin's unigram explode WON
+    # with the same spread — the discriminator is per-row Generate
+    # compute vs repartition cost. Left un-spread deliberately.)
     toks = _persist_once(
         df.select(F.col(id_col).alias("__id"), F.explode(sh).alias("__term"))
     )
