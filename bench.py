@@ -585,9 +585,23 @@ def main() -> None:
     # only thing the driver parses; printing it in a finally means a
     # spark.stop() that raises can no longer eat the whole run's
     # record (ADVICE r14 — the traceback goes to stderr, stdout still
-    # ends with the contract line).
+    # ends with the contract line). The teardown exception itself is
+    # SWALLOWED (r18, VERDICT r17 item 2): BENCH_r17 exited rc=1 on a
+    # ConnectionRefusedError from spark.stop() — the JVM had already
+    # exited — AFTER all measurements printed; a nonzero exit risks the
+    # whole record being read as now_bench_ok=false. Every measurement
+    # is complete by this point, so a teardown failure is logged to
+    # stderr and the process still exits 0.
     try:
         spark.stop()
+    except Exception as exc:  # noqa: BLE001 — teardown-only, post-record
+        import traceback
+
+        print(
+            f"bench teardown ignored: {type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
+        traceback.print_exc(file=sys.stderr)
     finally:
         print(line, flush=True)
 

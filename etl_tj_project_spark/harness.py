@@ -1630,89 +1630,85 @@ from etl_tj_project_spark import parity  # noqa: E402
 # recomposition pending) or that + 1 (recomposed — the steady state);
 # a missed bump fails loudly instead of silently pinning a stale
 # window (ADVICE r10/r11).
-WINDOW_ROUND = 17
-# Scheduled rows-only refresh, second installment (VERDICT r15 item 4,
-# continued per VERDICT r16 item 2): of the four remaining r7-era
-# rows-only entries, the r17 window has exactly TWO free slots — not
-# the four VERDICT r16 assumed. The arithmetic: the r11 staleness
-# cohort is 46 entries (not 42 like r16's r10 cohort), the rotation
-# test mandates >= 44 of an over-capacity cohort in the window, and
-# the 4-entry stability core is standing, so 50 - 4 - 44 = 2.
-# `approx_percentile_profile` and `hll_sketch_union_daily` (first two
-# in VERDICT r16's listed order) take them; `theta_audience_overlap`
-# and `kll_quantile_merge_profile` take r18's slots together with the
-# two deferred cohort entries, then the rows-only bar returns.
+WINDOW_ROUND = 18
+# Scheduled rows-only refresh, third and FINAL installment (VERDICT
+# r15 item 4; r16/r17 took the first two pairs): the last two r7-era
+# rows-only entries, `theta_audience_overlap` and
+# `kll_quantile_merge_profile`, take the r18 slots exactly as the r17
+# window comment scheduled. After this round every rows-only sketch/
+# trained-ANN entry has a post-r7 driver `spark_rows > 0` record and
+# the rows-only bar returns (ROWS_ONLY_REFRESH empties in r19).
 # tests/test_oracle_parity.py pins that rows-only window slots are
 # EXACTLY this list and never more than 4.
 ROWS_ONLY_REFRESH: list[str] = [
-    "approx_percentile_profile",
-    "hll_sketch_union_daily",
+    "theta_audience_overlap",
+    "kll_quantile_merge_profile",
 ]
 DRIVER_WINDOW: list[str] = [
-    # (b) never-attested: NONE — round 17 is a consolidation round
-    # (pipeline wiring, manifest promotion, proofs) and deliberately
-    # registers no new oracle-backed entries: the never-attested rule
-    # would demand window slots the 46-entry stalest cohort already
-    # consumes.
-    # (a) §2 stability core (driver-green every round they ran, r2-r16)
+    # (b) never-attested: NONE — round 18 is an optimization round and
+    # registers no new entries.
+    # (a) §2 stability core (driver-green every round they ran, r2-r17)
     "p1_typed_projection",
     "j1_inner_join_fanout",
     "a1_agg_by_card",
     "u2_two_branch_union_agg",
-    # Scheduled rows-only refresh slots (see ROWS_ONLY_REFRESH above):
-    # the 2 free slots after 4 core + 44 mandated stalest-cohort.
-    "approx_percentile_profile",
-    "hll_sketch_union_daily",
-    # (c) oldest-green rotation: 44 of the 46-entry r11 cohort (newest
-    # green r11 — the oldest cohort after r16 refreshed r10's), in its
-    # r11-window order; the cohort exceeds the 44-slot capacity floor,
-    # so its LAST TWO r11-window entries (corpus_mixture_plan,
-    # posexplode_tokens) are deferred to r18, where as the then-stalest
-    # pair they are window-mandated in full.
-    "sorted_export_ntile_ranges",
-    "quality_classifier_inference",
-    "boilerplate_chunk_removal",
-    "corpus_epoch_allocation",
-    "topk_with_ties",
-    "iso_week_rollup",
-    "union_by_name_schema_evolution",
-    "bloom_filter_membership",
-    "time_bucket_interpolate",
-    "running_sum_reset_on_marker",
-    "rolling_cov_manual",
-    "inverted_index_postings",
-    "phrase_search_positional",
-    "pareto_frontier_2d",
-    "gini_impurity_by_group",
-    "window_null_ordering_pack",
-    "regex_backreference_pack",
-    "explode_outer_empty_preserved",
-    "dedup_prefix_filter_jaccard",
-    "ann_knn_join_topk",
-    "corpus_ngram_novelty",
-    "multimodal_image_histogram",
-    "incremental_join_maintenance",
-    "incremental_agg_retractions",
-    "chisq_lang_source_cells",
-    "weighted_median_price",
-    "manifest_snapshot_roundtrip",
-    "multimodal_audio_features",
-    "embedding_int8_quantize",
-    "tpch_q2ish_min_cost_supplier",
-    "tpch_q11ish_value_concentration",
-    "tpch_q16ish_supplier_cnt_by_part",
-    "tpch_q20ish_excess_stock_suppliers",
-    "dedup_rate_by_source",
-    "uniform_sample_k_per_group",
-    "truncate_head_tail_budget",
-    "decontaminate_13gram",
-    "interval_containment_join",
-    "asof_join_tolerance",
-    "scd2_apply_changes",
-    "zorder_key_2d",
-    "bigram_top50",
-    "histogram_fixed_buckets",
-    "dedup_repeated_ngram_spans",
+    # Scheduled rows-only refresh slots (see ROWS_ONLY_REFRESH above).
+    "theta_audience_overlap",
+    "kll_quantile_merge_profile",
+    # (c) oldest-green rotation, computed from CORRECTNESS_r01..r17:
+    # first the two r11-cohort entries deferred by the r17 window
+    # (newest green r11 — the stalest pair, window-mandated in full),
+    "corpus_mixture_plan",
+    "posexplode_tokens",
+    # then 42 of the 46-entry r12 cohort (newest green r12) in its
+    # CORRECTNESS_r12 record order; the cohort exceeds the remaining
+    # 42-slot capacity, so its LAST FOUR record-order entries
+    # (assoc_rules_support_lift, interval_prorate_weekly,
+    # winsorize_price_p05_p95, running_max_drawdown) are deferred to
+    # r19, where as part of the then-stalest cohort they are
+    # window-mandated.
+    "gdpr_delete_roundtrip",
+    "merge_sorted_export_roundtrip",
+    "quality_ranked_quota_sample",
+    "ngram_dup_rate_curve",
+    "khop_reachability",
+    "contrastive_negative_sampling",
+    "timezone_dst_pack",
+    "regexp_extract_all_numbers",
+    "text_corpus_stopword_fraction",
+    "text_unigram_commonness",
+    "doc_length_percentile_band",
+    "embedding_q8_norm_profile",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "dedup_semantic_semdedup",
+    "minhash_accuracy_audit",
+    "embedding_pca_power_fixedpoint",
+    "embedding_random_projection_16",
+    "ann_projected_rerank_topk",
+    "text_bigram_coverage",
+    "ann_filtered_topk_per_label",
+    "lang_label_confusion_matrix",
+    "text_zipf_head_share",
+    "bitwise_agg_pack",
+    "median_iqr_pack",
+    "mode_top1_per_group",
+    "moving_agg_rows_frame",
+    "running_distinct_count",
+    "approx_distinct_kmv",
+    "bpe_learned_merges",
+    "full_outer_reconcile",
+    "not_in_null_semantics",
+    "variant_json_extract",
+    "try_arithmetic_pack",
+    "yoy_growth_accounts",
+    "wau_rolling_distinct",
+    "skewed_distinct_two_phase",
+    "cms_heavy_hitters",
+    "spearman_rank_corr",
+    "impute_group_mean",
+    "rebase_index_100",
+    "vocab_jaccard_sources",
 ]
 
 

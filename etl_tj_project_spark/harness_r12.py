@@ -915,9 +915,13 @@ def _documents_signature(sf_dir: str) -> tuple:
 
 def shared_artifact_root(sf_dir: str) -> str:
     """The manifest.py snapshot root holding ``sf_dir``'s shared
-    guardrail artifacts. Deterministic in (realpath, documents content
-    signature): same corpus → same root; any content change → a
-    different root, so staleness cannot occur.
+    guardrail artifacts. Deterministic in (realpath, documents snapshot
+    signature — sorted relative paths + sizes + mtime_ns, see
+    _documents_signature; staleness-safe, NOT content-addressed: a
+    byte-identical corpus copied with fresh mtimes resolves to a
+    different root and recomputes, which only costs work, never serves
+    stale data). Same snapshot → same root; any file change → a
+    different root.
 
     Store scope (round 17 optimization-round integrity rule): the
     DEFAULT parent store is a per-process tempdir removed at exit, so
@@ -960,9 +964,13 @@ def _shared_artifact(spark, sf_dir, table, cols, build):
     """Read ``table`` from the corpus's artifact snapshot, publishing
     it first if this is the corpus's first consumer. Publication goes
     through manifest.commit — atomic pointer swap, optimistic
-    concurrency — so a parallel first consumer in ANOTHER process
+    concurrency — so a parallel first consumer of the SAME store
     either wins the version claim or reads the winner's table (the
-    artifact is deterministic; both outcomes are the same data)."""
+    artifact is deterministic; both outcomes are the same data).
+    Cross-process that contract only applies under the
+    ``$TJ_SHARED_ARTIFACTS_DIR`` opt-in, which points processes at one
+    shared store; with the default per-process store (ADVICE r17) each
+    process has its own root and first consumer."""
     from etl_tj_project_spark import manifest as mf
 
     root = shared_artifact_root(sf_dir)

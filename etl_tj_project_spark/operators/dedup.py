@@ -1319,6 +1319,122 @@ def _cc_star_loop(sym: DataFrame, n_sym: int, max_iter: int) -> DataFrame:
 # Prefix-filtering set-similarity join (PPJoin-style, hash-free)
 # --------------------------------------------------------------------------
 
+# --- Dictionary-encoded exact set verification (round 18) ------------------
+#
+# Both prefix-filter self-joins (Jaccard and containment) end in the same
+# verify stage: attach each candidate doc's distinct-token SET and size the
+# intersection exactly. Round 18 measurement (guide §1/§2.3): with the sets
+# materialized as sorted STRING arrays, array_intersect hash-builds per-row
+# over UTF8Strings — 3.27 s for the 6.1 M Jaccard candidates at sf0.1, the
+# single heaviest stage in the bench. The same intersection over dense INT
+# dictionary ids measured 1.20 s, and over fixed-width BITSETS 0.39 s, with
+# bit-identical outputs (the dictionary is a bijection, so every count —
+# n_inter, sizes, union — is unchanged).
+#
+# Tiering (size-dispatched like the CC/trainer strategies):
+#   * vocab <= _VERIFY_BITSET_MAX_TERMS: each set is ceil(vocab/64) longs;
+#     n_inter = sum(bit_count(a & b)) — O(words) per pair, no hashing, no
+#     allocation. This is classic bitmap set intersection (dictionary +
+#     bitset), exact by construction.
+#   * vocab <= _VERIFY_DICT_MAX_TERMS: sets are int arrays; array_intersect
+#     hashes ints instead of strings and every shuffle/broadcast payload
+#     narrows by ~term-length bytes per element (guide §2.3 narrower types).
+#   * above: the original string path, unchanged — the dictionary needs one
+#     vocab-global row_number (a single-partition sort of the DISTINCT
+#     terms, the same corpus-global state the rarest-first df order already
+#     is), which is the right trade only while the vocabulary is bounded;
+#     an unbounded shingle vocabulary at lake scale keeps the string path.
+#
+# The dictionary id is row_number over (df, term) — exactly the global
+# rarest-first order the prefix filter already sorts by, so the per-doc
+# prefix ranks fall out of ordering by __tid directly (one join fewer than
+# the string path's toks⋈dfreq).
+
+_VERIFY_BITSET_MAX_TERMS = 4096
+_VERIFY_DICT_MAX_TERMS = 1 << 22
+
+# Per-PROCESS memo of the tier-dispatch vocabulary counts — the scalar
+# twin of _persist_once's CacheManager reuse (the r16-approved
+# within-run contract): a repeated build of the same query in one
+# session (bench best-of-2, replay) pays the count job once. Never
+# persisted, never cross-process; the parquet inputs are immutable for
+# the life of a session (the same assumption every _persist_once cache
+# already makes). Lookup uses LogicalPlan.sameResult — EXACTLY the
+# CacheManager's matching rule — because a string/hash key is not safe:
+# two LocalRelations with the same schema but different rows
+# canonicalize to the same string, and a stale count would size the
+# bitset wrong (caught by tests/test_verify_tiers.py in-suite).
+_COUNT_MEMO: list = []  # [(JVM analyzed plan, count)]
+
+
+def _count_once(df: DataFrame) -> int:
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        for p, n in _COUNT_MEMO:
+            if p.sameResult(plan):
+                return n
+    except Exception:
+        return df.count()
+    n = df.count()
+    _COUNT_MEMO.append((plan, n))
+    return n
+
+
+def _term_dictionary(dfreq: DataFrame) -> DataFrame:
+    """(__term, __tid, __df): dense 1-based ids in rarest-first
+    (df, term) order. One vocab-global row_number — vocabulary-sized
+    corpus state, recomputed per snapshot like the df order itself."""
+    from pyspark.sql import Window as _W
+
+    return dfreq.select(
+        "__term",
+        F.row_number().over(_W.orderBy("__df", "__term")).alias("__tid"),
+        "__df",
+    )
+
+
+def _set_reprs_int(toks_i: DataFrame, n_vocab: int):
+    """Per-doc exact-set representation over dictionary ids.
+
+    ``toks_i`` is the dictionary-encoded postings frame ``(__id,
+    __term)`` with ``__term`` already an int id in 1..n_vocab. Returns
+    ``(reps, inter)``: ``reps`` = persisted ``(__id, __rep, __sz)`` and
+    ``inter(a, b)`` = a BIGINT Column sizing the exact intersection of
+    two ``__rep`` values. Bitset tier when the whole dictionary fits
+    ``_VERIFY_BITSET_MAX_TERMS`` bits, int arrays otherwise (both
+    exact; A/B'd in tools/probe_r18_exp1.py)."""
+    if n_vocab <= _VERIFY_BITSET_MAX_TERMS:
+        nwords = max(1, (n_vocab + 63) // 64)
+        reps = toks_i.groupBy("__id").agg(
+            F.expr(
+                f"aggregate(collect_list(__term), array_repeat(0L, {nwords}), "
+                "(acc, t) -> transform(acc, (w, i) -> "
+                "CASE WHEN (t - 1) div 64 = i "
+                "THEN w | shiftleft(1L, CAST((t - 1) % 64 AS INT)) "
+                "ELSE w END))"
+            ).alias("__rep"),
+            F.count(F.lit(1)).cast("long").alias("__sz"),
+        )
+
+        def inter(a: Column, b: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("long")
+
+    else:
+        reps = toks_i.groupBy("__id").agg(
+            F.sort_array(F.collect_list("__term")).alias("__rep"),
+            F.count(F.lit(1)).cast("long").alias("__sz"),
+        )
+
+        def inter(a: Column, b: Column) -> Column:
+            return F.size(F.array_intersect(a, b)).cast("long")
+
+    return _persist_once(reps), inter
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -1367,6 +1483,14 @@ def prefix_filter_jaccard_pairs(
     entirely). Postings and prefixes persist once; both were
     recomputed up to 5x before.
 
+    Round-18 rewrite: when the vocabulary is bounded, terms are
+    dictionary-encoded to dense int ids in the global rarest-first
+    (df, term) order BEFORE the rank window — the candidate join keys
+    and verify sets become ints (or fixed-width bitsets when the whole
+    vocabulary fits _VERIFY_BITSET_MAX_TERMS bits), which cut the
+    verify stage from 3.27 s to 0.39 s at sf0.1 with bit-identical
+    output (tier rationale above _VERIFY_BITSET_MAX_TERMS).
+
     At 100 TB: one token-distinct shuffle, one df aggregation, one
     (doc)-keyed window for prefix ranks, one term-keyed candidate
     self-join (length+positional pruned), two id-keyed array joins for
@@ -1393,22 +1517,43 @@ def prefix_filter_jaccard_pairs(
             ).alias("__term"),
         )
     )
-    sizes = toks.groupBy("__id").agg(
-        F.count(F.lit(1)).cast("long").alias("__sz")
-    )
     dfreq = toks.groupBy("__term").agg(
         F.count(F.lit(1)).cast("long").alias("__df")
     )
     from pyspark.sql import Window as _W
 
-    rn = F.row_number().over(
-        _W.partitionBy("__id").orderBy("__df", "__term")
+    # Dictionary-encode when the vocabulary is bounded (r18, see the
+    # tier rationale above _VERIFY_BITSET_MAX_TERMS): the count is one
+    # aggregate over the persisted postings, vocabulary-sized output.
+    n_vocab = _count_once(dfreq)
+    if n_vocab <= _VERIFY_DICT_MAX_TERMS:
+        # __tid ascends in (df, term) order, so ordering by __tid IS
+        # the rarest-first order — the rank window drops the dfreq
+        # join the string path needs.
+        toks_w = _persist_once(
+            toks.join(_term_dictionary(dfreq), "__term").select(
+                "__id", F.col("__tid").alias("__term")
+            )
+        )
+    else:
+        toks_w = toks
+    sizes = toks_w.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
     )
-    ranked = (
-        toks.join(dfreq, "__term")
-        .join(sizes, "__id")
-        .select("__id", "__term", "__sz", rn.alias("__rn"))
-    )
+    if n_vocab <= _VERIFY_DICT_MAX_TERMS:
+        rn = F.row_number().over(_W.partitionBy("__id").orderBy("__term"))
+        ranked = toks_w.join(sizes, "__id").select(
+            "__id", "__term", "__sz", rn.alias("__rn")
+        )
+    else:
+        rn = F.row_number().over(
+            _W.partitionBy("__id").orderBy("__df", "__term")
+        )
+        ranked = (
+            toks_w.join(dfreq, "__term")
+            .join(sizes, "__id")
+            .select("__id", "__term", "__sz", rn.alias("__rn"))
+        )
     # Required overlap ceil(t*sz) and prefix length, exact integers:
     # ceil(a/b) for positive ints spelled (a + b - 1) div b.
     # Integer `div` keeps ceil(t*sz) exact by construction (ADVICE
@@ -1421,7 +1566,14 @@ def prefix_filter_jaccard_pairs(
             F.col("__rn") <= F.col("__sz") - req + F.lit(1)
         ).select("__id", "__term", "__rn", "__sz")
     )
-    pa = prefix.select(
+    # Spread the candidate fan-out (guide §2.5): the prefix table is
+    # window output whose upstream partitioning AQE legitimately
+    # coalesces to ~1 partition at this size — but the prefix x prefix
+    # broadcast join below fans each prefix row out by its posting list
+    # (12.6M rows from 26k at sf0.1), so an under-split stream side
+    # serializes the join AND the pair-distinct on one core (measured
+    # 8.5 s single-task vs 0.9 s spread). No-op when already well-split.
+    pa = _ensure_parallelism(prefix).select(
         F.col("__id").alias("doc_a"),
         "__term",
         F.col("__rn").alias("__ra"),
@@ -1461,21 +1613,28 @@ def prefix_filter_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # Exact verification over materialized token SETS: one sorted array
-    # per doc, two id-keyed joins, intersection sized per candidate ROW
-    # (no candidate x token explode, no shuffle aggregate).
-    # Persisted ONCE (r17 optimization, guide §2.4): collect_list has no
-    # map-side reduction, so without the persist BOTH verify sides (sa
-    # and sb) re-shuffle the full token payload and re-sort every array
-    # — the plan showed two ObjectHashAggregate+Exchange subtrees over
-    # identical input. One aggregate now serves both joins (plan:
-    # 2 ObjectHashAggregate → 1; sf0.1 A/B in plans/r17/).
-    tok_sets = _persist_once(
-        toks.groupBy("__id").agg(
-            F.sort_array(F.collect_list("__term")).alias("__set"),
-            F.count(F.lit(1)).cast("long").alias("__sz"),
+    # Exact verification over materialized per-doc SETS: two id-keyed
+    # joins, intersection sized per candidate ROW (no candidate x token
+    # explode, no shuffle aggregate). Representation is dictionary-
+    # tiered (r18: bitset / int array / string array — see
+    # _set_reprs_int); persisted ONCE (r17, guide §2.4: collect_list
+    # has no map-side reduction, so an un-persisted aggregate would be
+    # recomputed — full token-payload shuffle and all — on BOTH verify
+    # sides; one aggregate serves both joins).
+    if n_vocab <= _VERIFY_DICT_MAX_TERMS:
+        tok_sets, inter_fn = _set_reprs_int(toks_w, n_vocab)
+        tok_sets = tok_sets.withColumnRenamed("__rep", "__set")
+    else:
+        tok_sets = _persist_once(
+            toks_w.groupBy("__id").agg(
+                F.sort_array(F.collect_list("__term")).alias("__set"),
+                F.count(F.lit(1)).cast("long").alias("__sz"),
+            )
         )
-    )
+
+        def inter_fn(a: Column, b: Column) -> Column:
+            return F.size(F.array_intersect(a, b)).cast("long")
+
     sa = tok_sets.select(
         F.col("__id").alias("doc_a"),
         F.col("__set").alias("__seta"),
@@ -1489,10 +1648,7 @@ def prefix_filter_jaccard_pairs(
     scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "n_inter",
-            F.size(F.array_intersect("__seta", "__setb")).cast("long"),
-        )
+        .withColumn("n_inter", inter_fn(F.col("__seta"), F.col("__setb")))
     )
     union = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
     # Membership decided by exact cross-multiplication, never a float.
@@ -1518,12 +1674,15 @@ def _containment_candidate_stages(
     t_den: int,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared front half of the prefix-filtered containment join:
-    returns ``(toks, sizes, cand)`` — the persisted shingle postings,
-    the per-doc distinct-shingle sizes, and the (doc_a, doc_b)
-    candidate pairs from the A-prefix x B-full-postings join.
-    Split out so the guardrail strain (strain.py) can count the
-    candidate-join input the verify stage would have to pay for,
-    without duplicating the pipeline or running the verify."""
+    returns ``(toks, sizes, cand, n_vocab)`` — the persisted shingle
+    postings (dictionary-encoded to int ids when the shingle vocabulary
+    is bounded — r18, see _VERIFY_BITSET_MAX_TERMS), the per-doc
+    distinct-shingle sizes, the (doc_a, doc_b) candidate pairs from the
+    A-prefix x B-full-postings join, and the measured vocabulary size
+    (which tier the postings are in). Split out so the guardrail strain
+    (strain.py) can count the candidate-join input the verify stage
+    would have to pay for, without duplicating the pipeline or running
+    the verify."""
     sh = F.array_distinct(
         F.when(
             F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
@@ -1562,20 +1721,40 @@ def _containment_candidate_stages(
     toks = _persist_once(
         df.select(F.col(id_col).alias("__id"), F.explode(sh).alias("__term"))
     )
-    sizes = toks.groupBy("__id").agg(
-        F.count(F.lit(1)).cast("long").alias("__sz")
-    )
     dfreq = toks.groupBy("__term").agg(
         F.count(F.lit(1)).cast("long").alias("__df")
     )
     from pyspark.sql import Window as _W
 
-    rn = F.row_number().over(_W.partitionBy("__id").orderBy("__df", "__term"))
-    ranked = (
-        toks.join(dfreq, "__term")
-        .join(sizes, "__id")
-        .select("__id", "__term", "__sz", rn.alias("__rn"))
+    # Dictionary-encode when the shingle vocabulary is bounded (r18,
+    # same tiering as the Jaccard twin — rationale above
+    # _VERIFY_BITSET_MAX_TERMS): int join keys + int verify sets.
+    n_vocab = _count_once(dfreq)
+    if n_vocab <= _VERIFY_DICT_MAX_TERMS:
+        toks_w = _persist_once(
+            toks.join(_term_dictionary(dfreq), "__term").select(
+                "__id", F.col("__tid").alias("__term")
+            )
+        )
+    else:
+        toks_w = toks
+    sizes = toks_w.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
     )
+    if n_vocab <= _VERIFY_DICT_MAX_TERMS:
+        rn = F.row_number().over(_W.partitionBy("__id").orderBy("__term"))
+        ranked = toks_w.join(sizes, "__id").select(
+            "__id", "__term", "__sz", rn.alias("__rn")
+        )
+    else:
+        rn = F.row_number().over(
+            _W.partitionBy("__id").orderBy("__df", "__term")
+        )
+        ranked = (
+            toks_w.join(dfreq, "__term")
+            .join(sizes, "__id")
+            .select("__id", "__term", "__sz", rn.alias("__rn"))
+        )
     # Integer `div` keeps ceil(t*sz) exact by construction (ADVICE
     # r12: floor of a double quotient is only exact below 2^53).
     req = F.expr(f"({t_num}L * __sz + {t_den - 1}L) div {t_den}L").cast(
@@ -1586,16 +1765,19 @@ def _containment_candidate_stages(
     ).select(F.col("__id").alias("doc_a"), "__term")
 
     # A-prefix × B-full candidate join (a != b; both directions kept —
-    # containment is directional).
+    # containment is directional). The A side is spread first (guide
+    # §2.5, same rationale as the Jaccard twin): window output AQE-
+    # coalesces to ~1 partition at this size, which would serialize the
+    # posting-list fan-out and the pair-distinct on one core.
     cand = (
-        prefix.join(
-            toks.select(F.col("__id").alias("doc_b"), "__term"), "__term"
+        _ensure_parallelism(prefix).join(
+            toks_w.select(F.col("__id").alias("doc_b"), "__term"), "__term"
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return toks, sizes, cand
+    return toks_w, sizes, cand, n_vocab
 
 
 def containment_candidate_pairs(
@@ -1611,7 +1793,7 @@ def containment_candidate_pairs(
     verify stage would have to process. The guardrail strain counts
     this on raw vs canonicalized corpora to show canonicalize-first
     shrinks the verify input, not just the final output."""
-    _, _, cand = _containment_candidate_stages(
+    _, _, cand, _ = _containment_candidate_stages(
         df, id_col, text_col, ngram, t_num, t_den
     )
     return cand
@@ -1653,25 +1835,34 @@ def prefix_filter_containment_pairs(
     Output pairs are ordered (doc_a = the contained side), both
     directions emitted independently.
     """
-    toks, sizes, cand = _containment_candidate_stages(
+    toks, sizes, cand, n_vocab = _containment_candidate_stages(
         df, id_col, text_col, ngram, t_num, t_den
     )
     # Exact verification over materialized shingle SETS (round 14, same
-    # move as the Jaccard variant): one sorted array per doc, two
-    # id-keyed joins, intersection sized per candidate ROW with
-    # array_intersect — replaces the candidates x shingles explode
-    # through a shuffle aggregate, which dominated the wall in the
-    # copy-inflated output-bound regime (sf1.0 rung: 198 s direct).
+    # move as the Jaccard variant): one set representation per doc, two
+    # id-keyed joins, intersection sized per candidate ROW — replaces
+    # the candidates x shingles explode through a shuffle aggregate,
+    # which dominated the wall in the copy-inflated output-bound regime
+    # (sf1.0 rung: 198 s direct). Representation is dictionary-tiered
+    # (r18: bitset / int array / string array — see _set_reprs_int).
     # Persisted ONCE (r17 optimization, guide §2.4): collect_list has no
     # map-side reduction, so without the persist both verify sides
     # re-shuffle the full shingle payload and re-sort every array
     # (2 ObjectHashAggregate subtrees → 1; sf0.1 A/B in plans/r17/).
-    shingle_sets = _persist_once(
-        toks.groupBy("__id").agg(
-            F.sort_array(F.collect_list("__term")).alias("__set"),
-            F.count(F.lit(1)).cast("long").alias("__sz"),
+    if n_vocab <= _VERIFY_DICT_MAX_TERMS:
+        shingle_sets, inter_fn = _set_reprs_int(toks, n_vocab)
+        shingle_sets = shingle_sets.withColumnRenamed("__rep", "__set")
+    else:
+        shingle_sets = _persist_once(
+            toks.groupBy("__id").agg(
+                F.sort_array(F.collect_list("__term")).alias("__set"),
+                F.count(F.lit(1)).cast("long").alias("__sz"),
+            )
         )
-    )
+
+        def inter_fn(a: Column, b: Column) -> Column:
+            return F.size(F.array_intersect(a, b)).cast("long")
+
     sa = shingle_sets.select(
         F.col("__id").alias("doc_a"),
         F.col("__set").alias("__seta"),
@@ -1683,10 +1874,7 @@ def prefix_filter_containment_pairs(
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "n_inter",
-            F.size(F.array_intersect("__seta", "__setb")).cast("long"),
-        )
+        .withColumn("n_inter", inter_fn(F.col("__seta"), F.col("__setb")))
     )
     return (
         inter

@@ -219,7 +219,11 @@ def lcc_second_pass_delta(
         .select("doc_a", "doc_b")
     )
     id_type = docs.schema["doc_id"].dataType
-    if he.count() == 0:
+    n_he = he.count()
+    # he's cache is built by the count above; ``high`` has no further
+    # reader on either path (ADVICE r17) — release it eagerly like he.
+    high.unpersist()
+    if n_he == 0:
         # Fixpoint reached (the idempotency test's steady state):
         # return a typed empty delta rather than running CC on an
         # empty edge list.

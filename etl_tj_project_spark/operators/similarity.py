@@ -53,8 +53,23 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _doubles_sql(xs: list[float]) -> str:
+    """SQL text for array(<double literals>). ``repr`` of a Python float
+    is the shortest decimal that round-trips through correctly-rounded
+    parsing, and the ``D``-suffixed SQL double literal parses through
+    Java ``Double.parseDouble`` (correctly rounded) — bit-identical to
+    the ``F.lit`` form (property-tested over gauss/uniform/subnormal
+    values in tests/test_parity.py::test_doubles_sql_bit_exact)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+
+
 def _plane_col(plane: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in plane])
+    # One F.expr round trip instead of len(plane) F.lit py4j calls: the
+    # resulting expression tree (CreateArray of Literal doubles) is
+    # identical — this changes CONSTRUCTION cost only (r18, guide §1:
+    # ann_pq_trained_topk spent ~1.0 s/run building its 1024-literal
+    # codebook column through py4j, vs ~0.25 s executing it).
+    return F.expr(_doubles_sql(plane))
 
 
 def _planes_col(planes: list[list[float]]) -> Column:
@@ -63,8 +78,12 @@ def _planes_col(planes: list[list[float]]) -> Column:
     form) makes the AST grow linearly in n_planes and Catalyst
     analysis + codegen dominate wall-clock on small inputs; a single
     ``transform`` lambda over this 2-D literal keeps one copy of the
-    machinery regardless of n_planes, with identical per-element math."""
-    return F.array(*[_plane_col(p) for p in planes])
+    machinery regardless of n_planes, with identical per-element math.
+    Built in ONE F.expr parse (see :func:`_plane_col`) — n_planes x dim
+    F.lit py4j round trips were the dominant plan-construction cost."""
+    return F.expr(
+        "array(" + ",".join(_doubles_sql(p) for p in planes) + ")"
+    )
 
 
 def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
@@ -1000,13 +1019,22 @@ def pq_topk(
             df, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col
         )
     dsub = len(codebooks[0][0])
-    books_lit = F.array(*[
-        F.array(*[_plane_col(c) for c in book]) for book in codebooks
-    ])
+    # Codebooks enter through a broadcast one-row table, not literals —
+    # the same move ivf_topk already makes for its centroids (and for
+    # the same reason): the m*ksub*dsub literal tree (1024 doubles at
+    # the default shape) cost ~1.0 s/run just to CONSTRUCT through py4j
+    # and made Catalyst re-analyze/re-JIT a fresh giant AST per call,
+    # while the broadcast-column form keeps one compact expression
+    # whatever m x ksub x dsub is (r18; measured 1.77 -> ~0.9 s on the
+    # trained entry). Identical per-element math: the column holds the
+    # exact trained doubles.
+    books_df = df.sparkSession.createDataFrame(
+        [(codebooks,)], schema="__books array<array<array<double>>>"
+    )
     # Query side: the ADC lookup table, evaluated once per query row
     # (broadcast single-row build side), not per scanned row.
     lut = F.transform(
-        books_lit,
+        F.col("__books"),
         lambda book, j: F.transform(
             book,
             lambda c: _l2sq(
@@ -1015,7 +1043,7 @@ def pq_topk(
         ),
     )
     q = F.broadcast(
-        query_vec.select(
+        query_vec.crossJoin(F.broadcast(books_df)).select(
             F.col(qvec_col).alias("__qv"), lut.alias("__lut")
         )
     )
@@ -1033,10 +1061,16 @@ def pq_topk(
             _ensure_parallelism(df), codebooks, id_col, vec_col
         )
     else:
-        encoded = _ensure_parallelism(df).select(
-            F.col(id_col),
-            F.col(vec_col),
-            _pq_codes(F.col(vec_col), books_lit, dsub).alias("__codes"),
+        encoded = (
+            _ensure_parallelism(df)
+            .crossJoin(F.broadcast(books_df))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                _pq_codes(F.col(vec_col), F.col("__books"), dsub).alias(
+                    "__codes"
+                ),
+            )
         )
     adc = F.aggregate(
         F.zip_with(

@@ -76,3 +76,29 @@ def test_oracle_sql_fails_open_per_entry(monkeypatch):
     assert len(out) == sum(1 for e in harness.REGISTRY.values() if e.oracle)
     # Other entries still pinned (p1 has decimal outputs -> wrapped).
     assert out["p1_typed_projection"] != harness.REGISTRY["p1_typed_projection"].oracle
+
+
+def test_doubles_sql_bit_exact(spark):
+    """The one-round-trip F.expr literal builder (r18) must reproduce
+    the F.lit-built doubles bit-for-bit: repr() emits the shortest
+    round-tripping decimal and the D-suffixed SQL literal parses via
+    correctly-rounded Double.parseDouble."""
+    import random
+    import struct
+
+    from etl_tj_project_spark.operators.similarity import _doubles_sql
+
+    rng = random.Random(20260818)
+    vals = (
+        [rng.gauss(0.0, 1.0) for _ in range(100)]
+        + [rng.uniform(-1e10, 1e10) for _ in range(50)]
+        + [rng.gauss(0.0, 1.0) * 10 ** rng.randint(-30, 30) for _ in range(100)]
+        + [0.0, -0.0, 1.0, -1.5, 1e-310, 2.0**-1074, -(2.0**1023)]
+    )
+    got = spark.range(1).select(F.expr(_doubles_sql(vals)).alias("a"))
+    want = spark.range(1).select(F.array(*[F.lit(float(v)) for v in vals]).alias("a"))
+    ga = got.collect()[0][0]
+    wa = want.collect()[0][0]
+    assert len(ga) == len(wa) == len(vals)
+    for g, w in zip(ga, wa):
+        assert struct.pack("<d", g) == struct.pack("<d", w)

@@ -311,3 +311,40 @@ def test_shared_artifacts_are_snapshot_tables(spark, tmp_path):
     assert set(live["tables"]) == {"family_manifest", "residual_pairs"}
     assert live["tables"]["family_manifest"].endswith("snap-1")
     assert live["tables"]["residual_pairs"].endswith("snap-2")
+
+
+def test_artifact_store_default_is_per_process(tmp_path, monkeypatch):
+    """Pin the r17 integrity fix (VERDICT r17 item 9): with
+    $TJ_SHARED_ARTIFACTS_DIR unset, shared_artifact_root must resolve
+    under THIS process's exit-cleaned tempdir store — never a path that
+    could be shared with (or left over from) another process. A future
+    refactor that silently re-promotes cross-run caching fails here."""
+    import os
+
+    from etl_tj_project_spark.harness_r12 import (
+        _PROCESS_STORE,
+        shared_artifact_root,
+    )
+
+    monkeypatch.delenv("TJ_SHARED_ARTIFACTS_DIR", raising=False)
+    sf = str(tmp_path / "corpus")
+    os.makedirs(sf, exist_ok=True)
+    with open(os.path.join(sf, "documents.parquet"), "wb") as fh:
+        fh.write(b"stub")
+    root = os.path.realpath(shared_artifact_root(sf))
+    assert _PROCESS_STORE, "per-process store was never initialised"
+    store = os.path.realpath(_PROCESS_STORE[0])
+    assert root.startswith(store + os.sep), (root, store)
+    # The store is a mkdtemp child of the system tempdir, not a fixed
+    # well-known path another process could collide with.
+    import tempfile
+
+    assert store.startswith(os.path.realpath(tempfile.gettempdir()) + os.sep)
+    assert os.path.basename(store).startswith("tj_shared_artifacts_")
+    # Opt-in still honoured: pointing the env var at a directory moves
+    # the store there (the production cross-process path).
+    shared = tmp_path / "warehouse"
+    shared.mkdir()
+    monkeypatch.setenv("TJ_SHARED_ARTIFACTS_DIR", str(shared))
+    root2 = os.path.realpath(shared_artifact_root(sf))
+    assert root2.startswith(os.path.realpath(str(shared)) + os.sep)

@@ -32,6 +32,13 @@ def main() -> None:
     from etl_tj_project_spark import harness
     from etl_tj_project_spark.session import get_spark
 
+    # Fail fast on a mistyped query name (ADVICE r17): the warmup's
+    # broad `except` used to swallow the KeyError and surface it only
+    # in the timed loop, losing every earlier TIME line.
+    unknown = [n for n in names if n not in harness.REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown query names: {unknown}")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("time_queries_r17")
 
