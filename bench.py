@@ -237,12 +237,26 @@ def main() -> None:
                 }
             post = _cpu_probe_parallel()
             run_anchor = min(run_anchor, post)
-            if max(pre, post) > 1.30 * run_anchor:
+            # Tighter bracket for the sub-second cohort (VERDICT r17
+            # item 4): r17's driver run printed 2x floors on four
+            # untouched fast queries (q7/q9/q18/rollup) because a
+            # moderately contended window (bracket ~1.1-1.3x anchor)
+            # inflates a 0.7 s query to 1.5 s without ever tripping the
+            # 1.30x bracket. For queries under 2.5 s a retry costs
+            # ~nothing, so they re-time at 1.15x (the strain rows'
+            # threshold); a spurious flag only adds one cheap rep — the
+            # kept number is always the minimum. Only STRONG (>1.30x)
+            # flags count toward the full-pass rerun trigger, so the
+            # tighter bracket cannot force a pass2 by itself.
+            thr = 1.30 if best >= 2.5 else 1.15
+            if max(pre, post) > thr * run_anchor:
                 t0 = time.perf_counter()
                 force(harness.REGISTRY[n].spark(spark, sf_dir))
                 retry = time.perf_counter() - t0
                 notes[n] = {
                     "bracket": [pre, post],
+                    "threshold": thr,
+                    "strong": max(pre, post) > 1.30 * run_anchor,
                     "sec_bracketed": round(best, 4),
                     "sec_retry": round(retry, 4),
                     "kept": "retry" if retry < best else "bracketed",
@@ -282,7 +296,12 @@ def main() -> None:
     rerun_trigger = None
     if prev_par is not None and drift_vs_prev > 0.10:
         rerun_trigger = "calib_drift"
-    elif len(contention_notes) > 8:
+    elif sum(
+        1 for v in contention_notes.values() if v.get("strong", True)
+    ) > 8:
+        # Only strong (>1.30x) flags count here: the r18 sub-second
+        # 1.15x bracket flags on idle-host jitter too, and those cheap
+        # re-times must not be able to force a full second pass.
         rerun_trigger = "contended_retries"
     if rerun_trigger is not None:
         timings2, notes2, flags2 = timing_pass()

@@ -295,7 +295,7 @@ def _lsh_pairs_sql() -> str:
         "documents", "doc_id", "text", num_hashes=8, bands=4
     )
     return f"""
-      WITH b AS ({bands_sql})
+      WITH b AS MATERIALIZED ({bands_sql})
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       FROM b a JOIN b c ON a.band = c.band AND a.h = c.h
                        AND a.doc_id < c.doc_id
@@ -305,7 +305,7 @@ def _lsh_pairs_sql() -> str:
 @register(
     "graph_degree_distribution",
     f"""
-    WITH pairs AS ({_lsh_pairs_sql()}),
+    WITH pairs AS MATERIALIZED ({_lsh_pairs_sql()}),
     deg AS (
       SELECT n, COUNT(*) AS degree FROM (
         SELECT doc_a AS n FROM pairs
@@ -341,7 +341,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_count",
     f"""
-    WITH pairs AS ({_lsh_pairs_sql()}),
+    WITH pairs AS MATERIALIZED ({_lsh_pairs_sql()}),
     deg AS (
       SELECT n, COUNT(*) AS degree FROM (
         SELECT doc_a AS n FROM pairs
@@ -748,7 +748,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_oracle() -> str:
     scale = 1_000_000
     return f"""
-    WITH pairs AS ({_lsh_pairs_sql()}),
+    WITH pairs AS MATERIALIZED ({_lsh_pairs_sql()}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION ALL
@@ -1059,7 +1059,7 @@ def _minhash_audit_oracle() -> str:
         f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(8)
     )
     return f"""
-    WITH sig AS ({sig}),
+    WITH sig AS MATERIALIZED ({sig}),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST({matches} AS BIGINT) AS n_agree,

@@ -65,7 +65,7 @@ def _containment_canonical_oracle() -> str:
     )
     probes = dd.containment_probe_corpus_sql("docs", "doc_id", "text")
     return f"""
-    WITH canon AS ({canon}),
+    WITH canon AS MATERIALIZED ({canon}),
     docs AS (
       SELECT d.doc_id, d.text
       FROM documents d
@@ -76,7 +76,7 @@ def _containment_canonical_oracle() -> str:
                   ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
              END AS toks
       FROM corpus
-    ), s AS (
+    ), s AS MATERIALIZED (
       SELECT doc_id,
              unnest(list_distinct(
                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
@@ -153,19 +153,19 @@ def _jaccard_canonical_oracle() -> str:
         "documents", "doc_id", "text", "n_chars", num_hashes=8, bands=4
     )
     return f"""
-    WITH canon AS ({canon}),
+    WITH canon AS MATERIALIZED ({canon}),
     docs AS (
       SELECT d.doc_id, d.text
       FROM documents d
       JOIN canon c ON c.canonical_doc_id = d.doc_id
-    ), t AS (
+    ), t AS MATERIALIZED (
       SELECT doc_id,
              unnest(list_distinct(
                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
                END)) AS term
       FROM docs
-    ), sz AS (
+    ), sz AS MATERIALIZED (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM t GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -82,14 +82,14 @@ def _triangle_canonical_oracle() -> str:
         "docs", "doc_id", "text", num_hashes=8, bands=8
     )
     return f"""
-    WITH canon AS ({canon}),
+    WITH canon AS MATERIALIZED ({canon}),
     docs AS (
       SELECT d.doc_id, d.text
       FROM documents d
       JOIN canon c ON c.canonical_doc_id = d.doc_id
     ),
-    sb AS (SELECT * FROM ({bands_sql}) raw_bands),
-    pairs AS (
+    sb AS MATERIALIZED (SELECT * FROM ({bands_sql}) raw_bands),
+    pairs AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       FROM sb a JOIN sb c ON a.band = c.band AND a.h = c.h
                          AND a.doc_id < c.doc_id
@@ -198,19 +198,19 @@ def _residual_lcc_oracle() -> str:
         "docs", "doc_id", "text", num_hashes=8, bands=8
     )
     return f"""
-    WITH canon AS ({canon}),
+    WITH canon AS MATERIALIZED ({canon}),
     docs AS (
       SELECT d.doc_id, d.text
       FROM documents d
       JOIN canon c ON c.canonical_doc_id = d.doc_id
     ),
-    sb AS (SELECT * FROM ({bands_sql}) raw_bands),
-    pairs AS (
+    sb AS MATERIALIZED (SELECT * FROM ({bands_sql}) raw_bands),
+    pairs AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       FROM sb a JOIN sb c ON a.band = c.band AND a.h = c.h
                          AND a.doc_id < c.doc_id
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
         SELECT doc_a AS n FROM pairs
         UNION ALL

@@ -38,7 +38,7 @@ from etl_tj_project_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from etl_tj_project_spark.functions.vectors import cosine_similarity
+from etl_tj_project_spark.functions.vectors import cosine_similarity, expr_once
 
 
 def _persist_once(df: DataFrame) -> DataFrame:
@@ -164,8 +164,16 @@ def minhash_signature_df(
 ) -> DataFrame:
     """(id, mh0..mhk-1) minhash signatures: 2 md5s per shingle for 8
     hashes (slice scheme), fully parallel, no explode."""
-    sh = char_shingles(text_col, k=shingle_k)
-    md5_cols, mins = _md5_slice_mins(sh, num_hashes)
+    # The projection columns depend only on (text_col, num_hashes,
+    # shingle_k) — memoized expression trees (functions.vectors
+    # .expr_once, r18): the ~100 py4j calls that build them were a
+    # measurable slice of every LSH entry's wall-clock.
+    md5_cols, mins = expr_once(
+        ("mh_sig_cols", text_col, num_hashes, shingle_k),
+        lambda: _md5_slice_mins(
+            char_shingles(text_col, k=shingle_k), num_hashes
+        ),
+    )
     return (
         _ensure_parallelism(df)
         .select(F.col(id_col), *md5_cols)
@@ -187,16 +195,23 @@ def minhash_bands(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sig = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_k)
-    band_cols = []
-    for b in range(bands):
-        parts: list[Column] = []
-        for r in range(rows):
-            if parts:
-                parts.append(F.lit("|"))
-            parts.append(F.col(f"mh{b * rows + r}"))
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("h"))
-        )
+
+    def _band_cols() -> list[Column]:
+        cols = []
+        for b in range(bands):
+            parts: list[Column] = []
+            for r in range(rows):
+                if parts:
+                    parts.append(F.lit("|"))
+                parts.append(F.col(f"mh{b * rows + r}"))
+            cols.append(
+                F.struct(
+                    F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("h")
+                )
+            )
+        return cols
+
+    band_cols = expr_once(("mh_band_cols", num_hashes, bands), _band_cols)
     return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")
     ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
@@ -372,10 +387,15 @@ def minhash_bands_sql(
             f"SELECT {id_col}, {b} AS band, md5({joined}) AS h FROM sig"
         )
     return (
+        # sig is referenced once per band (4-8x): without the
+        # MATERIALIZED hint DuckDB inlines the whole shingle+md5
+        # pipeline per reference (r18 — the residual-LCC oracle spent
+        # 161 s at sf0.001 recomputing inlined CTEs vs 0.5 s
+        # materialized, identical rows).
         f"WITH s AS (SELECT {id_col}, {sh} AS sh FROM "
         f"(SELECT {id_col}, {norm} AS t FROM {table})), "
         f"m AS (SELECT {id_col}, {md5_cols} FROM s), "
-        f"sig AS (SELECT {id_col}, {mh_cols} FROM m) "
+        f"sig AS MATERIALIZED (SELECT {id_col}, {mh_cols} FROM m) "
         + " UNION ALL ".join(band_selects)
     )
 
@@ -399,13 +419,13 @@ def canonicalize_manifest_sql(
         table, id_col, text_col, num_hashes=num_hashes, bands=bands
     )
     return f"""
-    WITH RECURSIVE b AS (SELECT * FROM ({bands_sql}) raw_bands),
-    pairs AS (
+    WITH RECURSIVE b AS MATERIALIZED (SELECT * FROM ({bands_sql}) raw_bands),
+    pairs AS MATERIALIZED (
       SELECT DISTINCT a.{id_col} AS doc_a, c.{id_col} AS doc_b
       FROM b a JOIN b c ON a.band = c.band AND a.h = c.h
                        AND a.{id_col} < c.{id_col}
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT doc_a AS n, doc_b AS m FROM pairs
       UNION
       SELECT doc_b AS n, doc_a AS m FROM pairs
@@ -419,7 +439,7 @@ def canonicalize_manifest_sql(
       SELECT n AS node, least(n, MIN(r)) AS component_id
       FROM walk GROUP BY n
     ),
-    allrows AS (
+    allrows AS MATERIALIZED (
       SELECT d.{id_col}, d.{rank_col},
              coalesce(c.component_id, d.{id_col}) AS component_id
       FROM {table} d LEFT JOIN comp c ON c.node = d.{id_col}

@@ -46,6 +46,15 @@ def _closed_triangles(pairs: DataFrame) -> DataFrame:
     ends = pairs.select(F.col("doc_a").alias("n")).unionAll(
         pairs.select(F.col("doc_b").alias("n"))
     )
+    # NOT persisted (r18 A/B): caching the degree profile dedupes the
+    # ends-union subtree for the two endpoint joins, but every
+    # InMemoryRelation EMBEDS its child plan text — in the composed
+    # lcc-second-pass pipeline (pairs cache -> deg cache -> lcc ->
+    # high/he caches -> CC) the nested plan STRING grew past the 8g
+    # heap inside AdaptiveSparkPlanExec.onUpdatePlan/explainString
+    # (java.lang.OutOfMemoryError building the plan text, not the
+    # data). The duplicated aggregate over the cached pair table is
+    # ~50 ms; the plan-text blow-up is unbounded. Left duplicated.
     deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
     p = (
         pairs.join(deg.withColumnRenamed("n", "doc_a"), "doc_a")

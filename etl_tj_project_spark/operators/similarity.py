@@ -23,7 +23,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_tj_project_spark.functions.vectors import cosine_similarity
+from etl_tj_project_spark.functions.vectors import cosine_similarity, expr_once
 from etl_tj_project_spark.operators.dedup import _ensure_parallelism
 
 
@@ -43,7 +43,7 @@ def brute_force_topk(
     q = F.broadcast(query_vec.select(F.col(qvec_col).alias("__qv")))
     scored = _ensure_parallelism(df).crossJoin(q).select(
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        cosine_similarity(vec_col, "__qv").alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -91,8 +91,21 @@ def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
 
     One transform lambda over the 2-D plane literal (see
     :func:`_planes_col`); bit p contributes ``1 << p`` exactly as the
-    unrolled form did, summed in ascending-p order."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    unrolled form did, summed in ascending-p order. For a column NAME
+    the constructed tree is memoized (functions.vectors.expr_once,
+    r18) — it is identical for every (name, planes) pair and costs
+    ~50 py4j round trips to build."""
+    if isinstance(vec_col, str):
+        key = (
+            "lsh_bucket",
+            vec_col,
+            tuple(tuple(p) for p in planes),
+        )
+        return expr_once(key, lambda: _lsh_bucket_col(F.col(vec_col), planes))
+    return _lsh_bucket_col(vec_col, planes)
+
+
+def _lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     bits = F.transform(
         _planes_col(planes),
         lambda plane, p: F.when(
@@ -142,13 +155,13 @@ def lsh_topk(
     q = F.broadcast(
         query_vec.select(
             F.col(qvec_col).alias("__qv"),
-            lsh_bucket(F.col(qvec_col), planes).alias("__qbucket"),
+            lsh_bucket(qvec_col, planes).alias("__qbucket"),
         )
     )
     bucketed = _ensure_parallelism(df).select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        lsh_bucket(vec_col, planes).alias("__bucket"),
     )
     return (
         bucketed.crossJoin(q)
@@ -160,7 +173,7 @@ def lsh_topk(
         )
         .select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+            cosine_similarity(vec_col, "__qv").alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -376,15 +389,23 @@ def ivf_topk(
         ).select(
             F.col(id_col),
             F.col(vec_col),
-            _cell_expr(F.col(vec_col), F.col("__cents")).alias("__cell"),
+            expr_once(
+                ("ivf_cell", vec_col),
+                lambda: _cell_expr(F.col(vec_col), F.col("__cents")),
+            ).alias("__cell"),
         )
     # Query side: rank ALL cells by cosine, keep the top n_probe.
-    probes = F.slice(
-        F.reverse(
-            F.array_sort(_scored_cells(F.col(qvec_col), F.col("__cents")))
+    probes = expr_once(
+        ("ivf_probes", qvec_col, n_probe),
+        lambda: F.slice(
+            F.reverse(
+                F.array_sort(
+                    _scored_cells(F.col(qvec_col), F.col("__cents"))
+                )
+            ),
+            1,
+            n_probe,
         ),
-        1,
-        n_probe,
     )
     q = F.broadcast(
         query_vec.crossJoin(F.broadcast(cents_df)).select(
@@ -397,7 +418,7 @@ def ivf_topk(
         .filter(F.array_contains(F.col("__probe"), F.col("__cell")))
         .select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+            cosine_similarity(vec_col, "__qv").alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -1032,13 +1053,17 @@ def pq_topk(
         [(codebooks,)], schema="__books array<array<array<double>>>"
     )
     # Query side: the ADC lookup table, evaluated once per query row
-    # (broadcast single-row build side), not per scanned row.
-    lut = F.transform(
-        F.col("__books"),
-        lambda book, j: F.transform(
-            book,
-            lambda c: _l2sq(
-                F.slice(F.col(qvec_col), j * dsub + 1, dsub), c
+    # (broadcast single-row build side), not per scanned row. The tree
+    # depends only on (qvec_col, dsub) — memoized (expr_once, r18).
+    lut = expr_once(
+        ("pq_lut", qvec_col, dsub),
+        lambda: F.transform(
+            F.col("__books"),
+            lambda book, j: F.transform(
+                book,
+                lambda c: _l2sq(
+                    F.slice(F.col(qvec_col), j * dsub + 1, dsub), c
+                ),
             ),
         ),
     )
@@ -1067,19 +1092,25 @@ def pq_topk(
             .select(
                 F.col(id_col),
                 F.col(vec_col),
-                _pq_codes(F.col(vec_col), F.col("__books"), dsub).alias(
-                    "__codes"
-                ),
+                expr_once(
+                    ("pq_codes", vec_col, dsub),
+                    lambda: _pq_codes(
+                        F.col(vec_col), F.col("__books"), dsub
+                    ),
+                ).alias("__codes"),
             )
         )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("__codes"),
-            F.col("__lut"),
-            lambda code, row: F.element_at(row, code + 1),
+    adc = expr_once(
+        ("pq_adc",),
+        lambda: F.aggregate(
+            F.zip_with(
+                F.col("__codes"),
+                F.col("__lut"),
+                lambda code, row: F.element_at(row, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
     )
     cands = (
         encoded.crossJoin(q)
@@ -1094,7 +1125,7 @@ def pq_topk(
         cands.select(
             F.col(id_col),
             "approx_l2sq",
-            cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+            cosine_similarity(vec_col, "__qv").alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -1162,9 +1193,9 @@ def knn_join(
     b_data = data.select(
         F.col(id_col).alias("__nid"),
         F.col(vec_col).alias("__nv"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        lsh_bucket(vec_col, planes).alias("__bucket"),
     )
-    qb = lsh_bucket(F.col(vec_col), planes)
+    qb = lsh_bucket(vec_col, planes)
     probes = F.array(
         *([qb] + [qb.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
     )
@@ -1178,7 +1209,7 @@ def knn_join(
     cand = b_q.join(b_data, "__bucket").select(
         "__qid",
         "__nid",
-        cosine_similarity(F.col("__qv"), F.col("__nv")).alias("__cos"),
+        cosine_similarity("__qv", "__nv").alias("__cos"),
     )
     rn = F.row_number().over(
         _W.partitionBy("__qid").orderBy(F.col("__cos").desc(), "__nid")

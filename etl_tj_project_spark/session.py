@@ -48,6 +48,17 @@ RUNTIME_CONFS: dict[str, str] = {
     # timezone; runtime-settable, so pin it here (the driver hands us
     # its own session — builder-time confs in get_spark don't reach it).
     "spark.sql.session.timeZone": "UTC",
+    # Cap plan DEBUG-STRING rendering (r18). Every InMemoryRelation
+    # embeds its child plan text, so a composed pipeline that layers
+    # caches (pairs -> lcc -> high/he -> CC) produces plan STRINGS that
+    # grow multiplicatively — AQE renders one per plan update
+    # (AdaptiveSparkPlanExec.onUpdatePlan), which burned whole seconds
+    # per job in the corpus pipeline and OOM'd an 8g heap in
+    # StringConcat during an experiment. 4 MB is ~20x the largest real
+    # plan text in plans/ (194 KB); only debug output is truncated —
+    # execution is unaffected. Measured: build_training_corpus (lcc
+    # path, sf0.001, local[4]) 97 -> 73 s from this conf alone.
+    "spark.sql.maxPlanStringLength": str(4 * 1024 * 1024),
 }
 
 
